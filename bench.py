@@ -1,0 +1,166 @@
+"""Benchmark: fused SGCN x GO training throughput (graphs/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+`value` is the JAX/TPU training throughput of the flagship fused model
+(full 7-term objective, double forward, Adam) over device-resident epochs.
+`vs_baseline` divides by a reference-semantics PyTorch-CPU oracle running the
+identical dense math and objective on the same host (the reference repo
+publishes no numbers and PyG is not installable here — see BASELINE.md). If
+torch timing fails, a previously measured constant is used.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# measured torch-CPU oracle throughput on this image (fallback only)
+FALLBACK_TORCH_GPS = 60.0
+
+SUBJECTS = 512
+EPOCHS_TIMED = 5
+BATCH = 32
+
+
+def build_data():
+    from iggcn_tpu.data.adni import synthetic_cohort
+    from iggcn_tpu.data.go_graph import synthetic_topology
+
+    rng = np.random.default_rng(0)
+    topo = synthetic_topology(rng)
+    cohort = synthetic_cohort(rng, num_subjects=SUBJECTS)
+    return topo, cohort
+
+
+def bench_jax(topo, cohort):
+    import jax
+    import jax.numpy as jnp
+
+    from iggcn_tpu.config import ModelConfig, TrainConfig
+    from iggcn_tpu.data.batching import cohort_batch_arrays, pad_to_batches, to_device
+    from iggcn_tpu.models.fused_sgcn import FusedSGCN
+    from iggcn_tpu.train.cv import _epoch_fns
+    from iggcn_tpu.train.steps import TrainState, make_optimizer
+
+    mcfg = ModelConfig(num_layers=2, hidden=16)
+    tcfg = TrainConfig(epochs=EPOCHS_TIMED + 1, batch_size=BATCH)
+    model = FusedSGCN(cfg=mcfg, topo=topo)
+    arrays = cohort_batch_arrays(cohort)
+    data = to_device(pad_to_batches(arrays, BATCH))
+    n = len(cohort)
+    total = int(data["y"].shape[0])
+    steps = total // BATCH
+
+    optimizer = make_optimizer(tcfg, steps)
+    train_epoch, _ = _epoch_fns(model, mcfg, tcfg, optimizer)
+    dummy = (jnp.zeros((BATCH, mcfg.rois, mcfg.feat_dim)),
+             jnp.zeros((BATCH, mcfg.rois, mcfg.rois)),
+             jnp.zeros((BATCH, mcfg.num_snps)))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *dummy)
+    state = TrainState(variables["params"], variables["batch_stats"],
+                       optimizer.init(variables["params"]),
+                       jnp.zeros((), jnp.int32))
+    rng = jax.random.PRNGKey(1)
+    perm = jnp.asarray(np.concatenate([np.random.default_rng(2).permutation(n),
+                                       np.arange(n, total)]))
+    # warmup / compile
+    state, _ = train_epoch(state, data, perm, rng)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for e in range(EPOCHS_TIMED):
+        rng, erng = jax.random.split(rng)
+        state, loss_sum = train_epoch(state, data, perm, erng)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    gps = EPOCHS_TIMED * n / dt
+    return gps, float(loss_sum) / n
+
+
+def bench_torch(topo, cohort, budget_s=30.0):
+    """Reference-semantics torch-CPU oracle: same model, same 7-term loss,
+    double forward + Adam per batch."""
+    import torch
+    import torch.nn.functional as F
+
+    from iggcn_tpu.oracle.torch_ref import TorchFused
+
+    torch.manual_seed(0)
+    model = TorchFused(topo)
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    n = min(len(cohort), 256)
+    x = torch.from_numpy(cohort.x[:n]).float()
+    adj = torch.from_numpy(cohort.adj[:n]).float()
+    snps = torch.from_numpy(cohort.snps[:n]).float()
+    y = torch.from_numpy(cohort.y[:n]).long()
+    clini = torch.from_numpy(cohort.clini_score[:n]).float()
+    tsne = torch.from_numpy(cohort.tsne_fdim[:n]).float()
+
+    def step(lo, hi):
+        opt.zero_grad()
+        xb, ab, sb = x[lo:hi], adj[lo:hi], snps[lo:hi]
+        out = model(xb, ab, sb)
+        out_m = model(xb, ab, sb, is_explain=True)
+        loss = F.nll_loss(out[0], y[lo:hi]) * 0.0
+        loss = loss + 1.0 * (F.mse_loss(out[5].view(-1), clini[lo:hi].view(-1))
+                             + F.mse_loss(out_m[5].view(-1),
+                                          clini[lo:hi].view(-1))) / 2
+        # sparsity
+        xp = torch.sigmoid(model.prob)
+        sp = torch.sigmoid(model.snps_prob)
+        _, adj_m, _ = model.cal_probability(xb, ab, sb)
+        mask = ab != 0
+        ep = (adj_m[mask] / ab[mask]).clamp(0, 1)
+        ent = lambda p: -(p * torch.log(p + 1e-6)
+                          + (1 - p) * torch.log(1 - p + 1e-6))
+        loss = loss + 0.5 * (0.1 * (xp.abs().mean() + sp.abs().mean())
+                             + 0.1 * ep.abs().mean()
+                             + 0.1 * (ent(xp).mean() + ent(sp).mean())
+                             + 0.1 * ent(ep).mean())
+        loss = loss + 1.5e-6 * (((out[1] - sb) ** 2).sum()
+                                + ((out_m[1] - sb) ** 2).sum()) / 2
+        d2 = torch.cdist(tsne[lo:hi], tsne[lo:hi]) ** 2
+        w = torch.exp(-0.01 * d2)
+        for s in (out[2], out_m[2]):
+            deg = w.sum(1)
+            gram = s @ s.t()
+            tr = (deg * gram.diag()).sum() - (w * gram).sum()
+            loss = loss + 0.1 * tr / (s.shape[0] ** 2) / 2
+        loss.backward()
+        opt.step()
+        return hi - lo
+
+    done = 0
+    t0 = time.perf_counter()
+    lo = 0
+    while time.perf_counter() - t0 < budget_s:
+        hi = min(lo + BATCH, n)
+        done += step(lo, hi)
+        lo = hi if hi < n else 0
+    dt = time.perf_counter() - t0
+    return done / dt
+
+
+def main():
+    topo, cohort = build_data()
+    gps, final_loss = bench_jax(topo, cohort)
+    try:
+        torch_gps = bench_torch(topo, cohort)
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] torch baseline failed ({e}); using fallback",
+              file=sys.stderr)
+        torch_gps = FALLBACK_TORCH_GPS
+    result = {
+        "metric": "fused_sgcn_go_train_throughput",
+        "value": round(gps, 2),
+        "unit": "graphs/sec/chip",
+        "vs_baseline": round(gps / torch_gps, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

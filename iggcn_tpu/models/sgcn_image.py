@@ -1,0 +1,159 @@
+"""Image-only SGCN family (no genetics branch).
+
+Re-design of `kernel/sgcn.py`:
+  * `SGCNOri`   <- SGCN_Ori (`:11-151`): fixed conv1->conv3 net, readout is the
+    flattened concat of the hidden and final conv activations, fc1/bn1 ->
+    fc2/bn2 -> fc3 head with dropout 0.5/0.7. (The reference's grad-CAM hooks
+    are imperative torch; the JAX equivalent is `jax.grad` w.r.t. the conv
+    activations, which needs no hooks.)
+  * `SGCNImage` <- SGCN_GCN (`:272-387`) and SGCN_GAT (`:154`): configurable
+    depth, JK-concat, flatten readout, lin1/lin2 head; `use_gat` switches the
+    conv type.
+
+All share the learned ROI/edge importance masking (`cal_probability`,
+`kernel/sgcn.py:76-91`); the sparsity penalty lives in
+`train/losses.py:sgcn_sparsity_loss` (NOTE: this family normalizes the node
+L1 term by N, not N*D, and has no SNP term — `kernel/sgcn.py:88-109`).
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from iggcn_tpu.models.nn_compat import BatchNorm1d, TorchLinear, dropout
+from iggcn_tpu.ops.gat import GATParams, gat_conv
+from iggcn_tpu.ops.gcn import gcn_conv, gcn_propagation_matrix
+from iggcn_tpu.ops.masking import importance_masks
+
+
+def _glorot(key, shape, dtype=jnp.float32):
+    bound = jnp.sqrt(6.0 / (shape[0] + shape[1]))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _kaiming_a5(key, shape, dtype=jnp.float32):
+    bound = 1.0 / jnp.sqrt(jnp.maximum(shape[1], 1))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class SGCNImage(nn.Module):
+    """SGCN_GCN / SGCN_GAT: JK-concat conv stack + flatten readout."""
+
+    num_layers: int = 2
+    hidden: int = 16
+    rois: int = 90
+    feat_dim: int = 3
+    num_classes: int = 2
+    hidden_linear: int = 64
+    use_gat: bool = False
+
+    def setup(self):
+        if self.use_gat:
+            dims = [self.feat_dim] + [self.hidden] * self.num_layers
+            self.gat_ps = [GATParams(
+                weight=self.param(f"gat_w_{i}", _glorot,
+                                  (dims[i], self.hidden)),
+                att_src=self.param(f"gat_att_src_{i}",
+                                   nn.initializers.normal(0.1), (self.hidden,)),
+                att_dst=self.param(f"gat_att_dst_{i}",
+                                   nn.initializers.normal(0.1), (self.hidden,)),
+                lin_edge=self.param(f"gat_lin_edge_{i}", _glorot,
+                                    (1, self.hidden)),
+                att_edge=self.param(f"gat_att_edge_{i}",
+                                    nn.initializers.normal(0.1), (self.hidden,)),
+                bias=self.param(f"gat_b_{i}", nn.initializers.zeros,
+                                (self.hidden,)))
+                for i in range(self.num_layers)]
+        else:
+            self.conv_w = [self.param(
+                f"conv_w_{i}", _glorot,
+                (self.feat_dim if i == 0 else self.hidden, self.hidden))
+                for i in range(self.num_layers)]
+            self.conv_b = [self.param(f"conv_b_{i}", nn.initializers.zeros,
+                                      (self.hidden,))
+                           for i in range(self.num_layers)]
+        # parity kernel/sgcn.py:288: prob is ZERO-initialized in this family
+        self.prob = self.param("prob", nn.initializers.zeros,
+                               (self.rois, self.feat_dim))
+        self.prob_bias = self.param("prob_bias", _kaiming_a5,
+                                    (2 * self.feat_dim, 1))
+        self.lin1 = TorchLinear(self.hidden_linear, name="lin1")
+        self.lin2 = TorchLinear(self.num_classes, name="lin2")
+
+    def __call__(self, x: jax.Array, adj: jax.Array, *,
+                 is_explain: bool = False, train: bool = False) -> jax.Array:
+        b = x.shape[0]
+        if is_explain:
+            masks = importance_masks(x, adj, self.prob, self.prob_bias)
+            x_used, adj_used = masks.x_masked, masks.adj_masked
+        else:
+            x_used, adj_used = x, adj
+        h = x_used
+        feats = []
+        if self.use_gat:
+            for p in self.gat_ps:
+                h = nn.relu(gat_conv(h, adj_used, p))
+                feats.append(h)
+        else:
+            prop = gcn_propagation_matrix(adj_used)
+            for i in range(self.num_layers):
+                h = nn.relu(gcn_conv(h, prop, self.conv_w[i], self.conv_b[i]))
+                feats.append(h)
+        z = jnp.concatenate(feats, axis=-1).reshape(b, -1)
+        z = nn.relu(self.lin1(z))
+        if train:
+            z = dropout(self.make_rng("dropout"), z, 0.5)
+        return jax.nn.log_softmax(self.lin2(z), axis=-1)
+
+
+class SGCNOri(nn.Module):
+    """SGCN_Ori: fixed conv1 -> conv3 with concat readout
+    (parity `kernel/sgcn.py:11-151`; conv2 is bypassed there too)."""
+
+    h0: int = 3
+    h1: int = 32
+    h2: int = 32
+    h3: int = 5
+    num_classes: int = 2
+    rois: int = 90
+    dim2: int = 64
+    dim3: int = 16
+
+    def setup(self):
+        self.conv1_w = self.param("conv1_w", _glorot, (self.h0, self.h1))
+        self.conv1_b = self.param("conv1_b", nn.initializers.zeros, (self.h1,))
+        self.conv3_w = self.param("conv3_w", _glorot, (self.h1, self.h3))
+        self.conv3_b = self.param("conv3_b", nn.initializers.zeros, (self.h3,))
+        self.fc1 = TorchLinear(self.dim2, name="fc1")
+        self.bn1 = BatchNorm1d(name="bn1")
+        self.fc2 = TorchLinear(self.dim3, name="fc2")
+        self.bn2 = BatchNorm1d(name="bn2")
+        self.fc3 = TorchLinear(self.num_classes, name="fc3")
+        self.prob = self.param("prob", nn.initializers.zeros,
+                               (self.rois, self.h0))
+        self.prob_bias = self.param("prob_bias", _kaiming_a5,
+                                    (2 * self.h0, 1))
+
+    def __call__(self, x: jax.Array, adj: jax.Array, *,
+                 is_explain: bool = False, train: bool = False) -> jax.Array:
+        b = x.shape[0]
+        det = not train
+        if is_explain:
+            masks = importance_masks(x, adj, self.prob, self.prob_bias)
+            x_used, adj_used = masks.x_masked, masks.adj_masked
+        else:
+            x_used, adj_used = x, adj
+        prop = gcn_propagation_matrix(adj_used)
+        h1 = nn.relu(gcn_conv(x_used, prop, self.conv1_w, self.conv1_b))
+        h3 = nn.relu(gcn_conv(h1, prop, self.conv3_w, self.conv3_b))
+        z = jnp.concatenate([h1.reshape(b, -1), h3.reshape(b, -1)], axis=-1)
+        z = self.bn1(nn.relu(self.fc1(z)), use_running_average=det)
+        if train:
+            z = dropout(self.make_rng("dropout"), z, 0.5)
+        z = self.bn2(nn.relu(self.fc2(z)), use_running_average=det)
+        if train:
+            z = dropout(self.make_rng("dropout"), z, 0.7)
+        return jax.nn.log_softmax(self.fc3(z), axis=-1)

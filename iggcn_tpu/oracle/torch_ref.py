@@ -1,0 +1,250 @@
+"""Torch oracle models mirroring the JAX fused model one-to-one.
+
+The math follows the reference (`kernel/go_model.py`, `kernel/sgcn_img_snp.py`)
+in its dense formulation; torch-native layers (nn.LayerNorm over the node
+axis, nn.BatchNorm1d with 2-D/3-D semantics, nn.MultiheadAttention) provide
+the authoritative semantics the JAX `nn_compat` layer claims to match.
+Weights load from a JAX param tree via `load_fused_params` for logit-level
+parity checks (eval mode, deterministic).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+def _t(a) -> torch.Tensor:
+    return torch.from_numpy(np.asarray(a).copy()).float()
+
+
+class TorchGoNetwork(nn.Module):
+    def __init__(self, topo, in_f_dim=2, n_l=2, f_dim=(5, 5), l_dim=32,
+                 dim_snps_atten=5):
+        super().__init__()
+        self.pool = list(topo.pool)
+        self.n_l = n_l
+        self.n = topo.n
+        self.n_top = self.n - sum(self.pool[:n_l])
+        fdims = [in_f_dim] + list(f_dim)
+        self.fdims = fdims
+        self.enc_masks = [torch.from_numpy(m.astype(np.float32))
+                          for m in topo.encoder_masks(n_l)]
+        self.dec_masks = [torch.from_numpy(m.astype(np.float32))
+                          for m in topo.decoder_masks(n_l)]
+        self.gene_mask = torch.from_numpy((topo.go_snps != 0).astype(np.float32))
+        s = topo.go_snps.shape[1]
+        self.gene_enc = nn.ParameterList(
+            [nn.Parameter(torch.randn(self.n, s) * 0.1 + 1.0)
+             for _ in range(in_f_dim)])
+        self.gene_dec = nn.Parameter(torch.randn(self.n, s) * 0.1 + 1.0)
+        self.w_inc = nn.ParameterList(
+            [nn.Parameter(torch.zeros(fdims[i], fdims[i + 1]))
+             for i in range(n_l)])
+        self.w_s_loop = nn.ParameterList(
+            [nn.Parameter(torch.zeros(fdims[i], fdims[i + 1]))
+             for i in range(n_l)])
+        self.w_att_s = nn.ParameterList(
+            [nn.Parameter(torch.zeros(fdims[i + 1], 1)) for i in range(n_l)])
+        self.w_att_in = nn.ParameterList(
+            [nn.Parameter(torch.zeros(2 * fdims[i + 1], 1)) for i in range(n_l)])
+        self.g_b = nn.ModuleList(
+            [nn.LayerNorm(sum(self.pool[i:])) for i in range(n_l)])
+        self.w_out = nn.ParameterList(
+            [nn.Parameter(torch.zeros(fdims[i], fdims[i - 1]))
+             for i in range(n_l, 0, -1)])
+        self.w_s_loop_out = nn.ParameterList(
+            [nn.Parameter(torch.zeros(fdims[i], fdims[i - 1]))
+             for i in range(n_l, 0, -1)])
+        self.g_b_d = nn.ModuleList(
+            [nn.LayerNorm(sum(self.pool[i:])) for i in range(n_l - 1, -1, -1)])
+        self.conc_for_attention = nn.Parameter(
+            torch.zeros(fdims[-1], dim_snps_atten))
+        self.bn_atten = nn.BatchNorm1d(self.n_top)
+        self.conc = nn.Parameter(torch.zeros(fdims[-1], 1))
+        self.bn_b = nn.BatchNorm1d(self.n_top)
+        self.conc_d = nn.Parameter(torch.zeros(fdims[0], 1))
+        self.bn_b_d = nn.BatchNorm1d(self.n)
+        self.latent1 = nn.Parameter(torch.zeros(self.n_top, 32))
+        self.bn_latent1 = nn.BatchNorm1d(32)
+        self.latent2 = nn.Parameter(torch.zeros(32, l_dim))
+        self.bn_latent2 = nn.BatchNorm1d(l_dim)
+        self.drop_gcn = 0.4
+        self.drop_readout = 0.5
+
+    def forward(self, snps):
+        x = torch.stack([snps @ (self.gene_mask * w).t()
+                         for w in self.gene_enc], dim=2)
+        for jj in range(self.n_l):
+            mask = self.enc_masks[jj]
+            x_in = x @ self.w_inc[jj]
+            x_s = x @ self.w_s_loop[jj]
+            f = x_in.shape[-1]
+            u = x_in @ self.w_att_in[jj][:f, 0]
+            v = x_in @ self.w_att_in[jj][f:, 0]
+            scores = torch.exp(torch.tanh(u[:, :, None] + v[:, None, :]))
+            masked = scores * mask
+            row = masked.sum(-1, keepdim=True)
+            a_hat = torch.where(row > 0, masked / row.clamp_min(1e-38),
+                                torch.zeros_like(masked))
+            v_s = torch.sigmoid(x_s @ self.w_att_s[jj])
+            out = torch.einsum("brc,bcf->brf", a_hat, x_in) + x_s * v_s
+            out = self.g_b[jj](out.permute(0, 2, 1)).permute(0, 2, 1)
+            out = F.dropout2d(F.relu(out), self.drop_gcn, self.training)
+            x = out[:, self.pool[jj]:, :]
+
+        atten_out = F.relu(self.bn_atten(x @ self.conc_for_attention))
+        inp = F.dropout(F.relu(self.bn_b((x @ self.conc)[..., 0])),
+                        self.drop_readout, self.training)
+        h = F.dropout(F.relu(self.bn_latent1(inp @ self.latent1)),
+                      self.drop_readout, self.training)
+        latent = F.relu(self.bn_latent2(h @ self.latent2))
+
+        for jj in range(self.n_l):
+            mask = self.dec_masks[jj]
+            x_out = x @ self.w_out[jj]
+            x_s_out = x @ self.w_s_loop_out[jj]
+            row = mask.sum(-1, keepdim=True)
+            a_dec = torch.where(row > 0, mask / row.clamp_min(1.0),
+                                torch.zeros_like(mask))
+            x_outgoing = torch.einsum("rc,bcf->brf", a_dec, x_out)
+            grow = self.pool[self.n_l - jj - 1]
+            x_self = F.pad(x_s_out, (0, 0, grow, 0))
+            out = x_outgoing + x_self
+            out = self.g_b_d[jj](out.permute(0, 2, 1)).permute(0, 2, 1)
+            x = F.dropout2d(F.relu(out), self.drop_gcn, self.training)
+
+        out_d = F.dropout(F.relu(self.bn_b_d((x @ self.conc_d)[..., 0])),
+                          self.drop_readout, self.training)
+        x_hat = out_d @ (self.gene_mask * self.gene_dec)
+        return latent, x_hat, atten_out
+
+
+class TorchFused(nn.Module):
+    """Mirror of FusedSGCN (cross-attention fused path)."""
+
+    def __init__(self, topo, num_layers=2, hidden=16, rois=90, feat_dim=3,
+                 num_classes=2, num_regr=3, hidden_linear=64, l_dim=32,
+                 num_snps=54, is_use_prob4regr=True):
+        super().__init__()
+        self.num_layers = num_layers
+        self.rois = rois
+        self.is_use_prob4regr = is_use_prob4regr
+        dims = [feat_dim] + [hidden] * num_layers
+        self.conv_w = nn.ParameterList(
+            [nn.Parameter(torch.zeros(dims[i], dims[i + 1]))
+             for i in range(num_layers)])
+        self.conv_b = nn.ParameterList(
+            [nn.Parameter(torch.zeros(dims[i + 1])) for i in range(num_layers)])
+        self.prob = nn.Parameter(torch.zeros(rois, feat_dim))
+        self.prob_bias = nn.Parameter(torch.zeros(2 * feat_dim, 1))
+        self.snps_prob = nn.Parameter(torch.zeros(1, num_snps))
+        dim_atten = num_layers * hidden
+        self.go = TorchGoNetwork(topo, 2, 2, (5, 5), l_dim, dim_atten)
+        self.mha = nn.MultiheadAttention(dim_atten, 2, batch_first=True)
+        self.lin1 = nn.Linear(rois * dim_atten + l_dim, hidden_linear)
+        self.lin2 = nn.Linear(hidden_linear, num_classes)
+        regr_in = rois * dim_atten + l_dim + (rois * feat_dim
+                                              if is_use_prob4regr else 0)
+        self.lin1_regr = nn.Linear(regr_in, hidden_linear)
+        self.lin2_regr = nn.Linear(hidden_linear, num_regr)
+
+    @staticmethod
+    def gcn_prop(adj):
+        n = adj.shape[-1]
+        m = adj + torch.eye(n)
+        deg = m.sum(-2)
+        dis = torch.where(deg > 0, deg.clamp_min(1e-38).rsqrt(),
+                          torch.zeros_like(deg))
+        return dis[..., :, None] * m.transpose(-1, -2) * dis[..., None, :]
+
+    def cal_probability(self, x, adj, snps):
+        xp = x * self.prob
+        d = x.shape[-1]
+        b = self.prob_bias.reshape(-1)
+        u = xp @ b[:d]
+        v = xp @ b[d:]
+        ep = torch.sigmoid(u[:, :, None] + v[:, None, :])
+        return xp, adj * ep, snps * torch.sigmoid(self.snps_prob)
+
+    def forward(self, x, adj, snps, is_explain=False):
+        b = x.shape[0]
+        if is_explain:
+            x_u, adj_u, snps_u = self.cal_probability(x, adj, snps)
+        else:
+            x_u, adj_u, snps_u = x, adj, snps
+        prop = self.gcn_prop(adj_u)
+        h = x_u
+        feats = []
+        for i in range(self.num_layers):
+            h = F.relu(torch.einsum("bij,bjf,fk->bik", prop, h,
+                                    self.conv_w[i]) + self.conv_b[i])
+            feats.append(h)
+        batch_x = torch.cat(feats, dim=-1)
+        img_out = batch_x.reshape(b, -1)
+        latent, snps_hat, atten_out = self.go(snps_u)
+        attn_out, _ = self.mha(batch_x, atten_out, atten_out)
+        out_cross = F.relu(attn_out).reshape(b, -1)
+        out_z = (img_out + out_cross) / 2
+        out_lin = torch.cat([out_z, latent], dim=-1)
+        linear_outf = F.relu(self.lin1(out_lin))
+        logits = self.lin2(F.dropout(linear_outf, 0.5, self.training))
+        if self.is_use_prob4regr:
+            feat4regr = torch.cat([out_lin, (x * self.prob).reshape(b, -1)], -1)
+        else:
+            feat4regr = out_lin
+        reg = F.relu(self.lin1_regr(feat4regr))
+        reg = self.lin2_regr(F.dropout(reg, 0.3, self.training))
+        return (F.log_softmax(logits, dim=-1), snps_hat, out_z, out_lin,
+                linear_outf, reg)
+
+
+def load_go_params(torch_go: TorchGoNetwork, go_params: Dict[str, Any]) -> None:
+    g = go_params
+    with torch.no_grad():
+        for c in range(len(torch_go.gene_enc)):
+            torch_go.gene_enc[c].copy_(_t(g[f"gene_enc_{c}"]))
+        torch_go.gene_dec.copy_(_t(g["gene_dec"]))
+        for i in range(torch_go.n_l):
+            torch_go.w_inc[i].copy_(_t(g[f"w_inc_{i}"]["kernel"]))
+            torch_go.w_s_loop[i].copy_(_t(g[f"w_s_loop_{i}"]["kernel"]))
+            torch_go.w_att_s[i].copy_(_t(g[f"w_att_s_{i}"]["kernel"]))
+            torch_go.w_att_in[i].copy_(_t(g[f"w_att_in_{i}"]))
+            torch_go.g_b[i].weight.copy_(_t(g[f"g_b_{i}"]["scale"]))
+            torch_go.g_b[i].bias.copy_(_t(g[f"g_b_{i}"]["bias"]))
+            torch_go.w_out[i].copy_(_t(g[f"w_out_{i}"]["kernel"]))
+            torch_go.w_s_loop_out[i].copy_(_t(g[f"w_s_loop_out_{i}"]["kernel"]))
+            torch_go.g_b_d[i].weight.copy_(_t(g[f"g_b_d_{i}"]["scale"]))
+            torch_go.g_b_d[i].bias.copy_(_t(g[f"g_b_d_{i}"]["bias"]))
+        torch_go.conc_for_attention.copy_(_t(g["conc_for_attention"]["kernel"]))
+        torch_go.conc.copy_(_t(g["conc"]["kernel"]))
+        torch_go.conc_d.copy_(_t(g["conc_d"]["kernel"]))
+        torch_go.latent1.copy_(_t(g["latent1"]["kernel"]))
+        torch_go.latent2.copy_(_t(g["latent2"]["kernel"]))
+        for bn_name in ["bn_atten", "bn_b", "bn_b_d", "bn_latent1",
+                        "bn_latent2"]:
+            bn = getattr(torch_go, bn_name)
+            bn.weight.copy_(_t(g[bn_name]["scale"]))
+            bn.bias.copy_(_t(g[bn_name]["bias"]))
+
+
+def load_fused_params(torch_model: TorchFused, params: Dict[str, Any]) -> None:
+    with torch.no_grad():
+        for i in range(torch_model.num_layers):
+            torch_model.conv_w[i].copy_(_t(params[f"conv_w_{i}"]))
+            torch_model.conv_b[i].copy_(_t(params[f"conv_b_{i}"]))
+        torch_model.prob.copy_(_t(params["prob"]))
+        torch_model.prob_bias.copy_(_t(params["prob_bias"]))
+        torch_model.snps_prob.copy_(_t(params["snps_prob"]))
+        torch_model.mha.in_proj_weight.copy_(_t(params["mha_in_proj_weight"]))
+        torch_model.mha.in_proj_bias.copy_(_t(params["mha_in_proj_bias"]))
+        torch_model.mha.out_proj.weight.copy_(_t(params["mha_out_proj_weight"]))
+        torch_model.mha.out_proj.bias.copy_(_t(params["mha_out_proj_bias"]))
+        for name in ["lin1", "lin2", "lin1_regr", "lin2_regr"]:
+            lin = getattr(torch_model, name)
+            lin.weight.copy_(_t(params[name]["kernel"]).t())
+            lin.bias.copy_(_t(params[name]["bias"]))
+    load_go_params(torch_model.go, params["go_network"])

@@ -1,0 +1,302 @@
+"""Stratified k-fold cross-validation driver for the fused model.
+
+Re-design of `cross_validation_with_val_set` / `cross_validation_without_val_set`
+(`kernel/train_eval_sgcn_img_snps.py:35-244,247-438`):
+
+  * Per fold, the whole (train/val/test) data lives on device as dense padded
+    arrays; one jitted `lax.scan` runs each training epoch, one jitted scan
+    runs each evaluation pass — host<->device traffic per epoch is a handful
+    of scalars and the small test-set outputs.
+  * Best-val-epoch checkpointing, importance artifacts, per-epoch score
+    matrix, hidden/subid/linear dumps, pooled regression metrics: all parity.
+  * Fold selection logic: with-val keeps the val fold out of training; the
+    no-val variant folds it into training and tracks best *test* loss
+    (parity `:301,371`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iggcn_tpu.config import DataConfig, ModelConfig, TrainConfig
+from iggcn_tpu.data.adni import (SCORE_NAMES_ALL, SCORE_NAMES_DEFAULT,
+                                 AdniCohort)
+from iggcn_tpu.data.batching import (cohort_batch_arrays, pad_to_batches,
+                                     reshape_to_batches, to_device)
+from iggcn_tpu.data.impute import knn_impute_scores
+from iggcn_tpu.data.splits import k_fold
+from iggcn_tpu.models.fused_sgcn import FusedSGCN
+from iggcn_tpu.train import artifacts, metrics
+from iggcn_tpu.train.checkpoint import save_checkpoint
+from iggcn_tpu.train.steps import (TrainState, make_eval_step, make_optimizer,
+                                   make_train_step)
+
+
+@dataclasses.dataclass
+class CVResult:
+    mean_test_loss: float
+    best_acc: float
+    best_acc_std: float
+    score_result: np.ndarray        # (folds, epochs, 5): acc/auc/f1/sen/spe
+    durations: List[float]
+    throughput_graphs_per_sec: float
+    regression_summary: Dict[str, Dict[str, float]]
+
+
+def _epoch_fns(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer):
+    train_step = make_train_step(model, mcfg, tcfg, optimizer)
+    eval_step = make_eval_step(model, mcfg, tcfg)
+
+    @jax.jit
+    def train_epoch(state: TrainState, data: Dict[str, jax.Array],
+                    perm: jax.Array, rng: jax.Array):
+        shuffled = {k: jnp.take(v, perm, axis=0) for k, v in data.items()
+                    if k != "sbj_id"}
+        nb = shuffled["y"].shape[0] // tcfg.batch_size
+        batches = {k: v.reshape((nb, tcfg.batch_size) + v.shape[1:])
+                   for k, v in shuffled.items()}
+        rngs = jax.random.split(rng, nb)
+
+        def body(carry, xs):
+            batch, r = xs
+            new_state, loss_sum = train_step(carry, batch, r)
+            return new_state, loss_sum
+
+        state, loss_sums = jax.lax.scan(body, state, (batches, rngs))
+        return state, jnp.sum(loss_sums)
+
+    @jax.jit
+    def eval_epoch(params, batch_stats, data: Dict[str, jax.Array]):
+        nb = data["y"].shape[0] // tcfg.batch_size
+        batches = {k: v.reshape((nb, tcfg.batch_size) + v.shape[1:])
+                   for k, v in data.items() if k != "sbj_id"}
+
+        def body(_, batch):
+            return None, eval_step(params, batch_stats, batch)
+
+        _, outs = jax.lax.scan(body, None, batches)
+        flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in outs.items()
+                if k != "loss_sum"}
+        flat["loss_sum"] = jnp.sum(outs["loss_sum"])
+        return flat
+
+    return train_epoch, eval_epoch
+
+
+def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
+                     tcfg: TrainConfig, *,
+                     res_dir: Optional[str] = None,
+                     result_file_name: str = "result",
+                     clinical_score_index: int = -1,
+                     logger: Optional[Callable[[str], None]] = None,
+                     verbose: bool = True) -> CVResult:
+    """Run the full CV experiment. `tcfg.no_val` selects the without-val
+    variant."""
+    use_val = not tcfg.no_val
+    model = FusedSGCN(cfg=mcfg, topo=topo)
+    b = tcfg.batch_size
+    splits = k_fold(cohort.y, tcfg.folds, tcfg.seed)
+    full = cohort_batch_arrays(cohort)
+
+    score_names = (SCORE_NAMES_DEFAULT if clinical_score_index == -1
+                   else [SCORE_NAMES_ALL[clinical_score_index]])
+
+    all_score_results = []
+    test_losses: List[float] = []
+    accs: List[float] = []
+    durations: List[float] = []
+    best_hidden, best_subids, best_linear = [], [], []
+    best_true_scores, best_true_labels, best_pred_scores = [], [], []
+    total_graphs = 0
+    optimizer = None
+    train_epoch = eval_epoch = None
+
+    for fold, (train_idx, test_idx, val_idx) in enumerate(splits):
+        if not use_val:
+            train_idx = np.concatenate([train_idx, val_idx])
+        # per-fold leakage-safe imputation (parity util/tool.py:22-111)
+        demo = cohort.demographics
+        if use_val:
+            scores = knn_impute_scores(
+                [demo[train_idx], demo[val_idx], demo[test_idx]],
+                cohort.scaler4score, clinical_score_index)
+            tr_scores, val_scores, te_scores = scores
+        else:
+            scores = knn_impute_scores(
+                [demo[train_idx], demo[test_idx]],
+                cohort.scaler4score, clinical_score_index)
+            tr_scores, te_scores = scores
+            val_scores = None
+
+        def fold_arrays(idx, clini):
+            arrs = {k: v[idx] for k, v in full.items()}
+            arrs["clini"] = clini
+            return arrs
+
+        train_data = to_device(pad_to_batches(fold_arrays(train_idx, tr_scores), b))
+        test_data = to_device(pad_to_batches(fold_arrays(test_idx, te_scores), b))
+        if use_val:
+            val_data = to_device(pad_to_batches(fold_arrays(val_idx, val_scores), b))
+        else:
+            val_data = test_data
+
+        n_train = len(train_idx)
+        n_test = len(test_idx)
+        steps_per_epoch = train_data["y"].shape[0] // b
+        if optimizer is None:
+            optimizer = make_optimizer(tcfg, steps_per_epoch)
+            train_epoch, eval_epoch = _epoch_fns(model, mcfg, tcfg, optimizer)
+
+        # fresh model per fold (parity :101-107)
+        rng = jax.random.PRNGKey(tcfg.seed + fold)
+        init_rng, rng = jax.random.split(rng)
+        dummy = (jnp.zeros((b, mcfg.rois, mcfg.feat_dim)),
+                 jnp.zeros((b, mcfg.rois, mcfg.rois)),
+                 jnp.zeros((b, mcfg.num_snps)))
+        variables = jax.jit(model.init)(init_rng, *dummy)
+        state = TrainState(variables["params"], variables["batch_stats"],
+                           optimizer.init(variables["params"]),
+                           jnp.zeros((), jnp.int32))
+
+        shuffler = np.random.default_rng(tcfg.seed * 1000 + fold)
+        total_padded = train_data["y"].shape[0]
+
+        t_start = time.perf_counter()
+        best_loss = np.inf
+        best_bundle = None
+        score_result_epoch = []
+        fold_test_losses, fold_accs = [], []
+
+        for epoch in range(1, tcfg.epochs + 1):
+            perm = np.concatenate([shuffler.permutation(n_train),
+                                   np.arange(n_train, total_padded)])
+            rng, erng = jax.random.split(rng)
+            state, train_loss_sum = train_epoch(state, train_data,
+                                                jnp.asarray(perm), erng)
+            train_loss = float(train_loss_sum) / n_train
+
+            test_out = eval_epoch(state.params, state.batch_stats, test_data)
+            test_loss = float(test_out["loss_sum"]) / n_test
+            if use_val:
+                val_out = eval_epoch(state.params, state.batch_stats, val_data)
+                val_loss = float(val_out["loss_sum"]) / len(val_idx)
+            else:
+                val_loss = test_loss
+
+            wmask = np.asarray(test_data["w"]) > 0
+            y_true = np.asarray(test_data["y"])[wmask]
+            log_probs = np.asarray(test_out["log_probs"])[wmask]
+            y_pred = np.asarray(test_out["pred"])[wmask]
+            reg_pred = np.asarray(test_out["our_reg"])[wmask]
+            clini_true = np.asarray(test_data["clini"])[wmask]
+            cm = metrics.classification_metrics(
+                y_true, y_pred, log_probs[:, 1] if log_probs.shape[1] > 1
+                else log_probs[:, 0], cohort.num_classes)
+            corr, r2s, mses = metrics.regression_metrics(clini_true, reg_pred)
+
+            fold_test_losses.append(test_loss)
+            fold_accs.append(cm["acc"])
+            score_result_epoch.append([cm["acc"], cm["auc"], cm["f1"],
+                                       cm["sen"], cm["spe"]])
+
+            if verbose:
+                msg = (f"Fold: {fold}, epoch:{epoch}, train_loss: {train_loss:.4f},"
+                       f" val_loss: {val_loss:.4f}, test_loss: {test_loss:.4f},"
+                       f" acc: {cm['acc']:.4f}, auc: {cm['auc']:.4f}")
+                for i, nm in enumerate(score_names):
+                    msg += (f"; {nm} corr: {corr[i]:.5f}, r2: {r2s[i]:.5f},"
+                            f" mse: {mses[i]:.5f}")
+                print(msg)
+                if logger is not None:
+                    logger(msg)
+
+            track_loss = val_loss if use_val else test_loss
+            if track_loss < best_loss or (tcfg.is_permut_test and
+                                          epoch == tcfg.epochs):
+                best_loss = min(best_loss, track_loss)
+                best_bundle = {
+                    "hidden": np.asarray(test_out["out_lin"])[wmask],
+                    "linear": np.asarray(test_out["linear_outf"])[wmask],
+                    "subid": full["sbj_id"][test_idx],
+                    "true_scores": clini_true,
+                    "true_labels": y_true,
+                    "pred_scores": reg_pred,
+                    "params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats),
+                }
+                if res_dir is not None and not tcfg.is_permut_test:
+                    save_checkpoint(
+                        f"{res_dir}/gcn_state_dict_{result_file_name}_fold_{fold}.msgpack",
+                        state.params, state.batch_stats)
+
+        durations.append(time.perf_counter() - t_start)
+        total_graphs += n_train * tcfg.epochs
+        test_losses.extend(fold_test_losses)
+        accs.extend(fold_accs)
+        all_score_results.append(score_result_epoch)
+
+        if res_dir is not None:
+            p = jax.device_get(state.params)
+            artifacts.output_importance(
+                res_dir, result_file_name, fold, np.asarray(p["prob"]),
+                np.asarray(p["snps_prob"]), np.asarray(p["prob_bias"]),
+                is_permut_test=tcfg.is_permut_test)
+
+        if best_bundle is not None:
+            best_hidden.append(best_bundle["hidden"])
+            best_subids.append(best_bundle["subid"])
+            best_linear.append(best_bundle["linear"])
+            best_true_scores.append(best_bundle["true_scores"])
+            best_true_labels.append(best_bundle["true_labels"])
+            best_pred_scores.append(best_bundle["pred_scores"])
+
+    # aggregate (parity :209-213: max over epochs of fold-mean accuracy)
+    loss_arr = np.asarray(test_losses).reshape(tcfg.folds, tcfg.epochs)
+    acc_arr = np.asarray(accs).reshape(tcfg.folds, tcfg.epochs)
+    acc_mean = acc_arr.mean(axis=0)
+    argmax = int(acc_mean.argmax())
+    score_result = np.asarray(all_score_results)
+
+    if res_dir is not None:
+        ipt = tcfg.is_permut_test
+        artifacts.output_npy(f"{res_dir}/{result_file_name}.npy", score_result,
+                             is_permut_test=ipt)
+        artifacts.output_npy(f"{res_dir}/hidden_{result_file_name}.npy",
+                             np.concatenate(best_hidden), is_permut_test=ipt)
+        artifacts.output_npy(f"{res_dir}/subids_{result_file_name}.npy",
+                             np.concatenate(best_subids), is_permut_test=ipt)
+        artifacts.output_npy(f"{res_dir}/linear_out_{result_file_name}.npy",
+                             np.concatenate(best_linear), is_permut_test=ipt)
+
+    # pooled regression metrics over best epochs (parity :440-464)
+    ts = np.concatenate(best_true_scores)
+    ps = np.concatenate(best_pred_scores)
+    tl = np.concatenate(best_true_labels)
+    corr, r2s, mses = metrics.regression_metrics(ts, ps)
+    regression_summary = {nm: {"corr": corr[i], "r2": r2s[i], "rmse": mses[i]}
+                          for i, nm in enumerate(score_names)}
+    if res_dir is not None:
+        artifacts.output_regression(res_dir, result_file_name, score_names,
+                                    ts, tl, ps, is_permut_test=tcfg.is_permut_test)
+        for nm, vals in regression_summary.items():
+            msg = (f"Regression for all clinical score {nm}: correlation:"
+                   f" {vals['corr']:.5f}, r2: {vals['r2']:.5f}, mse:"
+                   f" {vals['rmse']:.5f}")
+            print(msg)
+            if logger is not None:
+                logger(msg)
+
+    throughput = total_graphs / max(sum(durations), 1e-9)
+    return CVResult(
+        mean_test_loss=float(loss_arr.mean()),
+        best_acc=float(acc_mean[argmax]),
+        best_acc_std=float(acc_arr[:, argmax].std(ddof=1)),
+        score_result=score_result, durations=durations,
+        throughput_graphs_per_sec=float(throughput),
+        regression_summary=regression_summary)

@@ -1,0 +1,168 @@
+"""Jitted train / eval steps for the fused model.
+
+Re-design of the reference hot loop (`train` / `eval_loss` / `eval_scores`,
+`kernel/train_eval_sgcn_img_snps.py:511-670`):
+
+  * The two forwards per step (plain + importance-masked,
+    `train_eval_sgcn_img_snps.py:521-523`) are two `apply` calls inside ONE
+    jitted program — XLA shares the parameter loads and fuses both graphs.
+    Batch-stat updates thread sequentially (plain first, masked second),
+    matching the torch execution order.
+  * Batches are dense, fixed-shape, device-resident. Ragged final batches are
+    expressed as a (B,) 0/1 `w` sample mask; every reduction (losses, batch
+    norms) is mask-weighted so the math equals the reference's smaller final
+    batch exactly.
+  * One `lax.scan` runs the whole epoch without host sync (`make_epoch_fn`).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from iggcn_tpu.config import ModelConfig, TrainConfig
+from iggcn_tpu.train import losses
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+Batch = Dict[str, jax.Array]
+# batch keys: x (B,N,D), adj (B,N,N), snps (B,S), y (B,), clini (B,R),
+#             clust_y (B,), tsne (B,F), w (B,)
+
+
+def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int):
+    """Adam + x`lr_decay_factor` every `lr_decay_step_size` epochs.
+
+    Parity: `Adam(lr, weight_decay)` + manual in-place decay
+    (`kernel/train_eval_sgcn_img_snps.py:108,169-171`).
+    """
+    boundaries = {}
+    e = tcfg.lr_decay_step_size
+    while e <= tcfg.epochs:
+        boundaries[e * steps_per_epoch] = tcfg.lr_decay_factor
+        e += tcfg.lr_decay_step_size
+    schedule = optax.piecewise_constant_schedule(tcfg.lr, boundaries)
+    if tcfg.weight_decay:
+        return optax.adamw(schedule, weight_decay=tcfg.weight_decay)
+    return optax.adam(schedule)
+
+
+def fused_objective(model, params, batch_stats, batch: Batch,
+                    mcfg: ModelConfig, tcfg: TrainConfig, *,
+                    train: bool, rng: Optional[jax.Array] = None
+                    ) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Full 7-term objective on one batch; returns (loss, aux).
+
+    Parity: loss assembly at `kernel/train_eval_sgcn_img_snps.py:511-548`
+    (train) == `:564-600` (eval).
+    """
+    lw, sw = tcfg.loss, tcfg.sparsity
+    w = batch["w"]
+    x, adj, snps = batch["x"], batch["adj"], batch["snps"]
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    kwargs = dict(train=train, sample_weight=w if train else None)
+    if train:
+        r1, r2 = jax.random.split(rng)
+        out, mut1 = model.apply(variables, x, adj, snps, mutable=["batch_stats"],
+                                rngs={"dropout": r1}, **kwargs)
+        variables = {"params": params, "batch_stats": mut1["batch_stats"]}
+        out_prob, mut2 = model.apply(variables, x, adj, snps, is_explain=True,
+                                     mutable=["batch_stats"],
+                                     rngs={"dropout": r2}, **kwargs)
+        new_stats = mut2["batch_stats"]
+    else:
+        out = model.apply(variables, x, adj, snps, **kwargs)
+        out_prob = model.apply(variables, x, adj, snps, is_explain=True, **kwargs)
+        new_stats = batch_stats
+
+    y = batch["y"]
+    loss_ce = lw.disease * losses.nll_loss(out.log_probs, y, w)
+    loss_mi = lw.disease * losses.nll_loss(out_prob.log_probs, y, w)
+    if lw.disease == 0:  # parity: `if lambda_loss[0]==0` guard (:541-542)
+        loss_ce = 0.0
+        loss_mi = 0.0
+
+    clini = batch["clini"]
+    loss_reg = lw.regr * (losses.mse_loss(out.our_reg, clini, w)
+                          + losses.mse_loss(out_prob.our_reg, clini, w)) / 2
+
+    loss_prob = lw.prob * losses.sparsity_loss(
+        params["prob"], params["prob_bias"], params["snps_prob"],
+        x, adj, sw, sample_weight=w)
+
+    recon = lw.reco * (losses.recon_sum(out.snps_hat, snps, w)
+                       + losses.recon_sum(out_prob.snps_hat, snps, w)) / 2
+
+    if mcfg.is_soft_similarity:
+        sim = losses.rbf_kernel(batch["tsne"], batch["tsne"], mcfg.rbf_gamma)
+        cluster = lw.simi * (losses.consistency_loss(out.out_z, sim, w)
+                             + losses.consistency_loss(out_prob.out_z, sim, w)) / 2
+    else:
+        ones = jnp.ones((y.shape[0], y.shape[0]), jnp.float32)
+        cluster = 0.0
+        for c in range(tcfg.num_cluster):
+            member = w * (batch["clust_y"] == c)
+            cluster += lw.simi * (
+                losses.consistency_loss(out.out_z, ones, member)
+                + losses.consistency_loss(out_prob.out_z, ones, member)) / 2
+
+    orth = lw.orth * losses.orthogonal_loss(out.out_z, w)
+
+    total = (sw.lamda_ce * loss_ce + sw.lamda_mi * loss_mi + loss_reg
+             + loss_prob + recon + cluster + orth)
+    aux = {"batch_stats": new_stats, "out": out, "out_prob": out_prob,
+           "loss_terms": {"ce": loss_ce, "mi": loss_mi, "reg": loss_reg,
+                          "prob": loss_prob, "recon": recon,
+                          "cluster": cluster, "orth": orth}}
+    return total, aux
+
+
+def make_train_step(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer):
+    """One optimization step on one dense (possibly padded) batch."""
+
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array
+                   ) -> Tuple[TrainState, jax.Array]:
+        def loss_fn(params):
+            return fused_objective(model, params, state.batch_stats, batch,
+                                   mcfg, tcfg, train=True, rng=rng)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, aux["batch_stats"], opt_state,
+                               state.step + 1)
+        # reference train-loss bookkeeping: sum(loss * batch_size) / dataset
+        return new_state, loss * jnp.sum(batch["w"])
+
+    return train_step
+
+
+def make_eval_step(model, mcfg: ModelConfig, tcfg: TrainConfig):
+    """Eval on one batch: loss (7 terms) + per-sample outputs for metrics."""
+
+    def eval_step(params, batch_stats, batch: Batch):
+        loss, aux = fused_objective(model, params, batch_stats, batch,
+                                    mcfg, tcfg, train=False)
+        out = aux["out"]
+        return {
+            "loss_sum": loss * jnp.sum(batch["w"]),
+            "log_probs": out.log_probs,
+            "pred": jnp.argmax(out.log_probs, axis=-1),
+            "our_reg": out.our_reg,
+            "out_lin": out.out_lin,
+            "linear_outf": out.linear_outf,
+        }
+
+    return eval_step

@@ -1,0 +1,168 @@
+"""Experiment driver CLI (flag-parity with the reference `main.py:35-113`).
+
+Runs the fused SGCN x GO cross-validation experiment over a hyperparameter
+sweep; falls back to a synthetic ADNI-shaped cohort when the real data
+directory is absent (pass --synthetic to force it).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native GNN for ADNI graphs")
+    p.add_argument("--model", type=str, default="SGCN_GCN_IMGSNP")
+    p.add_argument("--knn", type=int, default=5)
+    p.add_argument("--no_val", action="store_true", default=False)
+    p.add_argument("--isPPr", action="store_true", default=True)
+    p.add_argument("--isTopK", action="store_true", default=True)
+    p.add_argument("--top_k", type=int, default=3)
+    p.add_argument("--disease_id", type=int, default=3)
+    p.add_argument("--isCrossAtten", action="store_true", default=True)
+    p.add_argument("--isSoftSimilarity", action="store_true", default=True)
+    p.add_argument("--isMultilModal4Similarity", action="store_true",
+                   default=False)
+    p.add_argument("--rbf_gamma", type=float, default=0.01)
+    p.add_argument("--clinical_score_index", type=int, default=-1)
+    p.add_argument("--num_regr", type=int, default=3)
+    p.add_argument("--model4eachregr", action="store_true", default=False)
+    p.add_argument("--isPermutTest", action="store_true", default=False)
+    p.add_argument("--isMultiFusion", action="store_true", default=False)
+    p.add_argument("--isuseProb4Regr", action="store_true", default=True)
+    p.add_argument("--isImageOnly", action="store_true", default=False)
+    p.add_argument("--isSNPsOnly", action="store_true", default=False)
+    p.add_argument("--Seed4PermutTest", type=int, default=1)
+    p.add_argument("--lambda_disease", type=float, default=0.0)
+    p.add_argument("--lambda_regr", type=float, default=1.0)
+    p.add_argument("--lambda_prob", type=float, default=0.5)
+    p.add_argument("--lambda_reco", type=float, default=0.0000015)
+    p.add_argument("--lambda_simi", type=float, default=0.1)
+    p.add_argument("--lambda_orth", type=float, default=0.0)
+    p.add_argument("--data", type=str, default="ADNI")
+    p.add_argument("--layers", type=int, default=2)
+    p.add_argument("--hiddens", type=int, default=5)
+    p.add_argument("--h", type=int, default=2)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr_decay_factor", type=float, default=0.5)
+    p.add_argument("--lr_decay_step_size", type=int, default=50)
+    p.add_argument("--fold", type=int, default=5)
+    p.add_argument("--seed", type=int, default=1000)
+    p.add_argument("--search", action="store_true", default=False)
+    p.add_argument("--save_appendix", default="")
+    p.add_argument("--synthetic", action="store_true", default=False,
+                   help="use the synthetic ADNI-shaped cohort")
+    p.add_argument("--synthetic_subjects", type=int, default=256)
+    p.add_argument("--data_path", type=str,
+                   default="./data/snps/data/preprocessing/")
+    p.add_argument("--json_path", type=str, default="./data/snps/analysis.json")
+    p.add_argument("--go_connection_path", type=str,
+                   default="./data/go_root_connection.txt")
+    p.add_argument("--snps_to_gene_path", type=str,
+                   default="./data/snps_to_gene.txt")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from iggcn_tpu.config import DataConfig, LossWeights, ModelConfig, TrainConfig
+    from iggcn_tpu.data import adni, go_graph
+    from iggcn_tpu.train.cv import cross_validation
+
+    if args.save_appendix == "":
+        args.save_appendix = "_" + time.strftime("%Y%m%d%H%M%S")
+    sub = "results_permuttest" if args.isPermutTest else "results"
+    res_dir = os.path.join(os.getcwd(), sub, f"ADNI{args.save_appendix}")
+    os.makedirs(res_dir, exist_ok=True)
+    with open(os.path.join(res_dir, "cmd_input.txt"), "a") as fh:
+        fh.write("python " + " ".join(sys.argv) + "\n")
+
+    def logger(info):
+        with open(os.path.join(res_dir, "log.txt"), "a") as fh:
+            print(info, file=fh)
+
+    dcfg = DataConfig(
+        data_path=args.data_path, json_path=args.json_path,
+        go_connection_path=args.go_connection_path,
+        snps_to_gene_path=args.snps_to_gene_path, knn=args.knn,
+        disease_id=args.disease_id, clinical_score_index=args.clinical_score_index,
+        is_ppr=args.isPPr, is_topk=args.isTopK, top_k=args.top_k,
+        is_multimodal4similarity=args.isMultilModal4Similarity,
+        is_multi_fusion=args.isMultiFusion, is_permut_test=args.isPermutTest,
+        seed4permut_test=args.Seed4PermutTest)
+
+    use_synthetic = args.synthetic or not os.path.isdir(args.data_path)
+    rng = np.random.default_rng(args.seed)
+    if use_synthetic:
+        print("[data] using synthetic ADNI-shaped cohort")
+        rois = 270 if args.isMultiFusion else 90
+        feat = 1 if args.isMultiFusion else 3
+        cohort = adni.synthetic_cohort(
+            rng, num_subjects=args.synthetic_subjects, rois=rois,
+            feat_dim=feat, num_classes=dcfg.num_classes,
+            num_regr=args.num_regr, top_k=args.top_k)
+        topo = go_graph.synthetic_topology(rng)
+    else:
+        cohort = adni.load_adni874(dcfg)
+        topo = go_graph.parse_go_json(dcfg.json_path, dcfg.go_connection_path,
+                                      dcfg.snps_to_gene_path)
+
+    if args.search:
+        if args.isMultiFusion:
+            combos = list(zip([3, 2, 4, 2, 3], [2, 3, 3, 5, 10]))
+        else:
+            combos = list(zip([2, 3, 2, 3, 4], [16, 16, 10, 10, 5]))
+    else:
+        combos = [(args.layers, args.hiddens)]
+
+    best = (float("inf"), 0.0, 0.0)
+    best_hyper = combos[0]
+    for num_layers, hidden in combos:
+        result_file_name = (f"result_sgcn_img_snp_layers{num_layers}"
+                            f"_hidden{hidden}_h{args.h}")
+        mcfg = ModelConfig(
+            num_layers=num_layers, hidden=hidden,
+            rois=270 if args.isMultiFusion else 90,
+            feat_dim=1 if args.isMultiFusion else 3,
+            num_classes=dcfg.num_classes, num_regr=args.num_regr,
+            is_cross_atten=args.isCrossAtten,
+            is_soft_similarity=args.isSoftSimilarity,
+            rbf_gamma=args.rbf_gamma, is_use_prob4regr=args.isuseProb4Regr,
+            model4eachregr=args.model4eachregr,
+            is_image_only=args.isImageOnly, is_snps_only=args.isSNPsOnly,
+            is_multi_fusion=args.isMultiFusion)
+        tcfg = TrainConfig(
+            epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+            lr_decay_factor=args.lr_decay_factor,
+            lr_decay_step_size=args.lr_decay_step_size, folds=args.fold,
+            seed=args.seed, no_val=args.no_val,
+            is_permut_test=args.isPermutTest,
+            clinical_score_index=args.clinical_score_index,
+            loss=LossWeights(args.lambda_disease, args.lambda_regr,
+                             args.lambda_prob, args.lambda_reco,
+                             args.lambda_simi, args.lambda_orth))
+        print(f"Using {num_layers} layers, {hidden} hidden units")
+        logger(f"Using {num_layers} layers, {hidden} hidden units")
+        res = cross_validation(
+            cohort, topo, mcfg, tcfg, res_dir=res_dir,
+            result_file_name=result_file_name,
+            clinical_score_index=args.clinical_score_index, logger=logger)
+        print(f"[throughput] {res.throughput_graphs_per_sec:.1f} graphs/s")
+        if res.mean_test_loss < best[0]:
+            best = (res.mean_test_loss, res.best_acc, res.best_acc_std)
+            best_hyper = (num_layers, hidden)
+
+    log = (f"Result - {best[1]:.3f} +/- {best[2]:.3f}, with {best_hyper[0]} "
+           f"layers and {best_hyper[1]} hidden units")
+    print(log)
+    logger(log)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,33 @@
+"""Test environment: force CPU backend with 8 virtual devices so multi-chip
+sharding paths are exercised without TPU hardware (SURVEY §4)."""
+import os
+
+# force CPU: the image presets JAX_PLATFORMS=axon (remote TPU tunnel), which
+# would run tests over the wire with TPU default matmul precision (bf16-ish).
+# Plugins may import jax before this conftest, so set the config too — env
+# alone is ignored once jax has read it.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from iggcn_tpu.data.adni import synthetic_cohort  # noqa: E402
+from iggcn_tpu.data.go_graph import synthetic_topology  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def topo():
+    return synthetic_topology(np.random.default_rng(0))
+
+
+@pytest.fixture(scope="session")
+def cohort():
+    return synthetic_cohort(np.random.default_rng(1), num_subjects=48)
