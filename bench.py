@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 # measured torch-CPU oracle throughput on this image (fallback only)
-FALLBACK_TORCH_GPS = 60.0
+FALLBACK_TORCH_GPS = 225.0  # measured 2026-08 on this image (bench_torch)
 
 SUBJECTS = 512
 EPOCHS_TIMED = 5
@@ -105,9 +105,10 @@ def bench_torch(topo, cohort, budget_s=30.0):
         out = model(xb, ab, sb)
         out_m = model(xb, ab, sb, is_explain=True)
         loss = F.nll_loss(out[0], y[lo:hi]) * 0.0
-        loss = loss + 1.0 * (F.mse_loss(out[5].view(-1), clini[lo:hi].view(-1))
-                             + F.mse_loss(out_m[5].view(-1),
-                                          clini[lo:hi].view(-1))) / 2
+        loss = loss + 1.0 * (F.mse_loss(out[5].reshape(-1),
+                                        clini[lo:hi].reshape(-1))
+                             + F.mse_loss(out_m[5].reshape(-1),
+                                          clini[lo:hi].reshape(-1))) / 2
         # sparsity
         xp = torch.sigmoid(model.prob)
         sp = torch.sigmoid(model.snps_prob)

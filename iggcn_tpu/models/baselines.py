@@ -1,0 +1,418 @@
+"""Baseline GNN zoo + pooling baselines + CNN/MLP baselines.
+
+Dense masked re-designs of the reference baseline models, one class per
+reference class (capability parity for `kernel/gcn.py`, `gat.py`, `gin.py`,
+`graph_sage.py`, `top_k.py`, `diff_pool.py`, `sort_pool.py`, `set2set.py`,
+`global_attention.py`, `graclus.py`, `mlp.py`). All operate on dense
+(B, N, F) node tensors + (B, N) validity masks so variable-size TU graphs
+ride the same static-shape path (pad-to-max batching, `data/tu.py`).
+
+Reference-bug notes (SURVEY §4): `sort_pool.py:13-16` references undefined
+module globals `hidden`/`num_layers` — rebuilt here as constructor args;
+`mlp.py:7,10` imports nonexistent modules — rebuilt from the evident intent.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from iggcn_tpu.models.nn_compat import BatchNorm1d, TorchLinear, dropout
+from iggcn_tpu.ops import pool as P
+from iggcn_tpu.ops.gat import GATParams, gat_conv
+from iggcn_tpu.ops.gcn import gcn_conv, gcn_propagation_matrix
+
+
+def _glorot(key, shape, dtype=jnp.float32):
+    bound = jnp.sqrt(6.0 / (shape[0] + shape[1]))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _ones_mask(x):
+    return jnp.ones(x.shape[:2], bool)
+
+
+class GCNFlat(nn.Module):
+    """`GCN` (`kernel/gcn.py:87-123`): JK-concat GCN + flatten readout
+    (fixed-N brain graphs)."""
+
+    num_layers: int = 2
+    hidden: int = 16
+    num_classes: int = 2
+    hidden_linear: int = 64
+
+    @nn.compact
+    def __call__(self, x, adj, *, train: bool = False):
+        b = x.shape[0]
+        prop = gcn_propagation_matrix(adj)
+        feats = []
+        h = x
+        for i in range(self.num_layers):
+            w = self.param(f"conv_w_{i}", _glorot,
+                           (h.shape[-1], self.hidden))
+            bb = self.param(f"conv_b_{i}", nn.initializers.zeros,
+                            (self.hidden,))
+            h = nn.relu(gcn_conv(h, prop, w, bb))
+            feats.append(h)
+        z = jnp.concatenate(feats, -1).reshape(b, -1)
+        z = nn.relu(TorchLinear(self.hidden_linear, name="lin1")(z))
+        if train:
+            z = dropout(self.make_rng("dropout"), z, 0.5)
+        return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
+
+
+class GATFlat(nn.Module):
+    """`GAT` (`kernel/gat.py:80-122`): JK-concat GAT + flatten readout."""
+
+    num_layers: int = 2
+    hidden: int = 16
+    num_classes: int = 2
+    hidden_linear: int = 64
+
+    @nn.compact
+    def __call__(self, x, adj, *, train: bool = False):
+        b = x.shape[0]
+        feats = []
+        h = x
+        for i in range(self.num_layers):
+            p = GATParams(
+                weight=self.param(f"gat_w_{i}", _glorot,
+                                  (h.shape[-1], self.hidden)),
+                att_src=self.param(f"att_src_{i}", nn.initializers.normal(0.1),
+                                   (self.hidden,)),
+                att_dst=self.param(f"att_dst_{i}", nn.initializers.normal(0.1),
+                                   (self.hidden,)),
+                lin_edge=self.param(f"lin_edge_{i}", _glorot, (1, self.hidden)),
+                att_edge=self.param(f"att_edge_{i}",
+                                    nn.initializers.normal(0.1), (self.hidden,)),
+                bias=self.param(f"gat_b_{i}", nn.initializers.zeros,
+                                (self.hidden,)))
+            h = nn.relu(gat_conv(h, adj, p))
+            feats.append(h)
+        z = jnp.concatenate(feats, -1).reshape(b, -1)
+        z = nn.relu(TorchLinear(self.hidden_linear, name="lin1")(z))
+        if train:
+            z = dropout(self.make_rng("dropout"), z, 0.5)
+        return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
+
+
+class _GINMLP(nn.Module):
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, mask=None):
+        h = TorchLinear(self.hidden, name="l1")(x)
+        h = _bn_nodes(BatchNorm1d(name="bn1"), h, train, mask)
+        h = nn.relu(h)
+        h = TorchLinear(self.hidden, name="l2")(h)
+        h = _bn_nodes(BatchNorm1d(name="bn2"), h, train, mask)
+        return nn.relu(h)
+
+
+def _bn_nodes(bn, h, train, mask):
+    """BatchNorm1d over flattened valid nodes of a (B, N, F) tensor (torch
+    applies BN to the PyG flat node list)."""
+    b, n, f = h.shape
+    flat = h.reshape(b * n, f)
+    w = None
+    if mask is not None:
+        w = mask.reshape(b * n).astype(h.dtype)
+    out = bn(flat, use_running_average=not train, weight=w)
+    return out.reshape(b, n, f)
+
+
+class GIN(nn.Module):
+    """`GIN`/`GIN0` (`kernel/gin.py:119-236`): GINConv with 2-layer BN MLPs,
+    JK-concat + global_add_pool readout. `train_eps` toggles GIN vs GIN0."""
+
+    num_layers: int = 2
+    hidden: int = 16
+    num_classes: int = 2
+    train_eps: bool = True
+
+    @nn.compact
+    def __call__(self, x, adj, mask=None, *, train: bool = False):
+        if mask is None:
+            mask = _ones_mask(x)
+        feats = []
+        h = x
+        for i in range(self.num_layers):
+            if self.train_eps:
+                eps = self.param(f"eps_{i}", nn.initializers.zeros, ())
+            else:
+                eps = 0.0
+            agg = P.gin_conv_aggregate(h, adj, eps)
+            h = _GINMLP(self.hidden, name=f"mlp_{i}")(agg, train=train,
+                                                      mask=mask)
+            h = h * mask[..., None]
+            feats.append(h)
+        z = P.add_pool(jnp.concatenate(feats, -1), mask)
+        z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
+        if train:
+            z = dropout(self.make_rng("dropout"), z, 0.5)
+        return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
+
+
+class GraphSAGE(nn.Module):
+    """`GraphSAGE` (`kernel/graph_sage.py:79-110`): SAGE convs, JK-concat,
+    mean-pool readout. `jk=False` gives GraphSAGEWithoutJK (`:113-142`)."""
+
+    num_layers: int = 2
+    hidden: int = 16
+    num_classes: int = 2
+    jk: bool = True
+
+    @nn.compact
+    def __call__(self, x, adj, mask=None, *, train: bool = False):
+        if mask is None:
+            mask = _ones_mask(x)
+        feats = []
+        h = x
+        for i in range(self.num_layers):
+            ws = self.param(f"w_self_{i}", _glorot, (h.shape[-1], self.hidden))
+            wn = self.param(f"w_nb_{i}", _glorot, (h.shape[-1], self.hidden))
+            bb = self.param(f"b_{i}", nn.initializers.zeros, (self.hidden,))
+            h = nn.relu(P.sage_conv(h, adj, ws, wn, bb)) * mask[..., None]
+            feats.append(h)
+        z = P.mean_pool(jnp.concatenate(feats, -1) if self.jk else feats[-1],
+                        mask)
+        z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
+        if train:
+            z = dropout(self.make_rng("dropout"), z, 0.5)
+        return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
+
+
+class TopK(nn.Module):
+    """`TopK` (`kernel/top_k.py:15-40`): GraphConv(mean) stack, mean-pool
+    readout per layer, TopKPooling(0.8) every 2 layers."""
+
+    num_layers: int = 3
+    hidden: int = 16
+    num_classes: int = 2
+    ratio: float = 0.8
+
+    @nn.compact
+    def __call__(self, x, adj, mask=None, *, train: bool = False):
+        if mask is None:
+            mask = _ones_mask(x)
+        ws = self.param("w_self_0", _glorot, (x.shape[-1], self.hidden))
+        wn = self.param("w_nb_0", _glorot, (x.shape[-1], self.hidden))
+        b0 = self.param("b_0", nn.initializers.zeros, (self.hidden,))
+        h = nn.relu(P.sage_conv(x, adj, ws, wn, b0)) * mask[..., None]
+        readouts = [P.mean_pool(h, mask)]
+        for i in range(self.num_layers - 1):
+            ws = self.param(f"w_self_{i + 1}", _glorot,
+                            (self.hidden, self.hidden))
+            wn = self.param(f"w_nb_{i + 1}", _glorot,
+                            (self.hidden, self.hidden))
+            bb = self.param(f"b_{i + 1}", nn.initializers.zeros, (self.hidden,))
+            h = nn.relu(P.sage_conv(h, adj, ws, wn, bb)) * mask[..., None]
+            readouts.append(P.mean_pool(h, mask))
+            if i % 2 == 0:
+                pw = self.param(f"pool_w_{i}", nn.initializers.normal(0.1),
+                                (self.hidden,))
+                res = P.topk_pool(h, adj, mask, pw, self.ratio)
+                h, adj, mask = res.x, res.adj, res.mask
+        z = jnp.concatenate(readouts, -1)
+        z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
+        if train:
+            z = dropout(self.make_rng("dropout"), z, 0.5)
+        return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
+
+
+class SortPool(nn.Module):
+    """`SortPool` (`kernel/sort_pool.py:11-73`, non-`original` branch):
+    GCN stack -> sort-pool top-k=30 by last channel -> Conv1d(32, kernel 5)."""
+
+    num_layers: int = 2
+    hidden: int = 16
+    num_classes: int = 2
+    k: int = 30
+    conv1d_channels: int = 32
+    conv1d_kernel: int = 5
+
+    @nn.compact
+    def __call__(self, x, adj, mask=None, *, train: bool = False):
+        if mask is None:
+            mask = _ones_mask(x)
+        prop = gcn_propagation_matrix(adj)
+        h = x
+        for i in range(self.num_layers):
+            w = self.param(f"conv_w_{i}", _glorot, (h.shape[-1], self.hidden))
+            bb = self.param(f"conv_b_{i}", nn.initializers.zeros,
+                            (self.hidden,))
+            h = nn.relu(gcn_conv(h, prop, w, bb)) * mask[..., None]
+        z = P.sort_pool(h, mask, self.k)                  # (B, k, H)
+        z = nn.Conv(self.conv1d_channels, (self.conv1d_kernel,),
+                    padding="VALID", name="conv1d")(z)    # (B, k-4, C)
+        z = nn.relu(z).reshape(z.shape[0], -1)
+        z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
+        if train:
+            z = dropout(self.make_rng("dropout"), z, 0.5)
+        return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
+
+
+class Set2SetNet(nn.Module):
+    """`Set2SetNet` (`kernel/set2set.py:14-35`)."""
+
+    num_layers: int = 2
+    hidden: int = 16
+    num_classes: int = 2
+
+    @nn.compact
+    def __call__(self, x, adj, mask=None, *, train: bool = False):
+        if mask is None:
+            mask = _ones_mask(x)
+        h = x
+        for i in range(self.num_layers):
+            ws = self.param(f"w_self_{i}", _glorot, (h.shape[-1], self.hidden))
+            wn = self.param(f"w_nb_{i}", _glorot, (h.shape[-1], self.hidden))
+            bb = self.param(f"b_{i}", nn.initializers.zeros, (self.hidden,))
+            h = nn.relu(P.sage_conv(h, adj, ws, wn, bb)) * mask[..., None]
+        hdim = self.hidden
+        params = P.Set2SetParams(
+            w_ih=self.param("lstm_w_ih", nn.initializers.normal(0.1),
+                            (4 * hdim, 2 * hdim)),
+            w_hh=self.param("lstm_w_hh", nn.initializers.normal(0.1),
+                            (4 * hdim, hdim)),
+            b_ih=self.param("lstm_b_ih", nn.initializers.zeros, (4 * hdim,)),
+            b_hh=self.param("lstm_b_hh", nn.initializers.zeros, (4 * hdim,)))
+        z = P.set2set(h, mask, params, processing_steps=4)
+        z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
+        if train:
+            z = dropout(self.make_rng("dropout"), z, 0.5)
+        return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
+
+
+class GlobalAttentionNet(nn.Module):
+    """`GlobalAttentionNet` (`kernel/global_attention.py:14-35`)."""
+
+    num_layers: int = 2
+    hidden: int = 16
+    num_classes: int = 2
+
+    @nn.compact
+    def __call__(self, x, adj, mask=None, *, train: bool = False):
+        if mask is None:
+            mask = _ones_mask(x)
+        h = x
+        for i in range(self.num_layers):
+            ws = self.param(f"w_self_{i}", _glorot, (h.shape[-1], self.hidden))
+            wn = self.param(f"w_nb_{i}", _glorot, (h.shape[-1], self.hidden))
+            bb = self.param(f"b_{i}", nn.initializers.zeros, (self.hidden,))
+            h = nn.relu(P.sage_conv(h, adj, ws, wn, bb)) * mask[..., None]
+        gate = TorchLinear(1, name="gate")(h)
+        z = P.global_attention_pool(h, mask, gate)
+        z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
+        if train:
+            z = dropout(self.make_rng("dropout"), z, 0.5)
+        return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
+
+
+class Graclus(nn.Module):
+    """`Graclus` (`kernel/graclus.py:10-41`): GraphConv(mean) stack with
+    cluster max-pool coarsening every 2 layers. Cluster assignments are
+    precomputed host-side (`ops/pool.py:greedy_matching`) and passed per
+    sample; pooled node count stays N (masked)."""
+
+    num_layers: int = 3
+    hidden: int = 16
+    num_classes: int = 2
+
+    @nn.compact
+    def __call__(self, x, adj, mask=None, assign=None, *,
+                 train: bool = False):
+        if mask is None:
+            mask = _ones_mask(x)
+        n = x.shape[1]
+        ws = self.param("w_self_0", _glorot, (x.shape[-1], self.hidden))
+        wn = self.param("w_nb_0", _glorot, (x.shape[-1], self.hidden))
+        b0 = self.param("b_0", nn.initializers.zeros, (self.hidden,))
+        h = nn.relu(P.sage_conv(x, adj, ws, wn, b0)) * mask[..., None]
+        readouts = [P.mean_pool(h, mask)]
+        pooled = False
+        for i in range(self.num_layers - 1):
+            ws = self.param(f"w_self_{i + 1}", _glorot,
+                            (self.hidden, self.hidden))
+            wn = self.param(f"w_nb_{i + 1}", _glorot,
+                            (self.hidden, self.hidden))
+            bb = self.param(f"b_{i + 1}", nn.initializers.zeros, (self.hidden,))
+            h = nn.relu(P.sage_conv(h, adj, ws, wn, bb)) * mask[..., None]
+            readouts.append(P.mean_pool(h, mask))
+            if i % 2 == 0 and assign is not None and not pooled:
+                h, adj, mask = P.cluster_max_pool(h, adj, mask, assign, n)
+                pooled = True  # one coarsening level precomputed host-side
+        z = jnp.concatenate(readouts, -1)
+        z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
+        if train:
+            z = dropout(self.make_rng("dropout"), z, 0.5)
+        return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
+
+
+class DiffPool(nn.Module):
+    """`DiffPool` (`kernel/diff_pool.py:135-183`): dense SAGE blocks with
+    0.25-coarsening assignment GNNs; returns (log_probs, link_loss, ent_loss)."""
+
+    max_nodes: int = 90
+    hidden: int = 16
+    num_classes: int = 2
+
+    @nn.compact
+    def __call__(self, x, adj, mask=None, *, train: bool = False):
+        if mask is None:
+            mask = _ones_mask(x)
+        n1 = max(1, int(0.25 * self.max_nodes))
+
+        def sage(tag, h, a, out):
+            ws = self.param(f"{tag}_ws", _glorot, (h.shape[-1], out))
+            wn = self.param(f"{tag}_wn", _glorot, (h.shape[-1], out))
+            bb = self.param(f"{tag}_b", nn.initializers.zeros, (out,))
+            return nn.relu(P.sage_conv(h, a, ws, wn, bb))
+
+        z = sage("embed1", x, adj, self.hidden) * mask[..., None]
+        s = sage("assign1", x, adj, n1)
+        x2, adj2, link1, ent1 = P.diff_pool(z, adj, s, mask)
+        mask2 = jnp.ones(x2.shape[:2], bool)
+        z2 = sage("embed2", x2, adj2, self.hidden)
+        g = jnp.concatenate([P.mean_pool(z2, mask2), P.max_pool(z2, mask2)], -1)
+        g = nn.relu(TorchLinear(self.hidden, name="lin1")(g))
+        if train:
+            g = dropout(self.make_rng("dropout"), g, 0.5)
+        logp = jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(g), -1)
+        return logp, link1, ent1
+
+
+class CNNModel(nn.Module):
+    """`CNN_Model` (`kernel/mlp.py:13-72`): 2x Conv2d over the (N, N)
+    adjacency image + FC head."""
+
+    num_classes: int = 2
+    rois: int = 90
+
+    @nn.compact
+    def __call__(self, adj, *, train: bool = False):
+        h = adj[..., None]                        # (B, N, N, 1)
+        h = nn.relu(nn.Conv(8, (5, 5), strides=(2, 2), name="conv1")(h))
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = nn.relu(nn.Conv(16, (3, 3), strides=(1, 1), name="conv2")(h))
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = h.reshape(h.shape[0], -1)
+        h = nn.relu(TorchLinear(64, name="fc1")(h))
+        if train:
+            h = dropout(self.make_rng("dropout"), h, 0.5)
+        return jax.nn.log_softmax(TorchLinear(self.num_classes, name="fc2")(h), -1)
+
+
+class MLPModel(nn.Module):
+    """`MLP_Model` (`kernel/mlp.py:74-119`): 54 -> 32 -> 16 -> 1 sigmoid SNP
+    classifier."""
+
+    @nn.compact
+    def __call__(self, snps, *, train: bool = False):
+        h = nn.relu(TorchLinear(32, name="fc1")(snps))
+        if train:
+            h = dropout(self.make_rng("dropout"), h, 0.3)
+        h = nn.relu(TorchLinear(16, name="fc2")(h))
+        return jax.nn.sigmoid(TorchLinear(1, name="fc3")(h))

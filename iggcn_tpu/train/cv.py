@@ -34,8 +34,8 @@ from iggcn_tpu.data.splits import k_fold
 from iggcn_tpu.models.fused_sgcn import FusedSGCN
 from iggcn_tpu.train import artifacts, metrics
 from iggcn_tpu.train.checkpoint import save_checkpoint
-from iggcn_tpu.train.steps import (TrainState, make_eval_step, make_optimizer,
-                                   make_train_step)
+from iggcn_tpu.train.steps import (OBJECTIVES, TrainState, make_eval_step,
+                                   make_optimizer, make_train_step)
 
 
 @dataclasses.dataclass
@@ -49,9 +49,12 @@ class CVResult:
     regression_summary: Dict[str, Dict[str, float]]
 
 
-def _epoch_fns(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer):
-    train_step = make_train_step(model, mcfg, tcfg, optimizer)
-    eval_step = make_eval_step(model, mcfg, tcfg)
+def _epoch_fns(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,
+               objective=None):
+    if objective is None:
+        objective = OBJECTIVES["sgcn_imgsnp"]
+    train_step = make_train_step(model, mcfg, tcfg, optimizer, objective)
+    eval_step = make_eval_step(model, mcfg, tcfg, objective)
 
     @jax.jit
     def train_epoch(state: TrainState, data: Dict[str, jax.Array],
@@ -95,11 +98,23 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                      result_file_name: str = "result",
                      clinical_score_index: int = -1,
                      logger: Optional[Callable[[str], None]] = None,
+                     model_kind: str = "sgcn_imgsnp",
                      verbose: bool = True) -> CVResult:
     """Run the full CV experiment. `tcfg.no_val` selects the without-val
-    variant."""
+    variant; `model_kind` selects the model family and its objective
+    (sgcn_imgsnp | gcn_imgsnp | guide_imgsnp | clusterlabel)."""
     use_val = not tcfg.no_val
-    model = FusedSGCN(cfg=mcfg, topo=topo)
+    if model_kind in ("sgcn_imgsnp", "gcn_imgsnp"):
+        model = FusedSGCN(cfg=mcfg, topo=topo)
+    elif model_kind == "guide_imgsnp":
+        from iggcn_tpu.models.guide import GuideImgSnp
+        model = GuideImgSnp(cfg=mcfg, topo=topo)
+    elif model_kind == "clusterlabel":
+        from iggcn_tpu.models.clusterlabel import ClusterLabelSGCN
+        model = ClusterLabelSGCN(cfg=mcfg, topo=topo)
+    else:
+        raise ValueError(f"unknown model_kind {model_kind}")
+    objective = OBJECTIVES[model_kind]
     b = tcfg.batch_size
     splits = k_fold(cohort.y, tcfg.folds, tcfg.seed)
     full = cohort_batch_arrays(cohort)
@@ -151,7 +166,8 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
         steps_per_epoch = train_data["y"].shape[0] // b
         if optimizer is None:
             optimizer = make_optimizer(tcfg, steps_per_epoch)
-            train_epoch, eval_epoch = _epoch_fns(model, mcfg, tcfg, optimizer)
+            train_epoch, eval_epoch = _epoch_fns(model, mcfg, tcfg, optimizer,
+                                                 objective)
 
         # fresh model per fold (parity :101-107)
         rng = jax.random.PRNGKey(tcfg.seed + fold)
@@ -193,8 +209,12 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
             y_true = np.asarray(test_data["y"])[wmask]
             log_probs = np.asarray(test_out["log_probs"])[wmask]
             y_pred = np.asarray(test_out["pred"])[wmask]
-            reg_pred = np.asarray(test_out["our_reg"])[wmask]
+            has_regr = "our_reg" in test_out
             clini_true = np.asarray(test_data["clini"])[wmask]
+            if has_regr:
+                reg_pred = np.asarray(test_out["our_reg"])[wmask]
+            else:
+                reg_pred = np.zeros_like(clini_true)
             cm = metrics.classification_metrics(
                 y_true, y_pred, log_probs[:, 1] if log_probs.shape[1] > 1
                 else log_probs[:, 0], cohort.num_classes)
@@ -209,9 +229,10 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                 msg = (f"Fold: {fold}, epoch:{epoch}, train_loss: {train_loss:.4f},"
                        f" val_loss: {val_loss:.4f}, test_loss: {test_loss:.4f},"
                        f" acc: {cm['acc']:.4f}, auc: {cm['auc']:.4f}")
-                for i, nm in enumerate(score_names):
-                    msg += (f"; {nm} corr: {corr[i]:.5f}, r2: {r2s[i]:.5f},"
-                            f" mse: {mses[i]:.5f}")
+                if has_regr:
+                    for i, nm in enumerate(score_names):
+                        msg += (f"; {nm} corr: {corr[i]:.5f}, r2: {r2s[i]:.5f},"
+                                f" mse: {mses[i]:.5f}")
                 print(msg)
                 if logger is not None:
                     logger(msg)
@@ -220,9 +241,12 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
             if track_loss < best_loss or (tcfg.is_permut_test and
                                           epoch == tcfg.epochs):
                 best_loss = min(best_loss, track_loss)
+                zeros = np.zeros((int(wmask.sum()), 1), np.float32)
                 best_bundle = {
-                    "hidden": np.asarray(test_out["out_lin"])[wmask],
-                    "linear": np.asarray(test_out["linear_outf"])[wmask],
+                    "hidden": (np.asarray(test_out["out_lin"])[wmask]
+                               if "out_lin" in test_out else zeros),
+                    "linear": (np.asarray(test_out["linear_outf"])[wmask]
+                               if "linear_outf" in test_out else zeros),
                     "subid": full["sbj_id"][test_idx],
                     "true_scores": clini_true,
                     "true_labels": y_true,
@@ -241,7 +265,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
         accs.extend(fold_accs)
         all_score_results.append(score_result_epoch)
 
-        if res_dir is not None:
+        if res_dir is not None and "prob" in state.params:
             p = jax.device_get(state.params)
             artifacts.output_importance(
                 res_dir, result_file_name, fold, np.asarray(p["prob"]),

@@ -1,0 +1,205 @@
+"""Generic graph-classification CV trainer (baseline zoo / TU benchmarks).
+
+Re-design of `kernel/train_eval.py`: plain NLL objective, with-val variant
+selects test metrics via best-val-loss epoch bookkeeping; without-val variant
+resamples the train split with the imbalance-weighted sampler and reports the
+max over epochs of fold-mean accuracy (`kernel/train_eval.py:85-104,146-149,
+203-228`). DiffPool's auxiliary link/entropy losses are added when the model
+returns them (parity `kernel/train_eval.py` diff-pool path).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from iggcn_tpu.data.sampler import imbalanced_sample_indices
+from iggcn_tpu.data.splits import k_fold
+from iggcn_tpu.data.tu import GraphDataset
+from iggcn_tpu.train import metrics
+from iggcn_tpu.train.losses import nll_loss
+
+
+@dataclasses.dataclass
+class GenericCVResult:
+    best_acc: float
+    best_acc_std: float
+    accs: np.ndarray       # (folds, epochs)
+    mean_loss: float
+
+
+def _model_forward(model, variables, batch, train, rng, needs_mask,
+                   needs_assign, adj_only, mutable):
+    kwargs = {"train": train}
+    rngs = {"dropout": rng} if train else None
+    args: Tuple = ()
+    if adj_only:
+        args = (batch["adj"],)
+    elif needs_mask:
+        args = (batch["x"], batch["adj"], batch["mask"])
+        if needs_assign:
+            args = args + (batch["assign"],)
+    else:
+        args = (batch["x"], batch["adj"])
+    if train and mutable:
+        return model.apply(variables, *args, mutable=["batch_stats"],
+                           rngs=rngs, **kwargs)
+    out = model.apply(variables, *args, rngs=rngs, **kwargs)
+    return out, None
+
+
+def cross_validation_generic(dataset: GraphDataset, model, *,
+                             folds: int = 5, epochs: int = 50,
+                             batch_size: int = 32, lr: float = 1e-3,
+                             lr_decay_factor: float = 0.5,
+                             lr_decay_step_size: int = 50,
+                             weight_decay: float = 0.0, seed: int = 1000,
+                             no_val: bool = False,
+                             needs_mask: bool = True,
+                             needs_assign: bool = False,
+                             adj_only: bool = False,
+                             aux_loss: bool = False,
+                             verbose: bool = False) -> GenericCVResult:
+    """Run k-fold CV of a baseline model over a dense padded GraphDataset."""
+    y_all = dataset.y
+    splits = k_fold(y_all, folds, seed)
+    b = batch_size
+
+    def pad(arr, total):
+        p = [(0, total - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, p)
+
+    schedule_boundaries = {}
+    optimizer = None
+
+    has_stats = None
+    accs = np.zeros((folds, epochs))
+    losses: List[float] = []
+
+    @jax.jit
+    def train_step(variables, opt_state, batch, rng):
+        def loss_fn(params):
+            vs = dict(variables)
+            vs["params"] = params
+            out, mut = _model_forward(model, vs, batch, True, rng,
+                                      needs_mask, needs_assign, adj_only,
+                                      has_stats)
+            if aux_loss:
+                logp, link, ent = out
+                loss = nll_loss(logp, batch["y"], batch["w"]) + link + ent
+            else:
+                logp = out
+                loss = nll_loss(logp, batch["y"], batch["w"])
+            return loss, mut
+
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"])
+        updates, new_opt = optimizer.update(grads, opt_state,
+                                            variables["params"])
+        params = optax.apply_updates(variables["params"], updates)
+        new_vars = {"params": params}
+        if has_stats:
+            new_vars["batch_stats"] = (mut or variables)["batch_stats"]
+        return new_vars, new_opt, loss
+
+    @jax.jit
+    def eval_batch(variables, batch):
+        out, _ = _model_forward(model, variables, batch, False, None,
+                                needs_mask, needs_assign, adj_only, False)
+        logp = out[0] if aux_loss else out
+        loss = nll_loss(logp, batch["y"], batch["w"])
+        pred = jnp.argmax(logp, -1)
+        correct = jnp.sum((pred == batch["y"]) * batch["w"])
+        return loss * jnp.sum(batch["w"]), correct
+
+    for fold, (train_idx, test_idx, val_idx) in enumerate(splits):
+        if no_val:
+            train_idx = np.concatenate([train_idx, val_idx])
+        rng = jax.random.PRNGKey(seed + fold)
+        init_rng, rng = jax.random.split(rng)
+        dummy = {k: jnp.asarray(v[:b]) for k, v in
+                 dict(x=dataset.x, adj=dataset.adj, mask=dataset.mask,
+                      assign=dataset.assign).items()}
+        dummy["y"] = jnp.zeros((b,), jnp.int32)
+        dummy["w"] = jnp.ones((b,), jnp.float32)
+        if adj_only:
+            variables = jax.jit(model.init)(init_rng, dummy["adj"])
+        elif needs_mask and needs_assign:
+            variables = jax.jit(model.init)(init_rng, dummy["x"], dummy["adj"],
+                                            dummy["mask"], dummy["assign"])
+        elif needs_mask:
+            variables = jax.jit(model.init)(init_rng, dummy["x"], dummy["adj"],
+                                            dummy["mask"])
+        else:
+            variables = jax.jit(model.init)(init_rng, dummy["x"], dummy["adj"])
+        variables = dict(variables)
+        if has_stats is None:
+            has_stats = "batch_stats" in variables
+        if optimizer is None:
+            spe = -(-len(train_idx) // b)
+            boundaries = {}
+            e = lr_decay_step_size
+            while e <= epochs:
+                boundaries[e * spe] = lr_decay_factor
+                e += lr_decay_step_size
+            schedule = optax.piecewise_constant_schedule(lr, boundaries)
+            optimizer = (optax.adamw(schedule, weight_decay=weight_decay)
+                         if weight_decay else optax.adam(schedule))
+        opt_state = optimizer.init(variables["params"])
+        host_rng = np.random.default_rng(seed * 31 + fold)
+
+        n_te = len(test_idx)
+        total_te = -(-n_te // b) * b
+        te = {
+            "x": pad(dataset.x[test_idx], total_te),
+            "adj": pad(dataset.adj[test_idx], total_te),
+            "mask": pad(dataset.mask[test_idx], total_te),
+            "assign": pad(dataset.assign[test_idx], total_te),
+            "y": pad(dataset.y[test_idx].astype(np.int32), total_te),
+            "w": np.concatenate([np.ones(n_te, np.float32),
+                                 np.zeros(total_te - n_te, np.float32)]),
+        }
+
+        for epoch in range(epochs):
+            if no_val:
+                idx = imbalanced_sample_indices(y_all[train_idx], host_rng)
+                idx = train_idx[idx]
+            else:
+                idx = host_rng.permutation(train_idx)
+            nb = len(idx) // b
+            for i in range(nb):
+                sel = idx[i * b:(i + 1) * b]
+                batch = {
+                    "x": jnp.asarray(dataset.x[sel]),
+                    "adj": jnp.asarray(dataset.adj[sel]),
+                    "mask": jnp.asarray(dataset.mask[sel]),
+                    "assign": jnp.asarray(dataset.assign[sel]),
+                    "y": jnp.asarray(dataset.y[sel].astype(np.int32)),
+                    "w": jnp.ones((b,), jnp.float32),
+                }
+                rng, srng = jax.random.split(rng)
+                variables, opt_state, _ = train_step(variables, opt_state,
+                                                     batch, srng)
+            correct = 0.0
+            tot = 0.0
+            for i in range(total_te // b):
+                s = slice(i * b, (i + 1) * b)
+                batch = {k: jnp.asarray(v[s]) for k, v in te.items()}
+                l, c = eval_batch(variables, batch)
+                correct += float(c)
+                tot += float(l)
+            accs[fold, epoch] = correct / n_te
+            losses.append(tot / n_te)
+            if verbose:
+                print(f"fold {fold} epoch {epoch}: acc {accs[fold, epoch]:.3f}")
+
+    acc_mean = accs.mean(axis=0)
+    arg = int(acc_mean.argmax())
+    return GenericCVResult(
+        best_acc=float(acc_mean[arg]),
+        best_acc_std=float(accs[:, arg].std(ddof=1) if folds > 1 else 0.0),
+        accs=accs, mean_loss=float(np.mean(losses)))

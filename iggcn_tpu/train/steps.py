@@ -127,14 +127,161 @@ def fused_objective(model, params, batch_stats, batch: Batch,
     return total, aux
 
 
-def make_train_step(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer):
+def gcn_fusion_objective(model, params, batch_stats, batch: Batch,
+                         mcfg: ModelConfig, tcfg: TrainConfig, *,
+                         train: bool, rng: Optional[jax.Array] = None
+                         ) -> Tuple[jax.Array, Dict[str, Any]]:
+    """GCN_IMGSNP objective: single forward, no importance terms.
+
+    Parity: `kernel/train_eval_gcn_img_snps.py:448-483` — loss = lamda_ce*CE
+    + regr-MSE + recon + consistency + orthogonality; the `lambda_loss[0]==0`
+    guard also zeroes the orthogonal term there.
+    """
+    lw, sw = tcfg.loss, tcfg.sparsity
+    w = batch["w"]
+    x, adj, snps = batch["x"], batch["adj"], batch["snps"]
+    variables = {"params": params, "batch_stats": batch_stats}
+    kwargs = dict(train=train, sample_weight=w if train else None)
+    if train:
+        out, mut = model.apply(variables, x, adj, snps, mutable=["batch_stats"],
+                               rngs={"dropout": rng}, **kwargs)
+        new_stats = mut["batch_stats"]
+    else:
+        out = model.apply(variables, x, adj, snps, **kwargs)
+        new_stats = batch_stats
+
+    loss_ce = lw.disease * losses.nll_loss(out.log_probs, batch["y"], w)
+    loss_reg = lw.regr * losses.mse_loss(out.our_reg, batch["clini"], w)
+    recon = lw.reco * losses.recon_sum(out.snps_hat, snps, w)
+    if mcfg.is_soft_similarity:
+        sim = losses.rbf_kernel(batch["tsne"], batch["tsne"], mcfg.rbf_gamma)
+        cluster = lw.simi * losses.consistency_loss(out.out_z, sim, w)
+    else:
+        ones = jnp.ones((w.shape[0], w.shape[0]), jnp.float32)
+        cluster = 0.0
+        for c in range(tcfg.num_cluster):
+            member = w * (batch["clust_y"] == c)
+            cluster += lw.simi * losses.consistency_loss(out.out_z, ones, member)
+    orth = lw.orth * losses.orthogonal_loss(out.out_z, w)
+    if lw.disease == 0:
+        loss_ce = 0.0
+        orth = 0.0
+    total = sw.lamda_ce * loss_ce + loss_reg + recon + cluster + orth
+    return total, {"batch_stats": new_stats, "out": out, "out_prob": out}
+
+
+def guide_objective(model, params, batch_stats, batch: Batch,
+                    mcfg: ModelConfig, tcfg: TrainConfig, *,
+                    train: bool, rng: Optional[jax.Array] = None,
+                    prob_ref: float = 0.001, eps: float = 1e-10
+                    ) -> Tuple[jax.Array, Dict[str, Any]]:
+    """GUIDE_IMGSNP objective.
+
+    Parity: `kernel/train_eval_guide_img_snps.py:450-489`. The positional
+    lambda list maps here as: disease -> CE, regr -> regression MSE,
+    prob -> SNP reconstruction, reco -> image surrogate reconstruction,
+    simi -> Bernoulli-KL sparsity on the Gumbel keep-probabilities.
+    """
+    lw, sw = tcfg.loss, tcfg.sparsity
+    w = batch["w"]
+    x, adj, snps = batch["x"], batch["adj"], batch["snps"]
+    variables = {"params": params, "batch_stats": batch_stats}
+    kwargs = dict(temperature=tcfg.temperature, train=train,
+                  sample_weight=w if train else None)
+    if train:
+        r1, r2 = jax.random.split(rng)
+        out, mut = model.apply(variables, x, adj, snps,
+                               mutable=["batch_stats"],
+                               rngs={"dropout": r1, "gumbel": r2}, **kwargs)
+        new_stats = mut["batch_stats"]
+    else:
+        out = model.apply(variables, x, adj, snps, **kwargs)
+        new_stats = batch_stats
+
+    loss_ce = lw.disease * losses.nll_loss(out.log_probs, batch["y"], w)
+    loss_reg = lw.regr * losses.mse_loss(out.our_reg, batch["clini"], w)
+    recon = lw.prob * losses.recon_sum(out.snps_hat, snps, w)
+    recon_img = lw.reco * losses.recon_sum(out.surrogate_img,
+                                           out.surrogate_recon, w)
+    rho_hat = out.imp_prob
+    rho = prob_ref
+    s1 = jnp.mean(rho_hat * (jnp.log(rho_hat + eps) - jnp.log(rho + eps)))
+    s2 = jnp.mean((1 - rho_hat) * (jnp.log(1 - rho_hat + eps)
+                                   - jnp.log(1 - rho + eps))) + s1
+    sparsity = lw.simi * s2
+    if lw.disease == 0:
+        loss_ce = 0.0
+    total = sw.lamda_ce * loss_ce + loss_reg + recon + recon_img + sparsity
+    return total, {"batch_stats": new_stats, "out": out, "out_prob": out}
+
+
+def clusterlabel_objective(model, params, batch_stats, batch: Batch,
+                           mcfg: ModelConfig, tcfg: TrainConfig, *,
+                           train: bool, rng: Optional[jax.Array] = None
+                           ) -> Tuple[jax.Array, Dict[str, Any]]:
+    """SGCN_GCN_CLUSTERLABEL objective.
+
+    Parity: `kernel/train_eval_sgcn_clusterlabel.py:365-399`: averaged
+    disease/cluster CE for both plain and masked passes + sparsity penalty +
+    averaged SNP reconstruction; the consist term is computed but never added
+    there (dead code), so it is omitted here. `loss.reco` is lambda0.
+    """
+    lw, sw = tcfg.loss, tcfg.sparsity
+    w = batch["w"]
+    x, adj, snps = batch["x"], batch["adj"], batch["snps"]
+    variables = {"params": params, "batch_stats": batch_stats}
+    kwargs = dict(train=train, sample_weight=w if train else None)
+    if train:
+        r1, r2 = jax.random.split(rng)
+        out, mut1 = model.apply(variables, x, adj, snps,
+                                mutable=["batch_stats"],
+                                rngs={"dropout": r1}, **kwargs)
+        variables = {"params": params, "batch_stats": mut1["batch_stats"]}
+        out_prob, mut2 = model.apply(variables, x, adj, snps, is_explain=True,
+                                     mutable=["batch_stats"],
+                                     rngs={"dropout": r2}, **kwargs)
+        new_stats = mut2["batch_stats"]
+    else:
+        out = model.apply(variables, x, adj, snps, **kwargs)
+        out_prob = model.apply(variables, x, adj, snps, is_explain=True,
+                               **kwargs)
+        new_stats = batch_stats
+
+    y, cy = batch["y"], batch["clust_y"]
+    ce = losses.nll_loss(out.log_probs, y, w)
+    ce_c = losses.nll_loss(out.log_probs_cluster, cy, w)
+    mi = losses.nll_loss(out_prob.log_probs, y, w)
+    mi_c = losses.nll_loss(out_prob.log_probs_cluster, cy, w)
+    loss_prob = losses.sparsity_loss(params["prob"], params["prob_bias"],
+                                     params["snps_prob"], x, adj, sw,
+                                     sample_weight=w)
+    recon = lw.reco * (losses.recon_sum(out.snps_hat, snps, w)
+                       + losses.recon_sum(out_prob.snps_hat, snps, w)) / 2
+    if mcfg.is_predict_cluster:
+        total = (sw.lamda_ce * (ce + ce_c) / 2 + sw.lamda_mi * (mi + mi_c) / 2
+                 + loss_prob + recon)
+    else:
+        total = sw.lamda_ce * ce + sw.lamda_mi * mi + loss_prob + recon
+    return total, {"batch_stats": new_stats, "out": out, "out_prob": out_prob}
+
+
+OBJECTIVES = {
+    "sgcn_imgsnp": fused_objective,
+    "gcn_imgsnp": gcn_fusion_objective,
+    "guide_imgsnp": guide_objective,
+    "clusterlabel": clusterlabel_objective,
+}
+
+
+def make_train_step(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,
+                    objective=fused_objective):
     """One optimization step on one dense (possibly padded) batch."""
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array
                    ) -> Tuple[TrainState, jax.Array]:
         def loss_fn(params):
-            return fused_objective(model, params, state.batch_stats, batch,
-                                   mcfg, tcfg, train=True, rng=rng)
+            return objective(model, params, state.batch_stats, batch,
+                             mcfg, tcfg, train=True, rng=rng)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -149,20 +296,25 @@ def make_train_step(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer):
     return train_step
 
 
-def make_eval_step(model, mcfg: ModelConfig, tcfg: TrainConfig):
-    """Eval on one batch: loss (7 terms) + per-sample outputs for metrics."""
+def make_eval_step(model, mcfg: ModelConfig, tcfg: TrainConfig,
+                   objective=fused_objective):
+    """Eval on one batch: loss (all terms) + per-sample outputs for metrics.
+    Optional model outputs (regression head, hidden dumps, cluster head) are
+    included when the model provides them."""
 
     def eval_step(params, batch_stats, batch: Batch):
-        loss, aux = fused_objective(model, params, batch_stats, batch,
-                                    mcfg, tcfg, train=False)
+        loss, aux = objective(model, params, batch_stats, batch,
+                              mcfg, tcfg, train=False)
         out = aux["out"]
-        return {
+        result = {
             "loss_sum": loss * jnp.sum(batch["w"]),
             "log_probs": out.log_probs,
             "pred": jnp.argmax(out.log_probs, axis=-1),
-            "our_reg": out.our_reg,
-            "out_lin": out.out_lin,
-            "linear_outf": out.linear_outf,
         }
+        for field in ("our_reg", "out_lin", "linear_outf", "log_probs_cluster"):
+            val = getattr(out, field, None)
+            if val is not None:
+                result[field] = val
+        return result
 
     return eval_step

@@ -149,10 +149,17 @@ def main(argv=None):
                              args.lambda_simi, args.lambda_orth))
         print(f"Using {num_layers} layers, {hidden} hidden units")
         logger(f"Using {num_layers} layers, {hidden} hidden units")
+        model_kind = {
+            "SGCN_GCN_IMGSNP": "sgcn_imgsnp",
+            "GCN_IMGSNP": "gcn_imgsnp",
+            "GUIDE_IMGSNP": "guide_imgsnp",
+            "SGCN_GCN_CLUSTERLABEL": "clusterlabel",
+        }.get(args.model, "sgcn_imgsnp")
         res = cross_validation(
             cohort, topo, mcfg, tcfg, res_dir=res_dir,
             result_file_name=result_file_name,
-            clinical_score_index=args.clinical_score_index, logger=logger)
+            clinical_score_index=args.clinical_score_index, logger=logger,
+            model_kind=model_kind)
         print(f"[throughput] {res.throughput_graphs_per_sec:.1f} graphs/s")
         if res.mean_test_loss < best[0]:
             best = (res.mean_test_loss, res.best_acc, res.best_acc_std)

@@ -1,0 +1,104 @@
+"""Variant models: GUIDE, cluster-label, GAT-fused, image-only SGCN —
+forward shapes + one objective/grad step each."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iggcn_tpu.config import ModelConfig, TrainConfig
+from iggcn_tpu.models.clusterlabel import ClusterLabelSGCN
+from iggcn_tpu.models.fused_sgcn import FusedSGCN
+from iggcn_tpu.models.guide import GuideImgSnp
+from iggcn_tpu.models.sgcn_image import SGCNImage, SGCNOri
+from iggcn_tpu.train.steps import (clusterlabel_objective, guide_objective,
+                                   gcn_fusion_objective)
+
+
+def _batch(cohort, n=8):
+    return {
+        "x": jnp.asarray(cohort.x[:n]),
+        "adj": jnp.asarray(cohort.adj[:n]),
+        "snps": jnp.asarray(cohort.snps[:n]),
+        "y": jnp.asarray(cohort.y[:n].astype(np.int32)),
+        "clini": jnp.asarray(cohort.clini_score[:n]),
+        "clust_y": jnp.asarray(cohort.clust_y[:n].astype(np.int32)),
+        "tsne": jnp.asarray(cohort.tsne_fdim[:n]),
+        "w": jnp.ones((n,), jnp.float32),
+    }
+
+
+def _grad_check(model, objective, batch, mcfg, tcfg, rngs=("dropout",)):
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), batch["x"], batch["adj"], batch["snps"])
+
+    def loss_fn(p):
+        loss, aux = objective(model, p, variables["batch_stats"], batch,
+                              mcfg, tcfg, train=True,
+                              rng=jax.random.PRNGKey(1))
+        return loss
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    return variables
+
+
+def test_guide_model(topo, cohort):
+    mcfg = ModelConfig(num_layers=2, hidden=16)
+    tcfg = TrainConfig()
+    model = GuideImgSnp(cfg=mcfg, topo=topo)
+    batch = _batch(cohort)
+    variables = _grad_check(model, guide_objective, batch, mcfg, tcfg)
+    out = jax.jit(model.apply)(variables, batch["x"], batch["adj"],
+                               batch["snps"])
+    assert out.log_probs.shape == (8, 2)
+    assert out.surrogate_img.shape == out.surrogate_recon.shape == (8, 270)
+    assert out.imp_prob.shape == (270,)
+    assert float(out.imp_prob.min()) >= 0 and float(out.imp_prob.max()) <= 1
+
+
+def test_clusterlabel_model(topo, cohort):
+    mcfg = ModelConfig(num_layers=2, hidden=16, num_cluster=2)
+    tcfg = TrainConfig()
+    model = ClusterLabelSGCN(cfg=mcfg, topo=topo)
+    batch = _batch(cohort)
+    variables = _grad_check(model, clusterlabel_objective, batch, mcfg, tcfg)
+    out = jax.jit(model.apply)(variables, batch["x"], batch["adj"],
+                               batch["snps"])
+    assert out.log_probs.shape == (8, 2)
+    assert out.log_probs_cluster.shape == (8, 2)
+
+
+def test_gat_fused_model(topo, cohort):
+    mcfg = ModelConfig(num_layers=2, hidden=8, use_gat=True)
+    tcfg = TrainConfig()
+    model = FusedSGCN(cfg=mcfg, topo=topo)
+    batch = _batch(cohort, n=4)
+    _grad_check(model, gcn_fusion_objective, batch, mcfg, tcfg)
+
+
+def test_model4eachregr(topo, cohort):
+    mcfg = ModelConfig(num_layers=2, hidden=8, model4eachregr=True,
+                       num_regr=3)
+    model = FusedSGCN(cfg=mcfg, topo=topo)
+    batch = _batch(cohort, n=4)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch["x"],
+                                    batch["adj"], batch["snps"])
+    out = jax.jit(model.apply)(variables, batch["x"], batch["adj"],
+                               batch["snps"])
+    assert out.our_reg.shape == (4, 3)
+
+
+def test_sgcn_image_models(cohort):
+    x = jnp.asarray(cohort.x[:4])
+    adj = jnp.asarray(cohort.adj[:4])
+    for model in [SGCNImage(num_layers=2, hidden=8),
+                  SGCNImage(num_layers=2, hidden=8, use_gat=True),
+                  SGCNOri(h0=3, h1=16, h3=5)]:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, adj)
+        apply = jax.jit(model.apply, static_argnames=("is_explain",))
+        out = apply(variables, x, adj)
+        assert out.shape == (4, 2)
+        out_m = apply(variables, x, adj, is_explain=True)
+        assert np.isfinite(np.asarray(out_m)).all()
