@@ -45,7 +45,8 @@ def bench_jax(topo, cohort):
     from iggcn_tpu.train.cv import _epoch_fns
     from iggcn_tpu.train.steps import TrainState, make_optimizer
 
-    mcfg = ModelConfig(num_layers=2, hidden=16)
+    use_pallas = os.environ.get("IGGCN_BENCH_PALLAS", "0") == "1"
+    mcfg = ModelConfig(num_layers=2, hidden=16, use_pallas_gcn=use_pallas)
     tcfg = TrainConfig(epochs=EPOCHS_TIMED + 1, batch_size=BATCH)
     model = FusedSGCN(cfg=mcfg, topo=topo)
     arrays = cohort_batch_arrays(cohort)
@@ -56,6 +57,18 @@ def bench_jax(topo, cohort):
 
     optimizer = make_optimizer(tcfg, steps)
     train_epoch, _ = _epoch_fns(model, mcfg, tcfg, optimizer)
+
+    @jax.jit
+    def run_epochs(state, data, perms, rng):
+        def body(carry, perm):
+            st, r = carry
+            r, er = jax.random.split(r)
+            st, loss_sum = train_epoch(st, data, perm, er)
+            return (st, r), loss_sum
+
+        (state, _), loss_sums = jax.lax.scan(body, (state, rng), perms)
+        return state, loss_sums[-1]
+
     dummy = (jnp.zeros((BATCH, mcfg.rois, mcfg.feat_dim)),
              jnp.zeros((BATCH, mcfg.rois, mcfg.rois)),
              jnp.zeros((BATCH, mcfg.num_snps)))
@@ -64,15 +77,16 @@ def bench_jax(topo, cohort):
                        optimizer.init(variables["params"]),
                        jnp.zeros((), jnp.int32))
     rng = jax.random.PRNGKey(1)
-    perm = jnp.asarray(np.concatenate([np.random.default_rng(2).permutation(n),
-                                       np.arange(n, total)]))
-    # warmup / compile
-    state, _ = train_epoch(state, data, perm, rng)
+    host = np.random.default_rng(2)
+    perms = jnp.asarray(np.stack([
+        np.concatenate([host.permutation(n), np.arange(n, total)])
+        for _ in range(EPOCHS_TIMED)]))
+    # warmup / compile (single epoch shares the inner program)
+    state, _ = run_epochs(state, data, perms, rng)
     jax.block_until_ready(state.params)
     t0 = time.perf_counter()
-    for e in range(EPOCHS_TIMED):
-        rng, erng = jax.random.split(rng)
-        state, loss_sum = train_epoch(state, data, perm, erng)
+    rng, erng = jax.random.split(rng)
+    state, loss_sum = run_epochs(state, data, perms, erng)
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
     gps = EPOCHS_TIMED * n / dt

@@ -84,6 +84,10 @@ class ModelConfig:
     is_image_only: bool = False
     is_snps_only: bool = False
     is_multi_fusion: bool = False
+    # Run the imaging GCN stack as one fused Pallas kernel (ops/pallas_gcn.py)
+    # instead of per-layer XLA matmuls. Off-TPU backends fall back to the
+    # interpreter (tests) — enable for TPU benchmarking.
+    use_pallas_gcn: bool = False
     dropout_lin: float = 0.5
     dropout_regr: float = 0.3
     dropout_go: float = 0.4
@@ -116,6 +120,10 @@ class TrainConfig:
     num_cluster: int = 2
     clinical_score_index: int = -1
     is_permut_test: bool = False
+    # Run each CV fold as ONE jitted lax.scan over epochs (single device
+    # dispatch per fold) instead of ~4 dispatches per epoch. Disable only for
+    # debugging; results are identical.
+    use_fold_scan: bool = True
     loss: LossWeights = dataclasses.field(default_factory=LossWeights)
     sparsity: SparsityWeights = dataclasses.field(default_factory=SparsityWeights)
 

@@ -161,6 +161,12 @@ class FusedSGCN(nn.Module):
             for i in range(cfg.num_layers):
                 h = nn.relu(gat_conv(h, adj_used, self.gat_ps[i]))
                 feats.append(h)
+        elif cfg.use_pallas_gcn:
+            from iggcn_tpu.ops.pallas_gcn import fused_gcn_stack
+            prop = gcn_propagation_matrix(adj_used)
+            feats = [fused_gcn_stack(prop, h, tuple(self.conv_w),
+                                     tuple(self.conv_b),
+                                     jax.default_backend() != "tpu")]
         else:
             prop = gcn_propagation_matrix(adj_used)
             for i in range(cfg.num_layers):

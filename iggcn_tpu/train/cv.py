@@ -34,6 +34,7 @@ from iggcn_tpu.data.splits import k_fold
 from iggcn_tpu.models.fused_sgcn import FusedSGCN
 from iggcn_tpu.train import artifacts, metrics
 from iggcn_tpu.train.checkpoint import save_checkpoint
+from iggcn_tpu.train.fold_scan import make_fold_runner
 from iggcn_tpu.train.steps import (OBJECTIVES, TrainState, make_eval_step,
                                    make_optimizer, make_train_step)
 
@@ -131,6 +132,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     total_graphs = 0
     optimizer = None
     train_epoch = eval_epoch = None
+    fold_runner = None
 
     for fold, (train_idx, test_idx, val_idx) in enumerate(splits):
         if not use_val:
@@ -166,8 +168,13 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
         steps_per_epoch = train_data["y"].shape[0] // b
         if optimizer is None:
             optimizer = make_optimizer(tcfg, steps_per_epoch)
-            train_epoch, eval_epoch = _epoch_fns(model, mcfg, tcfg, optimizer,
-                                                 objective)
+            if tcfg.use_fold_scan:
+                fold_runner = make_fold_runner(
+                    model, mcfg, tcfg, optimizer, objective,
+                    track_best_on="val" if use_val else "test")
+            else:
+                train_epoch, eval_epoch = _epoch_fns(model, mcfg, tcfg,
+                                                     optimizer, objective)
 
         # fresh model per fold (parity :101-107)
         rng = jax.random.PRNGKey(tcfg.seed + fold)
@@ -188,8 +195,88 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
         best_bundle = None
         score_result_epoch = []
         fold_test_losses, fold_accs = [], []
+        wmask = np.asarray(test_data["w"]) > 0
+        y_true = np.asarray(test_data["y"])[wmask]
+        clini_true = np.asarray(test_data["clini"])[wmask]
+        zeros = np.zeros((int(wmask.sum()), 1), np.float32)
 
-        for epoch in range(1, tcfg.epochs + 1):
+        def epoch_metrics(fold, epoch, train_loss, val_loss, test_loss,
+                          log_probs_e, pred_e, reg_pred, has_regr):
+            cm = metrics.classification_metrics(
+                y_true, pred_e, log_probs_e[:, 1] if log_probs_e.shape[1] > 1
+                else log_probs_e[:, 0], cohort.num_classes)
+            corr, r2s, mses = metrics.regression_metrics(clini_true, reg_pred)
+            fold_test_losses.append(test_loss)
+            fold_accs.append(cm["acc"])
+            score_result_epoch.append([cm["acc"], cm["auc"], cm["f1"],
+                                       cm["sen"], cm["spe"]])
+            if verbose:
+                msg = (f"Fold: {fold}, epoch:{epoch}, train_loss: {train_loss:.4f},"
+                       f" val_loss: {val_loss:.4f}, test_loss: {test_loss:.4f},"
+                       f" acc: {cm['acc']:.4f}, auc: {cm['auc']:.4f}")
+                if has_regr:
+                    for i, nm in enumerate(score_names):
+                        msg += (f"; {nm} corr: {corr[i]:.5f}, r2: {r2s[i]:.5f},"
+                                f" mse: {mses[i]:.5f}")
+                print(msg)
+                if logger is not None:
+                    logger(msg)
+
+        if tcfg.use_fold_scan:
+            # One device dispatch for the entire fold: E epochs of train +
+            # val/test eval + on-device best-val tracking (fold_scan.py).
+            perms = np.stack([
+                np.concatenate([shuffler.permutation(n_train),
+                                np.arange(n_train, total_padded)])
+                for _ in range(tcfg.epochs)]).astype(np.int32)
+            # pass rng whole: fold_fn splits once per epoch, mirroring the
+            # python path's per-epoch split — identical dropout streams.
+            per_epoch, best, state = fold_runner(
+                state, train_data, val_data, test_data,
+                jnp.asarray(perms), rng)
+            per_epoch = jax.device_get(per_epoch)
+            has_regr = "our_reg" in per_epoch
+            n_val = len(val_idx) if use_val else n_test
+            for e in range(tcfg.epochs):
+                reg_pred = (per_epoch["our_reg"][e][wmask] if has_regr
+                            else np.zeros_like(clini_true))
+                epoch_metrics(
+                    fold, e + 1,
+                    float(per_epoch["train_loss_sum"][e]) / n_train,
+                    float(per_epoch["val_loss_sum"][e]) / n_val,
+                    float(per_epoch["test_loss_sum"][e]) / n_test,
+                    per_epoch["log_probs"][e][wmask],
+                    per_epoch["pred"][e][wmask], reg_pred, has_regr)
+            if tcfg.is_permut_test:
+                # parity `:176-185`: permutation test keeps the LAST epoch
+                best_test = {k: v[-1] for k, v in per_epoch.items()
+                             if k not in ("train_loss_sum", "val_loss_sum",
+                                          "test_loss_sum")}
+                best_params = jax.device_get(state.params)
+                best_stats = jax.device_get(state.batch_stats)
+            else:
+                best_test = jax.device_get(best["test"])
+                best_params = jax.device_get(best["params"])
+                best_stats = jax.device_get(best["batch_stats"])
+            best_bundle = {
+                "hidden": (best_test["out_lin"][wmask]
+                           if "out_lin" in best_test else zeros),
+                "linear": (best_test["linear_outf"][wmask]
+                           if "linear_outf" in best_test else zeros),
+                "subid": full["sbj_id"][test_idx],
+                "true_scores": clini_true,
+                "true_labels": y_true,
+                "pred_scores": (best_test["our_reg"][wmask] if has_regr
+                                else np.zeros_like(clini_true)),
+                "params": best_params,
+                "batch_stats": best_stats,
+            }
+            if res_dir is not None and not tcfg.is_permut_test:
+                save_checkpoint(
+                    f"{res_dir}/gcn_state_dict_{result_file_name}_fold_{fold}.msgpack",
+                    best_params, best_stats)
+        else:
+          for epoch in range(1, tcfg.epochs + 1):
             perm = np.concatenate([shuffler.permutation(n_train),
                                    np.arange(n_train, total_padded)])
             rng, erng = jax.random.split(rng)
@@ -205,43 +292,20 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
             else:
                 val_loss = test_loss
 
-            wmask = np.asarray(test_data["w"]) > 0
-            y_true = np.asarray(test_data["y"])[wmask]
             log_probs = np.asarray(test_out["log_probs"])[wmask]
             y_pred = np.asarray(test_out["pred"])[wmask]
             has_regr = "our_reg" in test_out
-            clini_true = np.asarray(test_data["clini"])[wmask]
             if has_regr:
                 reg_pred = np.asarray(test_out["our_reg"])[wmask]
             else:
                 reg_pred = np.zeros_like(clini_true)
-            cm = metrics.classification_metrics(
-                y_true, y_pred, log_probs[:, 1] if log_probs.shape[1] > 1
-                else log_probs[:, 0], cohort.num_classes)
-            corr, r2s, mses = metrics.regression_metrics(clini_true, reg_pred)
-
-            fold_test_losses.append(test_loss)
-            fold_accs.append(cm["acc"])
-            score_result_epoch.append([cm["acc"], cm["auc"], cm["f1"],
-                                       cm["sen"], cm["spe"]])
-
-            if verbose:
-                msg = (f"Fold: {fold}, epoch:{epoch}, train_loss: {train_loss:.4f},"
-                       f" val_loss: {val_loss:.4f}, test_loss: {test_loss:.4f},"
-                       f" acc: {cm['acc']:.4f}, auc: {cm['auc']:.4f}")
-                if has_regr:
-                    for i, nm in enumerate(score_names):
-                        msg += (f"; {nm} corr: {corr[i]:.5f}, r2: {r2s[i]:.5f},"
-                                f" mse: {mses[i]:.5f}")
-                print(msg)
-                if logger is not None:
-                    logger(msg)
+            epoch_metrics(fold, epoch, train_loss, val_loss, test_loss,
+                          log_probs, y_pred, reg_pred, has_regr)
 
             track_loss = val_loss if use_val else test_loss
             if track_loss < best_loss or (tcfg.is_permut_test and
                                           epoch == tcfg.epochs):
                 best_loss = min(best_loss, track_loss)
-                zeros = np.zeros((int(wmask.sum()), 1), np.float32)
                 best_bundle = {
                     "hidden": (np.asarray(test_out["out_lin"])[wmask]
                                if "out_lin" in test_out else zeros),

@@ -23,6 +23,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top_k", type=int, default=3)
     p.add_argument("--disease_id", type=int, default=3)
     p.add_argument("--isCrossAtten", action="store_true", default=True)
+    p.add_argument("--use_pallas_gcn", action="store_true", default=False,
+                   help="run the imaging GCN stack as a fused Pallas kernel")
+    p.add_argument("--no_fold_scan", action="store_true", default=False,
+                   help="debug: per-epoch dispatch instead of whole-fold scan")
     p.add_argument("--isSoftSimilarity", action="store_true", default=True)
     p.add_argument("--isMultilModal4Similarity", action="store_true",
                    default=False)
@@ -136,13 +140,15 @@ def main(argv=None):
             rbf_gamma=args.rbf_gamma, is_use_prob4regr=args.isuseProb4Regr,
             model4eachregr=args.model4eachregr,
             is_image_only=args.isImageOnly, is_snps_only=args.isSNPsOnly,
-            is_multi_fusion=args.isMultiFusion)
+            is_multi_fusion=args.isMultiFusion,
+            use_pallas_gcn=args.use_pallas_gcn)
         tcfg = TrainConfig(
             epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
             lr_decay_factor=args.lr_decay_factor,
             lr_decay_step_size=args.lr_decay_step_size, folds=args.fold,
             seed=args.seed, no_val=args.no_val,
             is_permut_test=args.isPermutTest,
+            use_fold_scan=not args.no_fold_scan,
             clinical_score_index=args.clinical_score_index,
             loss=LossWeights(args.lambda_disease, args.lambda_regr,
                              args.lambda_prob, args.lambda_reco,

@@ -1,0 +1,51 @@
+"""Offline clustering pipeline (t-SNE + KMeans) and artifact layout."""
+import os
+
+import numpy as np
+
+from iggcn_tpu.data.cluster import (calculate_wss, prepare_cluster_artifacts,
+                                    run_image_clustering,
+                                    similarity_features)
+
+
+def _img(rng, s=40):
+    # two separated groups so clustering is trivially recoverable
+    base = rng.normal(0, 0.1, (s, 90, 3)).astype(np.float32)
+    base[s // 2:] += 3.0
+    return base
+
+
+def test_similarity_features_modes():
+    img = np.arange(2 * 90 * 3, dtype=np.float32).reshape(2, 90, 3)
+    mm = similarity_features(img, "multimodal")
+    pet = similarity_features(img, "pet")
+    assert mm.shape == (2, 270)
+    assert pet.shape == (2, 90)
+    np.testing.assert_array_equal(pet, img[:, :, 2])
+
+
+def test_clustering_recovers_groups():
+    rng = np.random.default_rng(0)
+    img = _img(rng)
+    feats = similarity_features(img, "multimodal")
+    tsne, labels = run_image_clustering(feats, k=2, seed=1000)
+    assert tsne.shape == (40, 2)
+    assert labels.shape == (40,)
+    # each true group lands (almost) entirely in one cluster
+    a, b = labels[:20], labels[20:]
+    assert (a == a[0]).mean() > 0.9 and (b == b[0]).mean() > 0.9
+    assert a[0] != b[0]
+
+
+def test_artifact_files(tmp_path):
+    rng = np.random.default_rng(1)
+    img = _img(rng, s=24)
+    labels = prepare_cluster_artifacts(img, str(tmp_path), k=2,
+                                       mode="multimodal")
+    assert (tmp_path / "multimodal_for_similarity.npy").exists()
+    assert (tmp_path / "tsne_results.npy").exists()
+    assert (tmp_path / "center_2" / "clusters_pred_label.npy").exists()
+    saved = np.load(tmp_path / "center_2" / "clusters_pred_label.npy")
+    np.testing.assert_array_equal(saved, labels)
+    wss = calculate_wss(np.load(tmp_path / "tsne_results.npy"), kmax=3)
+    assert len(wss) == 3 and wss[0] >= wss[1] >= wss[2]
