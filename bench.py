@@ -21,7 +21,7 @@ import numpy as np
 FALLBACK_TORCH_GPS = 225.0  # measured 2026-08 on this image (bench_torch)
 
 SUBJECTS = 512
-EPOCHS_TIMED = 5
+EPOCHS_TIMED = 50
 BATCH = 32
 
 
@@ -81,16 +81,20 @@ def bench_jax(topo, cohort):
     perms = jnp.asarray(np.stack([
         np.concatenate([host.permutation(n), np.arange(n, total)])
         for _ in range(EPOCHS_TIMED)]))
-    # warmup / compile (single epoch shares the inner program)
-    state, _ = run_epochs(state, data, perms, rng)
-    jax.block_until_ready(state.params)
-    t0 = time.perf_counter()
+    # CAUTION: no eager jax ops inside the timed region — under the axon
+    # tunnel a single eager op costs ~0.3 s and swamps the measurement. And
+    # sync via a host value fetch: block_until_ready has proven unreliable
+    # (returns early) over the tunnel for short programs.
     rng, erng = jax.random.split(rng)
+    # warmup / compile
+    state, loss_sum = run_epochs(state, data, perms, rng)
+    _ = float(loss_sum)
+    t0 = time.perf_counter()
     state, loss_sum = run_epochs(state, data, perms, erng)
-    jax.block_until_ready(state.params)
+    final_loss = float(loss_sum)        # forces the full chain
     dt = time.perf_counter() - t0
     gps = EPOCHS_TIMED * n / dt
-    return gps, float(loss_sum) / n
+    return gps, final_loss / n
 
 
 def bench_torch(topo, cohort, budget_s=30.0):

@@ -60,6 +60,8 @@ class AdniCohort:
     demographics: np.ndarray   # (S, 9) raw demographics with NaNs
     scaler4score: MinMaxScaler
     num_classes: int
+    raw_y: Optional[np.ndarray] = None     # (S,) pre-remap 5-way labels
+    adni_type: Optional[np.ndarray] = None  # (S,) acquisition cohort id
 
     def __len__(self) -> int:
         return self.x.shape[0]
@@ -70,7 +72,10 @@ class AdniCohort:
             y=self.y[idx], clust_y=self.clust_y[idx], snps=self.snps[idx],
             sbj_id=self.sbj_id[idx], tsne_fdim=self.tsne_fdim[idx],
             clini_score=self.clini_score[idx],
-            demographics=self.demographics[idx])
+            demographics=self.demographics[idx],
+            raw_y=None if self.raw_y is None else self.raw_y[idx],
+            adni_type=(None if self.adni_type is None
+                       else self.adni_type[idx]))
 
 
 def _remap_labels(labels: np.ndarray, disease_id: int
@@ -98,6 +103,44 @@ def _remap_labels(labels: np.ndarray, disease_id: int
     elif disease_id == 3:
         y = np.where(y == 4, 2, np.where(y > 0, 1, 0))
     return sel, y.astype(np.int64)
+
+
+def separate_data_adnitype(cohort: AdniCohort, disease_id: int,
+                           adnitype_id: int = 0
+                           ) -> Tuple[AdniCohort, AdniCohort]:
+    """Split a cohort into (train, held-out-type test) for the
+    generalization experiment.
+
+    Parity `sgcn_data.py:24-60`: subjects whose `adni_type` equals
+    `adnitype_id` become the test cohort (labels binarized y>0 -> 1); the
+    rest are filtered by `disease_id` over the RAW 5-way labels and
+    binarized the same way (disease_id 2 uses y==4 as the positive class).
+    Requires `cohort.raw_y` and `cohort.adni_type`.
+    """
+    if cohort.raw_y is None or cohort.adni_type is None:
+        raise ValueError("cohort must carry raw_y and adni_type")
+    raw = cohort.raw_y.reshape(-1)
+    is_test = cohort.adni_type.reshape(-1) == adnitype_id
+    if disease_id == 0:
+        keep = (raw == 0) | (raw == 4)
+        pos = raw > 0
+    elif disease_id == 1:
+        keep = raw <= 3
+        pos = raw > 0
+    elif disease_id == 2:
+        keep = raw >= 1
+        pos = raw >= 4
+    else:
+        raise ValueError("generalization split supports disease_id 0-2")
+    train_idx = np.where(~is_test & keep)[0]
+    test_idx = np.where(is_test)[0]
+    train = cohort.select(train_idx)
+    test = cohort.select(test_idx)
+    train = dataclasses.replace(train, y=pos[train_idx].astype(np.int64),
+                                num_classes=2)
+    test = dataclasses.replace(test, y=(raw[test_idx] > 0).astype(np.int64),
+                               num_classes=2)
+    return train, test
 
 
 def load_adni874(cfg: DataConfig) -> AdniCohort:
@@ -172,7 +215,12 @@ def load_adni874(cfg: DataConfig) -> AdniCohort:
         sbj_id=sbj_id.reshape(-1)[sel], tsne_fdim=tsne[sel].astype(np.float32),
         clini_score=scores_regr[sel].astype(np.float32),
         demographics=scores_missing[sel].astype(np.float32),
-        scaler4score=scaler4score, num_classes=cfg.num_classes)
+        scaler4score=scaler4score, num_classes=cfg.num_classes,
+        # NOTE: the reference's separate_data_adnitype reads a
+        # `data.adni_type` attribute that its loader never sets
+        # (`sgcn_data.py:37` — latent bug, SURVEY §4); here raw labels are
+        # carried and adni_type stays None unless a sidecar file provides it.
+        raw_y=labels.reshape(-1)[sel].astype(np.int64))
 
 
 def synthetic_cohort(rng: np.random.Generator, *, num_subjects: int = 96,
@@ -220,6 +268,9 @@ def synthetic_cohort(rng: np.random.Generator, *, num_subjects: int = 96,
     clini = scaler.transform(np.nan_to_num(demo, nan=0.5))[:, CLINICAL_SELECT_INDEX[:num_regr]]
     tsne = (x.mean(axis=2)[:, :sim_dim] + rng.normal(0, 0.05, (s, sim_dim)))
 
+    # raw 5-way labels consistent with the binary/3-way y (for the
+    # held-out-adni-type generalization split)
+    raw_y = np.where(y > 0, rng.integers(1, 5, size=s), 0).astype(np.int64)
     return AdniCohort(
         x=x.astype(np.float32), adj=adj.astype(np.float32),
         raw_adj=corr.astype(np.float32), y=y.astype(np.int64),
@@ -227,4 +278,6 @@ def synthetic_cohort(rng: np.random.Generator, *, num_subjects: int = 96,
         snps=snps.astype(np.float32), sbj_id=np.arange(s, dtype=np.int64),
         tsne_fdim=tsne.astype(np.float32), clini_score=clini.astype(np.float32),
         demographics=demo_missing.astype(np.float32),
-        scaler4score=scaler, num_classes=num_classes)
+        scaler4score=scaler, num_classes=num_classes,
+        raw_y=raw_y,
+        adni_type=rng.integers(0, 2, size=s).astype(np.int64))

@@ -25,15 +25,17 @@ def output_npy(path: Optional[str], data, *, is_permut_test: bool = False
 
 
 def output_importance(res_dir: str, result_file_name: str, fold: int,
-                      prob: np.ndarray, snps_prob: np.ndarray,
+                      prob: np.ndarray, snps_prob: "np.ndarray | None",
                       prob_bias: np.ndarray, *, is_permut_test: bool = False
                       ) -> None:
-    """Parity `util/output.py:20-32` (same file names)."""
+    """Parity `util/output.py:20-32` (same file names). `snps_prob` is None
+    for the image-only SGCN family, which has no SNP importance."""
     names = {
         f"node_importance_{result_file_name}_fold_{fold}.npy": prob,
-        f"snps_importance_{result_file_name}_fold_{fold}.npy": snps_prob,
         f"edge_prob_bias_{result_file_name}_fold_{fold}.npy": prob_bias,
     }
+    if snps_prob is not None:
+        names[f"snps_importance_{result_file_name}_fold_{fold}.npy"] = snps_prob
     for fname, arr in names.items():
         output_npy(os.path.join(res_dir, fname), arr,
                    is_permut_test=is_permut_test)

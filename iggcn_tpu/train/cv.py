@@ -100,10 +100,17 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                      clinical_score_index: int = -1,
                      logger: Optional[Callable[[str], None]] = None,
                      model_kind: str = "sgcn_imgsnp",
+                     external_test: Optional[AdniCohort] = None,
                      verbose: bool = True) -> CVResult:
     """Run the full CV experiment. `tcfg.no_val` selects the without-val
     variant; `model_kind` selects the model family and its objective
-    (sgcn_imgsnp | gcn_imgsnp | guide_imgsnp | clusterlabel)."""
+    (sgcn_imgsnp | gcn_imgsnp | guide_imgsnp | clusterlabel | sgcn_image).
+
+    `external_test`: held-out generalization cohort (e.g. a held-out ADNI
+    acquisition type via `data.adni.separate_data_adnitype`) used as the
+    test set of every fold instead of the test fold — parity
+    `kernel/train_eval_sgcn.py:138-157` (`isTestAdnitype`,
+    `isShowValResult=False`)."""
     use_val = not tcfg.no_val
     if model_kind in ("sgcn_imgsnp", "gcn_imgsnp"):
         model = FusedSGCN(cfg=mcfg, topo=topo)
@@ -113,12 +120,21 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     elif model_kind == "clusterlabel":
         from iggcn_tpu.models.clusterlabel import ClusterLabelSGCN
         model = ClusterLabelSGCN(cfg=mcfg, topo=topo)
+    elif model_kind == "sgcn_image":
+        from iggcn_tpu.models.sgcn_image import SGCNImage
+        model = SGCNImage(num_layers=mcfg.num_layers, hidden=mcfg.hidden,
+                          rois=mcfg.rois, feat_dim=mcfg.feat_dim,
+                          num_classes=mcfg.num_classes,
+                          hidden_linear=mcfg.hidden_linear,
+                          use_gat=mcfg.use_gat)
     else:
         raise ValueError(f"unknown model_kind {model_kind}")
     objective = OBJECTIVES[model_kind]
     b = tcfg.batch_size
     splits = k_fold(cohort.y, tcfg.folds, tcfg.seed)
     full = cohort_batch_arrays(cohort)
+    ext_full = (cohort_batch_arrays(external_test)
+                if external_test is not None else None)
 
     score_names = (SCORE_NAMES_DEFAULT if clinical_score_index == -1
                    else [SCORE_NAMES_ALL[clinical_score_index]])
@@ -139,14 +155,16 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
             train_idx = np.concatenate([train_idx, val_idx])
         # per-fold leakage-safe imputation (parity util/tool.py:22-111)
         demo = cohort.demographics
+        test_demo = (external_test.demographics if external_test is not None
+                     else demo[test_idx])
         if use_val:
             scores = knn_impute_scores(
-                [demo[train_idx], demo[val_idx], demo[test_idx]],
+                [demo[train_idx], demo[val_idx], test_demo],
                 cohort.scaler4score, clinical_score_index)
             tr_scores, val_scores, te_scores = scores
         else:
             scores = knn_impute_scores(
-                [demo[train_idx], demo[test_idx]],
+                [demo[train_idx], test_demo],
                 cohort.scaler4score, clinical_score_index)
             tr_scores, te_scores = scores
             val_scores = None
@@ -157,14 +175,22 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
             return arrs
 
         train_data = to_device(pad_to_batches(fold_arrays(train_idx, tr_scores), b))
-        test_data = to_device(pad_to_batches(fold_arrays(test_idx, te_scores), b))
+        if external_test is not None:
+            ext_arrs = dict(ext_full)
+            ext_arrs["clini"] = te_scores
+            test_data = to_device(pad_to_batches(ext_arrs, b))
+            test_subids = ext_full["sbj_id"]
+            n_test = len(external_test)
+        else:
+            test_data = to_device(pad_to_batches(fold_arrays(test_idx, te_scores), b))
+            test_subids = full["sbj_id"][test_idx]
+            n_test = len(test_idx)
         if use_val:
             val_data = to_device(pad_to_batches(fold_arrays(val_idx, val_scores), b))
         else:
             val_data = test_data
 
         n_train = len(train_idx)
-        n_test = len(test_idx)
         steps_per_epoch = train_data["y"].shape[0] // b
         if optimizer is None:
             optimizer = make_optimizer(tcfg, steps_per_epoch)
@@ -180,10 +206,12 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
         rng = jax.random.PRNGKey(tcfg.seed + fold)
         init_rng, rng = jax.random.split(rng)
         dummy = (jnp.zeros((b, mcfg.rois, mcfg.feat_dim)),
-                 jnp.zeros((b, mcfg.rois, mcfg.rois)),
-                 jnp.zeros((b, mcfg.num_snps)))
+                 jnp.zeros((b, mcfg.rois, mcfg.rois)))
+        if model_kind != "sgcn_image":
+            dummy = dummy + (jnp.zeros((b, mcfg.num_snps)),)
         variables = jax.jit(model.init)(init_rng, *dummy)
-        state = TrainState(variables["params"], variables["batch_stats"],
+        state = TrainState(variables["params"],
+                           variables.get("batch_stats", {}),
                            optimizer.init(variables["params"]),
                            jnp.zeros((), jnp.int32))
 
@@ -263,7 +291,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                            if "out_lin" in best_test else zeros),
                 "linear": (best_test["linear_outf"][wmask]
                            if "linear_outf" in best_test else zeros),
-                "subid": full["sbj_id"][test_idx],
+                "subid": test_subids,
                 "true_scores": clini_true,
                 "true_labels": y_true,
                 "pred_scores": (best_test["our_reg"][wmask] if has_regr
@@ -311,7 +339,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                                if "out_lin" in test_out else zeros),
                     "linear": (np.asarray(test_out["linear_outf"])[wmask]
                                if "linear_outf" in test_out else zeros),
-                    "subid": full["sbj_id"][test_idx],
+                    "subid": test_subids,
                     "true_scores": clini_true,
                     "true_labels": y_true,
                     "pred_scores": reg_pred,
@@ -333,7 +361,8 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
             p = jax.device_get(state.params)
             artifacts.output_importance(
                 res_dir, result_file_name, fold, np.asarray(p["prob"]),
-                np.asarray(p["snps_prob"]), np.asarray(p["prob_bias"]),
+                (np.asarray(p["snps_prob"]) if "snps_prob" in p else None),
+                np.asarray(p["prob_bias"]),
                 is_permut_test=tcfg.is_permut_test)
 
         if best_bundle is not None:

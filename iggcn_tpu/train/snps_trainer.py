@@ -101,8 +101,15 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
         train_idx = np.concatenate([train_idx, val_idx])
         rng = jax.random.PRNGKey(seed + fold)
         init_rng, rng = jax.random.split(rng)
-        variables = jax.jit(model.init)(init_rng,
-                                        jnp.zeros((batch_size, topo.num_snps)))
+        def _init_all(mod, x):
+            # trace encoder/decoder AND the classification head so every
+            # param (incl. bn_cls) exists in the initialized variables
+            latent, x_hat, _ = mod(x)
+            return mod.classify(latent, x)
+
+        variables = jax.jit(
+            lambda r, x: model.init(r, x, method=_init_all))(
+                init_rng, jnp.zeros((batch_size, topo.num_snps)))
         params, batch_stats = variables["params"], variables["batch_stats"]
         opt_state = optimizer.init(params)
         host_rng = np.random.default_rng(seed * 77 + fold)

@@ -127,6 +127,49 @@ def fused_objective(model, params, batch_stats, batch: Batch,
     return total, aux
 
 
+class _SgcnImageOut(NamedTuple):
+    log_probs: jax.Array
+
+
+def sgcn_image_objective(model, params, batch_stats, batch: Batch,
+                         mcfg: ModelConfig, tcfg: TrainConfig, *,
+                         train: bool, rng: Optional[jax.Array] = None
+                         ) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Image-only SGCN objective (no genetics branch).
+
+    Parity: `kernel/train_eval_sgcn.py:296-313` — loss = lamda_ce*CE(plain)
+    + loss_probability + lamda_mi*CE(masked). Drives the SGCNOri / SGCNImage
+    family (`models/sgcn_image.py`); SNP/clinical inputs are ignored.
+    """
+    sw = tcfg.sparsity
+    w = batch["w"]
+    x, adj = batch["x"], batch["adj"]
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        r1, r2 = jax.random.split(rng)
+        lp, mut1 = model.apply(variables, x, adj, train=True,
+                               mutable=["batch_stats"], rngs={"dropout": r1})
+        variables = {"params": params,
+                     "batch_stats": mut1.get("batch_stats", {})}
+        lp_m, mut2 = model.apply(variables, x, adj, is_explain=True,
+                                 train=True, mutable=["batch_stats"],
+                                 rngs={"dropout": r2})
+        new_stats = mut2.get("batch_stats", {})
+    else:
+        lp = model.apply(variables, x, adj)
+        lp_m = model.apply(variables, x, adj, is_explain=True)
+        new_stats = batch_stats
+
+    y = batch["y"]
+    loss_ce = losses.nll_loss(lp, y, w)
+    loss_mi = losses.nll_loss(lp_m, y, w)
+    loss_prob = losses.sgcn_sparsity_loss(params["prob"], params["prob_bias"],
+                                          x, adj, sw, sample_weight=w)
+    total = sw.lamda_ce * loss_ce + loss_prob + sw.lamda_mi * loss_mi
+    return total, {"batch_stats": new_stats, "out": _SgcnImageOut(lp),
+                   "out_prob": _SgcnImageOut(lp_m)}
+
+
 def gcn_fusion_objective(model, params, batch_stats, batch: Batch,
                          mcfg: ModelConfig, tcfg: TrainConfig, *,
                          train: bool, rng: Optional[jax.Array] = None
@@ -270,6 +313,7 @@ OBJECTIVES = {
     "gcn_imgsnp": gcn_fusion_objective,
     "guide_imgsnp": guide_objective,
     "clusterlabel": clusterlabel_objective,
+    "sgcn_image": sgcn_image_objective,
 }
 
 

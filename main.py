@@ -5,6 +5,7 @@ sweep; falls back to a synthetic ADNI-shaped cohort when the real data
 directory is absent (pass --synthetic to force it).
 """
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -16,6 +17,10 @@ import numpy as np
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native GNN for ADNI graphs")
     p.add_argument("--model", type=str, default="SGCN_GCN_IMGSNP")
+    p.add_argument("--isTestAdnitype", action="store_true", default=False,
+                   help="train on CV folds, test on a held-out ADNI type")
+    p.add_argument("--adnitype_id", type=int, default=0)
+    p.add_argument("--disease_id4Adnitype", type=int, default=0)
     p.add_argument("--knn", type=int, default=5)
     p.add_argument("--no_val", action="store_true", default=False)
     p.add_argument("--isPPr", action="store_true", default=True)
@@ -160,9 +165,19 @@ def main(argv=None):
             "GCN_IMGSNP": "gcn_imgsnp",
             "GUIDE_IMGSNP": "guide_imgsnp",
             "SGCN_GCN_CLUSTERLABEL": "clusterlabel",
+            "SGCN_GCN": "sgcn_image",
+            "SGCN_GAT": "sgcn_image",
+            "SGCN_Ori": "sgcn_image",
         }.get(args.model, "sgcn_imgsnp")
+        if args.model == "SGCN_GAT":
+            mcfg = dataclasses.replace(mcfg, use_gat=True)
+        train_cohort, ext_test = cohort, None
+        if args.isTestAdnitype:
+            train_cohort, ext_test = adni.separate_data_adnitype(
+                cohort, args.disease_id4Adnitype, args.adnitype_id)
         res = cross_validation(
-            cohort, topo, mcfg, tcfg, res_dir=res_dir,
+            train_cohort, topo, mcfg, tcfg, res_dir=res_dir,
+            external_test=ext_test,
             result_file_name=result_file_name,
             clinical_score_index=args.clinical_score_index, logger=logger,
             model_kind=model_kind)
