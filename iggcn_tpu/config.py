@@ -124,6 +124,10 @@ class TrainConfig:
     # dispatch per fold) instead of ~4 dispatches per epoch. Disable only for
     # debugging; results are identical.
     use_fold_scan: bool = True
+    # Run ALL folds simultaneously: the fold runner is vmapped over a fold
+    # axis sharded across the device mesh (train/fold_parallel.py). Requires
+    # use_fold_scan. Results are identical up to float reduction order.
+    fold_parallel: bool = False
     loss: LossWeights = dataclasses.field(default_factory=LossWeights)
     sparsity: SparsityWeights = dataclasses.field(default_factory=SparsityWeights)
 

@@ -101,8 +101,17 @@ class BatchNorm1d(nn.Module):
                 mean = jnp.sum(x * w, axis=reduce_axes) / denom
                 var = jnp.sum(jnp.square(x) * w, axis=reduce_axes) / denom - jnp.square(mean)
             if not self.is_initializing():
-                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
+                new_mean = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                new_var = (1 - self.momentum) * ra_var.value + self.momentum * var
+                if weight is not None:
+                    # an all-padding batch (possible when folds are padded to
+                    # a common size for fold-parallel execution) must not
+                    # drag the running stats toward zero
+                    has_real = jnp.sum(weight) > 0
+                    new_mean = jnp.where(has_real, new_mean, ra_mean.value)
+                    new_var = jnp.where(has_real, new_var, ra_var.value)
+                ra_mean.value = new_mean
+                ra_var.value = new_var
 
         shape = [1] * x.ndim
         shape[feat_axis] = c

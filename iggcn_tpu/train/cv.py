@@ -4,9 +4,12 @@ Re-design of `cross_validation_with_val_set` / `cross_validation_without_val_set
 (`kernel/train_eval_sgcn_img_snps.py:35-244,247-438`):
 
   * Per fold, the whole (train/val/test) data lives on device as dense padded
-    arrays; one jitted `lax.scan` runs each training epoch, one jitted scan
-    runs each evaluation pass — host<->device traffic per epoch is a handful
-    of scalars and the small test-set outputs.
+    arrays; one jitted `lax.scan` runs the entire fold (train epochs + val/test
+    evals + best-val tracking) in a single dispatch (`fold_scan.py`).
+  * `tcfg.fold_parallel` runs ALL folds simultaneously: the fold runner is
+    vmapped over a fold axis sharded across the device mesh
+    (`fold_parallel.py`) — the reference's entire k-fold experiment becomes
+    one SPMD program.
   * Best-val-epoch checkpointing, importance artifacts, per-epoch score
     matrix, hidden/subid/linear dumps, pooled regression metrics: all parity.
   * Fold selection logic: with-val keeps the val fold out of training; the
@@ -34,6 +37,8 @@ from iggcn_tpu.data.splits import k_fold
 from iggcn_tpu.models.fused_sgcn import FusedSGCN
 from iggcn_tpu.train import artifacts, metrics
 from iggcn_tpu.train.checkpoint import save_checkpoint
+from iggcn_tpu.train.fold_parallel import (extend_perms, index_tree,
+                                           pad_fold_data, run_folds_parallel)
 from iggcn_tpu.train.fold_scan import make_fold_runner
 from iggcn_tpu.train.steps import (OBJECTIVES, TrainState, make_eval_step,
                                    make_optimizer, make_train_step)
@@ -139,21 +144,27 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     score_names = (SCORE_NAMES_DEFAULT if clinical_score_index == -1
                    else [SCORE_NAMES_ALL[clinical_score_index]])
 
-    all_score_results = []
-    test_losses: List[float] = []
-    accs: List[float] = []
-    durations: List[float] = []
-    best_hidden, best_subids, best_linear = [], [], []
-    best_true_scores, best_true_labels, best_pred_scores = [], [], []
-    total_graphs = 0
-    optimizer = None
-    train_epoch = eval_epoch = None
-    fold_runner = None
+    def init_state(fold):
+        """Fresh model per fold (parity :101-107); returns (state, rng)."""
+        rng = jax.random.PRNGKey(tcfg.seed + fold)
+        init_rng, rng = jax.random.split(rng)
+        dummy = (jnp.zeros((b, mcfg.rois, mcfg.feat_dim)),
+                 jnp.zeros((b, mcfg.rois, mcfg.rois)))
+        if model_kind != "sgcn_image":
+            dummy = dummy + (jnp.zeros((b, mcfg.num_snps)),)
+        variables = jax.jit(model.init)(init_rng, *dummy)
+        state = TrainState(variables["params"],
+                           variables.get("batch_stats", {}),
+                           optimizer.init(variables["params"]),
+                           jnp.zeros((), jnp.int32))
+        return state, rng
 
-    for fold, (train_idx, test_idx, val_idx) in enumerate(splits):
+    def prep_fold(fold, train_idx, test_idx, val_idx):
+        """Host-side data prep for one fold: leakage-safe imputation
+        (parity util/tool.py:22-111), padded dense arrays, pre-drawn epoch
+        permutations. All numpy — device placement happens at dispatch."""
         if not use_val:
             train_idx = np.concatenate([train_idx, val_idx])
-        # per-fold leakage-safe imputation (parity util/tool.py:22-111)
         demo = cohort.demographics
         test_demo = (external_test.demographics if external_test is not None
                      else demo[test_idx])
@@ -170,29 +181,81 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
             val_scores = None
 
         def fold_arrays(idx, clini):
-            arrs = {k: v[idx] for k, v in full.items()}
+            arrs = {k: v[idx] for k, v in full.items() if k != "sbj_id"}
             arrs["clini"] = clini
             return arrs
 
-        train_data = to_device(pad_to_batches(fold_arrays(train_idx, tr_scores), b))
+        train_data = pad_to_batches(fold_arrays(train_idx, tr_scores), b)
         if external_test is not None:
-            ext_arrs = dict(ext_full)
+            ext_arrs = {k: v for k, v in ext_full.items() if k != "sbj_id"}
             ext_arrs["clini"] = te_scores
-            test_data = to_device(pad_to_batches(ext_arrs, b))
+            test_data = pad_to_batches(ext_arrs, b)
             test_subids = ext_full["sbj_id"]
             n_test = len(external_test)
         else:
-            test_data = to_device(pad_to_batches(fold_arrays(test_idx, te_scores), b))
+            test_data = pad_to_batches(fold_arrays(test_idx, te_scores), b)
             test_subids = full["sbj_id"][test_idx]
             n_test = len(test_idx)
-        if use_val:
-            val_data = to_device(pad_to_batches(fold_arrays(val_idx, val_scores), b))
-        else:
-            val_data = test_data
+        val_data = (pad_to_batches(fold_arrays(val_idx, val_scores), b)
+                    if use_val else test_data)
 
         n_train = len(train_idx)
-        steps_per_epoch = train_data["y"].shape[0] // b
+        total_padded = train_data["y"].shape[0]
+        shuffler = np.random.default_rng(tcfg.seed * 1000 + fold)
+        perms = np.stack([
+            np.concatenate([shuffler.permutation(n_train),
+                            np.arange(n_train, total_padded)])
+            for _ in range(tcfg.epochs)]).astype(np.int32)
+        return dict(train_data=train_data, val_data=val_data,
+                    test_data=test_data, test_subids=test_subids,
+                    n_train=n_train, n_test=n_test,
+                    n_val=len(val_idx) if use_val else n_test, perms=perms)
+
+    all_score_results = []
+    test_losses: List[float] = []
+    accs: List[float] = []
+    durations: List[float] = []
+    best_hidden, best_subids, best_linear = [], [], []
+    best_true_scores, best_true_labels, best_pred_scores = [], [], []
+    total_graphs = 0
+    optimizer = None
+    train_epoch = eval_epoch = None
+    fold_runner = None
+    prepped = None
+    parallel_out = None
+    parallel_dt = 0.0
+
+    if tcfg.fold_parallel and tcfg.use_fold_scan:
+        # ---- all folds in ONE sharded device program --------------------
+        prepped = [prep_fold(f, *split) for f, split in enumerate(splits)]
+        # equalize shapes across folds (zero-weight padding)
+        trains = pad_fold_data([p["train_data"] for p in prepped])
+        vals = pad_fold_data([p["val_data"] for p in prepped])
+        tests = pad_fold_data([p["test_data"] for p in prepped])
+        target = trains[0]["y"].shape[0]
+        perms_list = [extend_perms(p["perms"], target) for p in prepped]
+        for p, tr, va, te, pe in zip(prepped, trains, vals, tests,
+                                     perms_list):
+            p["train_data"], p["val_data"], p["test_data"] = tr, va, te
+            p["perms"] = pe
+        optimizer = make_optimizer(tcfg, target // b)
+        fold_runner = make_fold_runner(
+            model, mcfg, tcfg, optimizer, objective,
+            track_best_on="val" if use_val else "test")
+        states, rngs = zip(*(init_state(f) for f in range(tcfg.folds)))
+        t0 = time.perf_counter()
+        parallel_out = run_folds_parallel(
+            fold_runner, states, trains, vals, tests, perms_list, rngs)
+        parallel_dt = time.perf_counter() - t0
+
+    for fold, (train_idx, test_idx, val_idx) in enumerate(splits):
+        p = prepped[fold] if prepped is not None else prep_fold(
+            fold, train_idx, test_idx, val_idx)
+        n_train, n_test, n_val = p["n_train"], p["n_test"], p["n_val"]
+        test_subids = p["test_subids"]
+
         if optimizer is None:
+            steps_per_epoch = p["train_data"]["y"].shape[0] // b
             optimizer = make_optimizer(tcfg, steps_per_epoch)
             if tcfg.use_fold_scan:
                 fold_runner = make_fold_runner(
@@ -202,30 +265,14 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                 train_epoch, eval_epoch = _epoch_fns(model, mcfg, tcfg,
                                                      optimizer, objective)
 
-        # fresh model per fold (parity :101-107)
-        rng = jax.random.PRNGKey(tcfg.seed + fold)
-        init_rng, rng = jax.random.split(rng)
-        dummy = (jnp.zeros((b, mcfg.rois, mcfg.feat_dim)),
-                 jnp.zeros((b, mcfg.rois, mcfg.rois)))
-        if model_kind != "sgcn_image":
-            dummy = dummy + (jnp.zeros((b, mcfg.num_snps)),)
-        variables = jax.jit(model.init)(init_rng, *dummy)
-        state = TrainState(variables["params"],
-                           variables.get("batch_stats", {}),
-                           optimizer.init(variables["params"]),
-                           jnp.zeros((), jnp.int32))
-
-        shuffler = np.random.default_rng(tcfg.seed * 1000 + fold)
-        total_padded = train_data["y"].shape[0]
-
         t_start = time.perf_counter()
         best_loss = np.inf
         best_bundle = None
         score_result_epoch = []
         fold_test_losses, fold_accs = [], []
-        wmask = np.asarray(test_data["w"]) > 0
-        y_true = np.asarray(test_data["y"])[wmask]
-        clini_true = np.asarray(test_data["clini"])[wmask]
+        wmask = np.asarray(p["test_data"]["w"]) > 0
+        y_true = np.asarray(p["test_data"]["y"])[wmask]
+        clini_true = np.asarray(p["test_data"]["clini"])[wmask]
         zeros = np.zeros((int(wmask.sum()), 1), np.float32)
 
         def epoch_metrics(fold, epoch, train_loss, val_loss, test_loss,
@@ -251,20 +298,22 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                     logger(msg)
 
         if tcfg.use_fold_scan:
-            # One device dispatch for the entire fold: E epochs of train +
-            # val/test eval + on-device best-val tracking (fold_scan.py).
-            perms = np.stack([
-                np.concatenate([shuffler.permutation(n_train),
-                                np.arange(n_train, total_padded)])
-                for _ in range(tcfg.epochs)]).astype(np.int32)
-            # pass rng whole: fold_fn splits once per epoch, mirroring the
-            # python path's per-epoch split — identical dropout streams.
-            per_epoch, best, state = fold_runner(
-                state, train_data, val_data, test_data,
-                jnp.asarray(perms), rng)
-            per_epoch = jax.device_get(per_epoch)
+            if parallel_out is not None:
+                per_epoch_all, best_all, states_all = parallel_out
+                per_epoch = index_tree(per_epoch_all, fold)
+                best = index_tree(best_all, fold)
+                state = index_tree(states_all, fold)
+            else:
+                # one device dispatch for the entire fold (fold_scan.py);
+                # pass rng whole: fold_fn splits once per epoch, mirroring
+                # the python path's per-epoch split — identical streams.
+                state, rng = init_state(fold)
+                per_epoch, best, state = fold_runner(
+                    state, to_device(p["train_data"]),
+                    to_device(p["val_data"]), to_device(p["test_data"]),
+                    jnp.asarray(p["perms"]), rng)
+                per_epoch = jax.device_get(per_epoch)
             has_regr = "our_reg" in per_epoch
-            n_val = len(val_idx) if use_val else n_test
             for e in range(tcfg.epochs):
                 reg_pred = (per_epoch["our_reg"][e][wmask] if has_regr
                             else np.zeros_like(clini_true))
@@ -304,9 +353,12 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                     f"{res_dir}/gcn_state_dict_{result_file_name}_fold_{fold}.msgpack",
                     best_params, best_stats)
         else:
+          state, rng = init_state(fold)
+          train_data = to_device(p["train_data"])
+          val_data = to_device(p["val_data"])
+          test_data = to_device(p["test_data"])
           for epoch in range(1, tcfg.epochs + 1):
-            perm = np.concatenate([shuffler.permutation(n_train),
-                                   np.arange(n_train, total_padded)])
+            perm = p["perms"][epoch - 1]
             rng, erng = jax.random.split(rng)
             state, train_loss_sum = train_epoch(state, train_data,
                                                 jnp.asarray(perm), erng)
@@ -316,7 +368,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
             test_loss = float(test_out["loss_sum"]) / n_test
             if use_val:
                 val_out = eval_epoch(state.params, state.batch_stats, val_data)
-                val_loss = float(val_out["loss_sum"]) / len(val_idx)
+                val_loss = float(val_out["loss_sum"]) / n_val
             else:
                 val_loss = test_loss
 
@@ -351,18 +403,19 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                         f"{res_dir}/gcn_state_dict_{result_file_name}_fold_{fold}.msgpack",
                         state.params, state.batch_stats)
 
-        durations.append(time.perf_counter() - t_start)
+        durations.append(parallel_dt / tcfg.folds if parallel_out is not None
+                         else time.perf_counter() - t_start)
         total_graphs += n_train * tcfg.epochs
         test_losses.extend(fold_test_losses)
         accs.extend(fold_accs)
         all_score_results.append(score_result_epoch)
 
         if res_dir is not None and "prob" in state.params:
-            p = jax.device_get(state.params)
+            pr = jax.device_get(state.params)
             artifacts.output_importance(
-                res_dir, result_file_name, fold, np.asarray(p["prob"]),
-                (np.asarray(p["snps_prob"]) if "snps_prob" in p else None),
-                np.asarray(p["prob_bias"]),
+                res_dir, result_file_name, fold, np.asarray(pr["prob"]),
+                (np.asarray(pr["snps_prob"]) if "snps_prob" in pr else None),
+                np.asarray(pr["prob_bias"]),
                 is_permut_test=tcfg.is_permut_test)
 
         if best_bundle is not None:

@@ -1,0 +1,108 @@
+"""Fold-level parallelism: run all CV folds simultaneously on a device mesh.
+
+SURVEY §2c: the reference is single-device; the TPU-native scaling story is
+(a) batch data-parallelism (`parallel/mesh.py`) and (b) **fold parallelism**
+— the k stratified folds are embarrassingly parallel, so the whole
+cross-validation becomes ONE device program: `vmap` the single-fold scan
+(`fold_scan.make_fold_runner`) over a leading fold axis and shard that axis
+across the mesh. Each device (group) trains its own fold(s); there is no
+cross-fold communication, so the mapping is pure ICI-free SPMD.
+
+Fold data shapes are equalized by padding each fold's padded-batch arrays to
+the max size across folds with zero-weight rows (every loss/BN reduction is
+already `w`-masked, and `nn_compat.BatchNorm1d` freezes running stats on
+all-padding batches), and extending the epoch permutations over the pad.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from iggcn_tpu.parallel.mesh import make_mesh
+
+
+def fold_mesh(num_folds: int, axis_name: str = "fold"):
+    """Mesh over the largest divisor of `num_folds` that fits the device
+    count — sharding a leading axis requires divisibility."""
+    n_dev = jax.device_count()
+    size = 1
+    for d in range(min(num_folds, n_dev), 0, -1):
+        if num_folds % d == 0:
+            size = d
+            break
+    return make_mesh(size, axis_name=axis_name)
+
+
+def pad_fold_data(datas: Sequence[Dict[str, np.ndarray]]
+                  ) -> List[Dict[str, np.ndarray]]:
+    """Pad every fold's arrays (leading axis) to the max across folds with
+    zeros; the `w` column keeps marking the real rows."""
+    target = max(d["y"].shape[0] for d in datas)
+    out = []
+    for d in datas:
+        cur = d["y"].shape[0]
+        if cur == target:
+            out.append(d)
+            continue
+        padded = {}
+        for k, v in d.items():
+            pad = [(0, target - cur)] + [(0, 0)] * (v.ndim - 1)
+            padded[k] = np.pad(v, pad)
+        out.append(padded)
+    return out
+
+
+def extend_perms(perms: np.ndarray, target: int) -> np.ndarray:
+    """Extend (E, S_f) epoch permutations to (E, target) by appending the
+    identity over the new padding rows."""
+    e, s = perms.shape
+    if s == target:
+        return perms
+    extra = np.broadcast_to(np.arange(s, target, dtype=perms.dtype),
+                            (e, target - s))
+    return np.concatenate([perms, extra], axis=1)
+
+
+def stack_trees(trees: Sequence[Any]) -> Any:
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def index_tree(tree: Any, i: int) -> Any:
+    return jax.tree_util.tree_map(lambda x: x[i], tree)
+
+
+def run_folds_parallel(fold_fn, states, train_datas, val_datas, test_datas,
+                       perms_list, rngs, *, mesh=None):
+    """Execute `fold_fn` (from `make_fold_runner`) for every fold at once.
+
+    Args are per-fold lists; data dicts must already be shape-equalized
+    (`pad_fold_data`) and perms extended (`extend_perms`). Returns
+    (per_epoch, best, final_states) with a leading fold axis, fetched to
+    host.
+    """
+    k = len(states)
+    if mesh is None:
+        mesh = fold_mesh(k)
+    stacked = (stack_trees(list(states)),
+               stack_trees([dict(d) for d in train_datas]),
+               stack_trees([dict(d) for d in val_datas]),
+               stack_trees([dict(d) for d in test_datas]),
+               jnp.stack([jnp.asarray(p) for p in perms_list]),
+               jnp.stack(list(rngs)))
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis))
+
+    def spec(tree):
+        return jax.tree_util.tree_map(lambda _: shard, tree)
+
+    vmapped = jax.vmap(fold_fn)
+    run = jax.jit(vmapped,
+                  in_shardings=tuple(spec(t) for t in stacked),
+                  out_shardings=spec(jax.eval_shape(vmapped, *stacked)))
+    per_epoch, best, final_states = run(*stacked)
+    return (jax.device_get(per_epoch), jax.device_get(best),
+            jax.device_get(final_states))

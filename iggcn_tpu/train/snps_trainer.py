@@ -38,11 +38,20 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
                           lr: float = 1e-3, lambda0: float = 1e-5,
                           seed: int = 1000, l_dim: int = 32,
                           n_l: int = 2, f_dim=(5, 5),
+                          model_kind: str = "go",
                           verbose: bool = False) -> SnpsCVResult:
-    """Binary SNP classification with the bare GO network + its head."""
+    """Binary SNP classification with the bare GO network + its head, or the
+    plain MLP baseline (`model_kind='mlp'`, parity
+    `kernel/train_eval_snps_baseline.py:298-324`: BCE only, no recon)."""
     labels = np.asarray(labels, np.float32).reshape(-1)
-    model = GeneOntologyNetwork(topo=topo, in_f_dim=2, n_l=n_l, f_dim=f_dim,
-                                l_dim=l_dim)
+    use_mlp = model_kind == "mlp"
+    if use_mlp:
+        from iggcn_tpu.models.baselines import MLPModel
+        model = MLPModel()
+        lambda0 = 0.0
+    else:
+        model = GeneOntologyNetwork(topo=topo, in_f_dim=2, n_l=n_l,
+                                    f_dim=f_dim, l_dim=l_dim)
 
     # StepLR(50, 0.7) parity
     steps_per_epoch = -(-len(labels) * (folds - 2) // folds // batch_size)
@@ -56,6 +65,13 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
 
     def forward(params, batch_stats, x, train, rng):
         variables = {"params": params, "batch_stats": batch_stats}
+        if use_mlp:
+            if train:
+                y_hat = model.apply({"params": params}, x, train=True,
+                                    rngs={"dropout": rng})
+            else:
+                y_hat = model.apply({"params": params}, x)
+            return None, x, y_hat, batch_stats
         if train:
             (latent, x_hat, _), mut = model.apply(
                 variables, x, train=True, rngs={"dropout": rng},
@@ -101,16 +117,21 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
         train_idx = np.concatenate([train_idx, val_idx])
         rng = jax.random.PRNGKey(seed + fold)
         init_rng, rng = jax.random.split(rng)
-        def _init_all(mod, x):
-            # trace encoder/decoder AND the classification head so every
-            # param (incl. bn_cls) exists in the initialized variables
-            latent, x_hat, _ = mod(x)
-            return mod.classify(latent, x)
-
-        variables = jax.jit(
-            lambda r, x: model.init(r, x, method=_init_all))(
+        if use_mlp:
+            variables = jax.jit(model.init)(
                 init_rng, jnp.zeros((batch_size, topo.num_snps)))
-        params, batch_stats = variables["params"], variables["batch_stats"]
+        else:
+            def _init_all(mod, x):
+                # trace encoder/decoder AND the classification head so every
+                # param (incl. bn_cls) exists in the initialized variables
+                latent, x_hat, _ = mod(x)
+                return mod.classify(latent, x)
+
+            variables = jax.jit(
+                lambda r, x: model.init(r, x, method=_init_all))(
+                    init_rng, jnp.zeros((batch_size, topo.num_snps)))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
         opt_state = optimizer.init(params)
         host_rng = np.random.default_rng(seed * 77 + fold)
 

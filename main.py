@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the imaging GCN stack as a fused Pallas kernel")
     p.add_argument("--no_fold_scan", action="store_true", default=False,
                    help="debug: per-epoch dispatch instead of whole-fold scan")
+    p.add_argument("--fold_parallel", action="store_true", default=False,
+                   help="run all CV folds at once, sharded over the device mesh")
     p.add_argument("--isSoftSimilarity", action="store_true", default=True)
     p.add_argument("--isMultilModal4Similarity", action="store_true",
                    default=False)
@@ -154,6 +156,7 @@ def main(argv=None):
             seed=args.seed, no_val=args.no_val,
             is_permut_test=args.isPermutTest,
             use_fold_scan=not args.no_fold_scan,
+            fold_parallel=args.fold_parallel,
             clinical_score_index=args.clinical_score_index,
             loss=LossWeights(args.lambda_disease, args.lambda_regr,
                              args.lambda_prob, args.lambda_reco,

@@ -1,0 +1,94 @@
+"""Multi-chip data parallelism on the 8-virtual-device CPU mesh: the DP
+train step must be numerically equivalent to the single-device step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iggcn_tpu.config import ModelConfig, TrainConfig
+from iggcn_tpu.models.fused_sgcn import FusedSGCN
+from iggcn_tpu.parallel.mesh import (make_dp_train_step, make_mesh,
+                                     replicate_tree, shard_batch_tree)
+from iggcn_tpu.train.steps import TrainState, make_optimizer, make_train_step
+
+
+def _setup(cohort, topo, b=16):
+    mcfg = ModelConfig(num_layers=2, hidden=8, hidden_linear=16, l_dim=8)
+    tcfg = TrainConfig(epochs=1, batch_size=b)
+    model = FusedSGCN(cfg=mcfg, topo=topo)
+    batch = {
+        "x": jnp.asarray(cohort.x[:b]),
+        "adj": jnp.asarray(cohort.adj[:b]),
+        "snps": jnp.asarray(cohort.snps[:b]),
+        "y": jnp.asarray(cohort.y[:b].astype(np.int32)),
+        "clini": jnp.asarray(cohort.clini_score[:b]),
+        "clust_y": jnp.asarray(cohort.clust_y[:b].astype(np.int32)),
+        "tsne": jnp.asarray(cohort.tsne_fdim[:b]),
+        "w": jnp.ones((b,), jnp.float32),
+    }
+    optimizer = make_optimizer(tcfg, 1)
+    train_step = make_train_step(model, mcfg, tcfg, optimizer)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch["x"],
+                                    batch["adj"], batch["snps"])
+    state = TrainState(variables["params"], variables["batch_stats"],
+                       optimizer.init(variables["params"]),
+                       jnp.zeros((), jnp.int32))
+    return train_step, state, batch
+
+
+def test_dp_step_matches_single_device(cohort, topo):
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    train_step, state, batch = _setup(cohort, topo)
+    rng = jax.random.PRNGKey(3)
+
+    single = jax.jit(train_step)
+    s1, loss1 = single(state, batch, rng)
+
+    mesh = make_mesh(8)
+    dp_step = make_dp_train_step(train_step, mesh)
+    s2, loss2 = dp_step(replicate_tree(mesh, state),
+                        shard_batch_tree(mesh, batch), rng)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    # sharded gradient reductions reorder float sums; Adam then maps the
+    # epsilon-level gradient differences to ~lr-scaled parameter jitter, so
+    # compare with an absolute tolerance well below the update magnitude
+    for a, b2 in zip(jax.tree_util.tree_leaves(s1.params),
+                     jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   atol=1e-4)
+
+
+def test_dp_step_output_sharding(cohort, topo):
+    train_step, state, batch = _setup(cohort, topo)
+    mesh = make_mesh(8)
+    dp_step = make_dp_train_step(train_step, mesh)
+    s2, loss = dp_step(replicate_tree(mesh, state),
+                       shard_batch_tree(mesh, batch), jax.random.PRNGKey(0))
+    # params stay replicated across all 8 devices
+    leaf = jax.tree_util.tree_leaves(s2.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_fold_parallel_matches_sequential(cohort, topo):
+    """tcfg.fold_parallel shards folds over the mesh; results must match the
+    sequential fold-scan path (identical perms + dropout streams)."""
+    import dataclasses as dc
+
+    from iggcn_tpu.config import LossWeights
+    from iggcn_tpu.train.cv import cross_validation
+
+    mcfg = ModelConfig(num_layers=2, hidden=4, rois=90, feat_dim=3,
+                       num_classes=2, num_regr=3, hidden_linear=8, l_dim=8)
+    tcfg = TrainConfig(epochs=2, batch_size=8, lr=1e-3, folds=4, seed=7,
+                       loss=LossWeights(disease=0.0, regr=1.0, prob=0.5,
+                                        reco=1.5e-6, simi=0.1, orth=0.0))
+    res_seq = cross_validation(cohort, topo, mcfg, tcfg, res_dir=None,
+                               verbose=False)
+    res_par = cross_validation(
+        cohort, topo, mcfg, dc.replace(tcfg, fold_parallel=True),
+        res_dir=None, verbose=False)
+    np.testing.assert_allclose(res_par.mean_test_loss, res_seq.mean_test_loss,
+                               rtol=1e-3)
+    np.testing.assert_allclose(res_par.score_result, res_seq.score_result,
+                               rtol=1e-3, atol=2e-3)
