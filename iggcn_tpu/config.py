@@ -128,6 +128,11 @@ class TrainConfig:
     # axis sharded across the device mesh (train/fold_parallel.py). Requires
     # use_fold_scan. Results are identical up to float reduction order.
     fold_parallel: bool = False
+    # Fuse the flagship's two forwards per step (plain + importance-masked)
+    # into one vmapped apply over a mask axis of size 2 (SURVEY §7.1) —
+    # ~1.5-2x step throughput; identical math incl. sequential BatchNorm
+    # running-stat updates (steps._dual_pass).
+    dual_pass_vmap: bool = True
     loss: LossWeights = dataclasses.field(default_factory=LossWeights)
     sparsity: SparsityWeights = dataclasses.field(default_factory=SparsityWeights)
 

@@ -131,7 +131,8 @@ class FusedSGCN(nn.Module):
 
     def __call__(self, x: jax.Array, adj: jax.Array, snps: jax.Array, *,
                  is_explain: bool = False, train: bool = False,
-                 sample_weight: Optional[jax.Array] = None) -> FusedOutputs:
+                 sample_weight: Optional[jax.Array] = None,
+                 raw_x: Optional[jax.Array] = None) -> FusedOutputs:
         """Forward one dense batch.
 
         Args:
@@ -141,9 +142,16 @@ class FusedSGCN(nn.Module):
           snps: (B, S) SNP vector.
           is_explain: apply the learned importance masks (second pass of the
             reference training loop, `train_eval_sgcn_img_snps.py:523`).
+          raw_x: unmasked ROI features for the prob4regr regression input
+            (the reference always uses `data.x` there even in the masked
+            pass, `sgcn_img_snp.py:292-294`). Defaults to `x`; the vmapped
+            dual-pass objective (`steps._dual_pass`) pre-masks `x` and must
+            pass the raw features here explicitly.
         """
         cfg = self.cfg
         b, n, d = x.shape
+        if raw_x is None:
+            raw_x = x
 
         if is_explain:
             masks = importance_masks(x, adj, self.prob, self.prob_bias,
@@ -196,7 +204,12 @@ class FusedSGCN(nn.Module):
             else:
                 out_cross = out_cross.reshape(b, -1)
         else:
-            out_cross = jnp.concatenate([img_out, latent], axis=-1)
+            # Reference-bug note: the `isCrossAtten=False` branch upstream
+            # (`sgcn_img_snp.py:242-243` -> `:287`) adds (B, N*L*h) to
+            # (B, N*L*h + l_dim) and cannot run — and the flag is not even
+            # settable to False from its CLI (`main.py:` store_true with
+            # default=True). Rebuilt as evidently intended: concat fusion.
+            out_cross = None
 
         # ---- heads ----------------------------------------------------------
         if cfg.is_image_only:
@@ -205,6 +218,9 @@ class FusedSGCN(nn.Module):
         elif cfg.is_snps_only:
             out_z = latent
             out_lin = jnp.concatenate([snps_used, latent], axis=-1)
+        elif out_cross is None:
+            out_z = img_out
+            out_lin = jnp.concatenate([img_out, latent], axis=-1)
         else:
             out_z = (img_out + out_cross) / 2.0
             out_lin = jnp.concatenate([out_z, latent], axis=-1)
@@ -216,7 +232,7 @@ class FusedSGCN(nn.Module):
         logits = self.lin2(hcls)
 
         if cfg.is_use_prob4regr and not cfg.is_snps_only:
-            img_feat = (x * self.prob).reshape(b, -1)    # raw features * prob
+            img_feat = (raw_x * self.prob).reshape(b, -1)  # raw feats * prob
             feat4regr = jnp.concatenate([out_lin, img_feat], axis=-1)
         else:
             feat4regr = out_lin

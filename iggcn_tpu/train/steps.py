@@ -56,6 +56,57 @@ def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int):
     return optax.adam(schedule)
 
 
+def _dual_pass(model, params, batch_stats, x, adj, snps, *, train, rng, w):
+    """Run the plain + importance-masked forwards as ONE vmapped apply.
+
+    SURVEY §7.1: the reference's two forwards per step
+    (`train_eval_sgcn_img_snps.py:521-523`) become a single forward vmapped
+    over a mask axis of size 2 — XLA batches both passes' matmuls, cutting
+    per-step op count nearly in half. Lane 0 = plain inputs, lane 1 =
+    pre-masked inputs (identical math to `is_explain=True`, which masks
+    then runs the plain path).
+
+    BatchNorm sequential equivalence: the reference updates running stats in
+    pass order (r1 = (1-m)r0 + m*s0, then r2 = (1-m)r1 + m*s1). Each vmap
+    lane i computes L_i = (1-m)r0 + m*s_i from the SAME r0, so
+    r2 = (1-m)*L0 + L1 - (1-m)*r0 — reconstructed exactly below with no
+    dependence on the batch statistics themselves. (All stateful norms in
+    this codebase are `nn_compat.BatchNorm1d` with momentum 0.1; the
+    identity holds for any momentum.)
+    """
+    from iggcn_tpu.ops.masking import importance_masks
+
+    masks = importance_masks(x, adj, params["prob"], params["prob_bias"],
+                             snps, params["snps_prob"])
+    xs = jnp.stack([x, masks.x_masked])
+    adjs = jnp.stack([adj, masks.adj_masked])
+    snpss = jnp.stack([snps, masks.snps_masked])
+    kwargs = dict(train=train, sample_weight=w if train else None)
+    if train:
+        rngs2 = jax.random.split(rng, 2)
+
+        def one_pass(xi, ai, si, ri):
+            return model.apply({"params": params, "batch_stats": batch_stats},
+                               xi, ai, si, mutable=["batch_stats"],
+                               rngs={"dropout": ri}, raw_x=x, **kwargs)
+
+        outs, muts = jax.vmap(one_pass)(xs, adjs, snpss, rngs2)
+        lanes = muts["batch_stats"]
+        new_stats = jax.tree_util.tree_map(
+            lambda lane, r0: 0.9 * lane[0] + lane[1] - 0.9 * r0,
+            lanes, batch_stats)
+    else:
+        def one_pass(xi, ai, si):
+            return model.apply({"params": params, "batch_stats": batch_stats},
+                               xi, ai, si, raw_x=x, **kwargs)
+
+        outs = jax.vmap(one_pass)(xs, adjs, snpss)
+        new_stats = batch_stats
+    out = jax.tree_util.tree_map(lambda v: v[0], outs)
+    out_prob = jax.tree_util.tree_map(lambda v: v[1], outs)
+    return out, out_prob, new_stats
+
+
 def fused_objective(model, params, batch_stats, batch: Batch,
                     mcfg: ModelConfig, tcfg: TrainConfig, *,
                     train: bool, rng: Optional[jax.Array] = None
@@ -71,7 +122,11 @@ def fused_objective(model, params, batch_stats, batch: Batch,
     variables = {"params": params, "batch_stats": batch_stats}
 
     kwargs = dict(train=train, sample_weight=w if train else None)
-    if train:
+    if tcfg.dual_pass_vmap:
+        out, out_prob, new_stats = _dual_pass(
+            model, params, batch_stats, x, adj, snps, train=train, rng=rng,
+            w=w)
+    elif train:
         r1, r2 = jax.random.split(rng)
         out, mut1 = model.apply(variables, x, adj, snps, mutable=["batch_stats"],
                                 rngs={"dropout": r1}, **kwargs)

@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="debug: per-epoch dispatch instead of whole-fold scan")
     p.add_argument("--fold_parallel", action="store_true", default=False,
                    help="run all CV folds at once, sharded over the device mesh")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of the experiment here "
+                        "(view with TensorBoard / xprof)")
     p.add_argument("--isSoftSimilarity", action="store_true", default=True)
     p.add_argument("--isMultilModal4Similarity", action="store_true",
                    default=False)
@@ -178,12 +181,18 @@ def main(argv=None):
         if args.isTestAdnitype:
             train_cohort, ext_test = adni.separate_data_adnitype(
                 cohort, args.disease_id4Adnitype, args.adnitype_id)
-        res = cross_validation(
-            train_cohort, topo, mcfg, tcfg, res_dir=res_dir,
-            external_test=ext_test,
-            result_file_name=result_file_name,
-            clinical_score_index=args.clinical_score_index, logger=logger,
-            model_kind=model_kind)
+        import contextlib
+
+        import jax
+        prof = (jax.profiler.trace(args.profile_dir)
+                if args.profile_dir else contextlib.nullcontext())
+        with prof:
+            res = cross_validation(
+                train_cohort, topo, mcfg, tcfg, res_dir=res_dir,
+                external_test=ext_test,
+                result_file_name=result_file_name,
+                clinical_score_index=args.clinical_score_index, logger=logger,
+                model_kind=model_kind)
         print(f"[throughput] {res.throughput_graphs_per_sec:.1f} graphs/s")
         if res.mean_test_loss < best[0]:
             best = (res.mean_test_loss, res.best_acc, res.best_acc_std)

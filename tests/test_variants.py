@@ -102,3 +102,28 @@ def test_sgcn_image_models(cohort):
         assert out.shape == (4, 2)
         out_m = apply(variables, x, adj, is_explain=True)
         assert np.isfinite(np.asarray(out_m)).all()
+
+
+def test_no_cross_attention_path(cohort, topo):
+    """isCrossAtten=False is broken upstream (shape mismatch at
+    `sgcn_img_snp.py:243,287` and unreachable from its CLI); rebuilt as
+    concat fusion — must run and produce finite outputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iggcn_tpu.config import ModelConfig
+    from iggcn_tpu.models.fused_sgcn import FusedSGCN
+
+    cfg = ModelConfig(num_layers=2, hidden=8, hidden_linear=16, l_dim=8,
+                      is_cross_atten=False)
+    model = FusedSGCN(cfg=cfg, topo=topo)
+    x = jnp.asarray(cohort.x[:4])
+    adj = jnp.asarray(cohort.adj[:4])
+    snps = jnp.asarray(cohort.snps[:4])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, adj, snps)
+    out = model.apply(variables, x, adj, snps)
+    assert out.log_probs.shape == (4, 2)
+    assert np.isfinite(np.asarray(out.log_probs)).all()
+    out_m = model.apply(variables, x, adj, snps, is_explain=True)
+    assert np.isfinite(np.asarray(out_m.log_probs)).all()
