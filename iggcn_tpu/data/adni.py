@@ -10,6 +10,7 @@ concatenation with block-offset adjacency.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -221,6 +222,48 @@ def load_adni874(cfg: DataConfig) -> AdniCohort:
         # (`sgcn_data.py:37` — latent bug, SURVEY §4); here raw labels are
         # carried and adni_type stays None unless a sidecar file provides it.
         raw_y=labels.reshape(-1)[sel].astype(np.int64))
+
+
+def load_adni_csv(cfg: DataConfig) -> AdniCohort:
+    """Pre-binarized per-task CSV/mat cohort.
+
+    Parity `sgcn_data.py:62-111` (`loadBrainImg_Snps_CSV`): task-specific
+    directory (`data_AH`/`data_MH`/`data_AM` for disease_id 0/1/2) holding
+    `snp.csv` (MinMax-scaled, NaN->0) plus `knn/<k>/` .mat imaging arrays
+    with ALREADY-binary labels. The reference variant carries no clinical
+    scores / demographics / cluster labels — zero placeholders here.
+    """
+    import scipy.io as sio
+
+    sub = {0: "data_AH", 1: "data_MH"}.get(cfg.disease_id, "data_AM")
+    base = os.path.join(cfg.data_path, sub)
+    snps = np.genfromtxt(os.path.join(base, "snp.csv"), delimiter=",",
+                         skip_header=1)
+    snps[np.isnan(snps)] = 0
+    snps = MinMaxScaler().fit_transform(snps)
+
+    img_dir = os.path.join(base, f"knn/{cfg.knn}/")
+    labels = sio.loadmat(img_dir + "BL_DXGrp_label.mat")["BL_DXGrp_label"]
+    corr = sio.loadmat(img_dir + "corr_data.mat")["corr_data"]
+    img = sio.loadmat(img_dir + "imgData_mat_normalized_fix.mat")[
+        "imgData_mat_normalized"]
+    img[np.isnan(img)] = 0
+    img = img.reshape(img.shape[0], img.shape[1], -1)
+    y = labels.reshape(-1).astype(np.int64)
+    s = len(y)
+    adj = preprocess_diffusion(corr, is_ppr=cfg.is_ppr, is_topk=cfg.is_topk,
+                               top_k=cfg.top_k, alpha=cfg.ppr_alpha,
+                               heat_t=cfg.heat_t)
+    scaler = MinMaxScaler().fit(np.zeros((2, 9)) + [[0.0] * 9, [1.0] * 9])
+    return AdniCohort(
+        x=img.astype(np.float32), adj=adj.astype(np.float32),
+        raw_adj=corr.astype(np.float32), y=y,
+        clust_y=np.zeros(s, np.int64), snps=snps.astype(np.float32),
+        sbj_id=np.arange(s, dtype=np.int64),
+        tsne_fdim=img.reshape(s, -1)[:, :8].astype(np.float32),
+        clini_score=np.zeros((s, 3), np.float32),
+        demographics=np.zeros((s, 9), np.float32),
+        scaler4score=scaler, num_classes=2, raw_y=y)
 
 
 def synthetic_cohort(rng: np.random.Generator, *, num_subjects: int = 96,

@@ -62,3 +62,25 @@ def test_snps_mlp_baseline(topo):
                                 batch_size=8, lr=3e-3, model_kind="mlp")
     assert res.accs.shape == (3, 6)
     assert res.best_acc > 0.6
+
+
+def test_go_scraper_offline(tmp_path):
+    """Scraper with injected fetcher writes the go_root_connection format
+    the GO graph builder consumes."""
+    from iggcn_tpu.data.go_scraper import (fetch_go_root_connections,
+                                           read_go_ids)
+
+    ids = tmp_path / "go_ids.txt"
+    ids.write_text("GO:0008150\nGO:0048518\n")
+    urls = read_go_ids(str(ids))
+    assert urls[0].endswith("0008150") and "ctdbase" in urls[0]
+
+    def fake_fetch(url):
+        acc = url[-7:]
+        return [f":0008150.:{acc}"]
+
+    out = tmp_path / "go_root_connection.txt"
+    got = fetch_go_root_connections(str(ids), str(out), fetch=fake_fetch,
+                                    delay_s=0)
+    lines = out.read_text().strip().split("\n")
+    assert lines == got == [":0008150.:0008150", ":0008150.:0048518"]
