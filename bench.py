@@ -164,6 +164,9 @@ def bench_torch(topo, cohort, budget_s=30.0):
 
 
 def main():
+    from iggcn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     topo, cohort = build_data()
     gps, final_loss = bench_jax(topo, cohort)
     try:

@@ -88,6 +88,9 @@ def main(argv=None):
     from iggcn_tpu.config import DataConfig, LossWeights, ModelConfig, TrainConfig
     from iggcn_tpu.data import adni, go_graph
     from iggcn_tpu.train.cv import cross_validation
+    from iggcn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if args.save_appendix == "":
         args.save_appendix = "_" + time.strftime("%Y%m%d%H%M%S")
