@@ -30,7 +30,9 @@ def build_data():
     from iggcn_tpu.data.go_graph import synthetic_topology
 
     rng = np.random.default_rng(0)
-    topo = synthetic_topology(rng)
+    # GO DAG at the real ADNI analysis scale (~hundreds of terms over 5
+    # levels, SURVEY §intro) — not the tiny unit-test fixture
+    topo = synthetic_topology(rng, level_sizes=[250, 120, 50, 15, 1])
     cohort = synthetic_cohort(rng, num_subjects=SUBJECTS)
     return topo, cohort
 

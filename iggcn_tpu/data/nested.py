@@ -54,6 +54,45 @@ def k_hop_subgraph(node: int, h: int, adj: np.ndarray,
     return np.asarray(nodes), np.asarray(hops)
 
 
+def spd_labels(nodes: np.ndarray, adj: np.ndarray, h: int,
+               num_spd: int = 2) -> np.ndarray:
+    """Top-`num_spd` BFS-ring distances per subgraph node from the root
+    (parity `utils.py:182-198` 'spd' labels: every hop at which the frontier
+    expansion reaches a node again, first `num_spd` kept)."""
+    root = nodes[0]
+    reached: dict = {int(root): [0]}
+    frontier = np.array([root])
+    node_set = set(int(v) for v in nodes)
+    for hop in range(1, h + 1):
+        neigh = np.unique(np.nonzero(adj[frontier] != 0)[1])
+        neigh = np.asarray([v for v in neigh if int(v) in node_set])
+        nxt = []
+        for v in neigh:
+            lst = reached.setdefault(int(v), [])
+            if not lst:                       # first time -> joins frontier
+                nxt.append(int(v))
+            if len(lst) < num_spd and (not lst or lst[-1] != hop):
+                lst.append(hop)
+        frontier = np.asarray(nxt if nxt else [],
+                              dtype=np.int64) if nxt else np.empty(0, int)
+        if frontier.size == 0:
+            break
+    z = np.zeros((len(nodes), num_spd), np.int64)
+    for i, v in enumerate(nodes):
+        dists = reached.get(int(v), [])[:num_spd]
+        z[i, :len(dists)] = dists
+    return z
+
+
+def drnl_labels(nodes: np.ndarray, adj: np.ndarray, h: int) -> np.ndarray:
+    """Double-radius node labels (parity `utils.py:189-204`, the SEAL
+    labeling as a special case of spd2): dist1*(h+1)+dist2 when a second
+    ring distance exists, else dist1."""
+    spd = spd_labels(nodes, adj, h, num_spd=2)
+    d1, d2 = spd[:, 0], spd[:, 1]
+    return np.where(d2 == 0, d1, d1 * (h + 1) + d2)[:, None]
+
+
 def return_prob(adj: np.ndarray, steps: int = 16) -> np.ndarray:
     """Random-walk return probabilities [P^1..P^steps]_{ii} per node
     (parity `utils.py:237-266`)."""
@@ -88,12 +127,13 @@ class NestedGraphDataset(GraphDataset):
     """
 
     num_subgraphs: int = 0
-    z: Optional[np.ndarray] = None    # (S, M) int hop labels
+    z: Optional[np.ndarray] = None    # (S, M, K) int node labels
     rd: Optional[np.ndarray] = None   # (S, M, 1) resistance distance
 
 
 def create_nested_dataset(dataset: GraphDataset, h: int = 1, *,
                           max_nodes_per_hop: Optional[int] = None,
+                          node_label: str = "hop",
                           use_rd: bool = False,
                           use_return_prob: bool = False,
                           seed: int = 0) -> NestedGraphDataset:
@@ -124,7 +164,15 @@ def create_nested_dataset(dataset: GraphDataset, h: int = 1, *,
             if use_return_prob:
                 feat = np.concatenate([feat, rp[nodes]], axis=1)
             ux.append(feat)
-            uz.append(hops)
+            if node_label == "hop":
+                uz.append(hops[:, None])
+            elif node_label.startswith("spd"):
+                num_spd = int(node_label[3:]) if len(node_label) > 3 else 2
+                uz.append(spd_labels(nodes, adj, h, num_spd))
+            elif node_label == "drnl":
+                uz.append(drnl_labels(nodes, adj, h))
+            else:
+                raise ValueError(f"unknown node_label {node_label}")
             if use_rd:
                 urd.append(resistance_distance(adj, nodes))
             uassign.append(np.full(k, i, np.int64))
@@ -145,7 +193,8 @@ def create_nested_dataset(dataset: GraphDataset, h: int = 1, *,
     adj_u = np.zeros((s, m_max, m_max), np.float32)
     mask = np.zeros((s, m_max), bool)
     assign = np.zeros((s, m_max), np.int64)
-    z = np.zeros((s, m_max), np.int64)
+    z_dim = per_graph[0]["z"].shape[1]
+    z = np.zeros((s, m_max, z_dim), np.int64)
     rd = np.zeros((s, m_max, 1), np.float32) if use_rd else None
     for g, pg in enumerate(per_graph):
         m = pg["x"].shape[0]

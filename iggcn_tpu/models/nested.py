@@ -76,7 +76,10 @@ class NestedGNN(nn.Module):
                 table = self.param("z_embedding",
                                    nn.initializers.normal(1.0), (1000, 8))
                 zi = jnp.zeros(x.shape[:2], jnp.int32) if z is None else z
-                emb = emb + jnp.take(table, jnp.clip(zi, 0, 999), axis=0)
+                ze = jnp.take(table, jnp.clip(zi, 0, 999), axis=0)
+                if ze.ndim == 4:  # multi-dim labels (spd): sum the label axis
+                    ze = ze.sum(axis=2)  # parity `kernel/gcn.py:50-51`
+                emb = emb + ze
             if self.use_rd:
                 ri = jnp.zeros(x.shape[:2] + (1,)) if rd is None else rd
                 emb = emb + TorchLinear(8, name="rd_projection")(ri)

@@ -108,3 +108,41 @@ def test_nested_gcn_trains_via_generic_cv():
                                    needs_assign=True)
     assert np.isfinite(res.mean_loss)
     assert res.accs.shape == (3, 2)
+
+
+def test_spd_drnl_labels():
+    from iggcn_tpu.data.nested import drnl_labels, spd_labels
+
+    # path 0-1-2-3-4, root 2, h=2 -> whole path
+    adj = np.zeros((5, 5), np.float32)
+    for i in range(4):
+        adj[i, i + 1] = adj[i + 1, i] = 1.0
+    nodes, _ = k_hop_subgraph(2, 2, adj)
+    spd = spd_labels(nodes, adj, 2)
+    by_node = dict(zip(nodes.tolist(), spd.tolist()))
+    assert by_node[2][0] == 0          # root distance 0
+    assert by_node[1][0] == 1 and by_node[3][0] == 1
+    assert by_node[0][0] == 2 and by_node[4][0] == 2
+    # node 2 is revisited at hop 2 via 1->2/3->2 -> second distance recorded
+    assert by_node[2][1] == 2
+    drnl = drnl_labels(nodes, adj, 2)
+    by_node_d = dict(zip(nodes.tolist(), drnl[:, 0].tolist()))
+    assert by_node_d[2] == 0 * 3 + 2   # dist1*(h+1)+dist2
+    assert by_node_d[0] == 2           # single distance kept as-is
+
+
+def test_nested_dataset_node_labels():
+    ds = _tiny_dataset()
+    for label, zdim in (("hop", 1), ("spd", 2), ("spd3", 3), ("drnl", 1)):
+        nested = create_nested_dataset(ds, h=1, node_label=label)
+        assert nested.z.shape[2] == zdim
+    model = NestedGNN(conv="gcn", num_layers=1, hidden=4, num_classes=2,
+                      num_subgraphs=nested.num_subgraphs, use_z=True)
+    import jax
+    import jax.numpy as jnp
+    batch = (jnp.asarray(nested.x[:2]), jnp.asarray(nested.adj[:2]),
+             jnp.asarray(nested.mask[:2]), jnp.asarray(nested.assign[:2]))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *batch,
+                                    z=jnp.asarray(nested.z[:2]))
+    out = model.apply(variables, *batch, z=jnp.asarray(nested.z[:2]))
+    assert out.shape == (2, 2)
