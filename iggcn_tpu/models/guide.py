@@ -37,14 +37,15 @@ class GuideImgSnp(nn.Module):
     cfg: ModelConfig
     topo: Any
     hidden_linear: int = 32
-    latent_dim: int = 32
 
     def setup(self):
         cfg = self.cfg
         d = cfg.rois * cfg.feat_dim
         self.enc1 = TorchLinear(self.hidden_linear, use_bias=False, name="enc1")
         self.enc_act = PReLU(name="enc_act")
-        self.enc2 = TorchLinear(self.latent_dim, use_bias=False, name="enc2")
+        # image latent must match the GO latent (they are averaged at :98);
+        # the reference passes the same l_dim to both (guide_img_snp.py:28,58)
+        self.enc2 = TorchLinear(cfg.l_dim, use_bias=False, name="enc2")
         self.dec_bn1 = BatchNorm1d(name="dec_bn1")
         self.dec_act1 = PReLU(name="dec_act1")
         self.dec1 = TorchLinear(self.hidden_linear, use_bias=False, name="dec1")

@@ -19,6 +19,10 @@ def enable_compilation_cache(path: str | None = None) -> str:
             "IGGCN_JAX_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache", "iggcn_tpu",
                          "jax_cache"))
+    # separate caches per backend: entries written while attached to the
+    # remote TPU (axon) embed that host's CPU feature flags and SIGILL-risk
+    # when loaded by plain local-CPU runs
+    path = os.path.join(path, jax.default_backend())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # cache every program regardless of compile time / size

@@ -16,6 +16,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent XLA compilation cache: the suite is compile-bound (~17 min cold);
+# repeat runs hit the disk cache instead
+from iggcn_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

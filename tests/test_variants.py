@@ -127,3 +127,22 @@ def test_no_cross_attention_path(cohort, topo):
     assert np.isfinite(np.asarray(out.log_probs)).all()
     out_m = model.apply(variables, x, adj, snps, is_explain=True)
     assert np.isfinite(np.asarray(out_m.log_probs)).all()
+
+
+def test_guide_and_clusterlabel_cv(topo):
+    """End-to-end cross_validation for the guide and cluster-label model
+    kinds (CLI-path integration; the fused kind is covered by
+    test_cv_fold_scan)."""
+    import numpy as np
+
+    from iggcn_tpu.data.adni import synthetic_cohort
+    from iggcn_tpu.train.cv import cross_validation
+
+    cohort = synthetic_cohort(np.random.default_rng(11), num_subjects=24)
+    mcfg = ModelConfig(num_layers=2, hidden=4, hidden_linear=8, l_dim=8)
+    tcfg = TrainConfig(epochs=1, batch_size=8, folds=3, seed=2)
+    for kind in ("guide_imgsnp", "clusterlabel"):
+        res = cross_validation(cohort, topo, mcfg, tcfg, res_dir=None,
+                               model_kind=kind, verbose=False)
+        assert np.isfinite(res.mean_test_loss), kind
+        assert res.score_result.shape == (3, 1, 5)
