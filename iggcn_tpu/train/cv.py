@@ -27,11 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from iggcn_tpu.config import DataConfig, ModelConfig, TrainConfig
+from iggcn_tpu.config import ModelConfig, TrainConfig
 from iggcn_tpu.data.adni import (SCORE_NAMES_ALL, SCORE_NAMES_DEFAULT,
                                  AdniCohort)
 from iggcn_tpu.data.batching import (cohort_batch_arrays, pad_to_batches,
-                                     reshape_to_batches, to_device)
+                                     to_device)
 from iggcn_tpu.data.impute import knn_impute_scores
 from iggcn_tpu.data.splits import k_fold
 from iggcn_tpu.models.fused_sgcn import FusedSGCN
