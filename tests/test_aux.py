@@ -84,3 +84,27 @@ def test_go_scraper_offline(tmp_path):
                                     delay_s=0)
     lines = out.read_text().strip().split("\n")
     assert lines == got == [":0008150.:0008150", ":0008150.:0048518"]
+
+
+def test_explain_tool_roundtrip(tmp_path):
+    """Checkpoint -> template-free load -> importance + edge-prob export."""
+    import jax.numpy as jnp
+
+    from iggcn_tpu.tools.explain import (export_edge_probabilities,
+                                         export_importances, load_params)
+
+    params = {"prob": jnp.full((90, 3), 0.2),
+              "snps_prob": jnp.full((1, 54), -0.3),
+              "prob_bias": jnp.full((6, 1), 0.1),
+              "other": {"w": jnp.ones((2, 2))}}
+    path = str(tmp_path / "ck.msgpack")
+    save_checkpoint(path, params, {})
+    loaded = load_params(path)
+    out = export_importances(loaded, str(tmp_path), "f0")
+    assert set(out) == {"prob", "snps_prob", "prob_bias"}
+    np.testing.assert_allclose(
+        np.load(tmp_path / "node_importance_f0.npy"), 0.2)
+    x = np.random.default_rng(0).normal(size=(3, 90, 3)).astype(np.float32)
+    ep = export_edge_probabilities(loaded, x, str(tmp_path), "f0")
+    assert ep.shape == (3, 90, 90)
+    assert (ep > 0).all() and (ep < 1).all()
