@@ -206,10 +206,58 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
             np.concatenate([shuffler.permutation(n_train),
                             np.arange(n_train, total_padded)])
             for _ in range(tcfg.epochs)]).astype(np.int32)
+
+        def padded_idx(idx, data):
+            total = data["y"].shape[0]
+            return np.concatenate([idx, np.zeros(total - len(idx),
+                                                 idx.dtype)]).astype(np.int32)
+
+        gathers = dict(
+            train=padded_idx(train_idx, train_data),
+            val=(padded_idx(val_idx, val_data) if use_val else None),
+            test=(None if external_test is not None
+                  else padded_idx(test_idx, test_data)))
         return dict(train_data=train_data, val_data=val_data,
                     test_data=test_data, test_subids=test_subids,
                     n_train=n_train, n_test=n_test,
-                    n_val=len(val_idx) if use_val else n_test, perms=perms)
+                    n_val=len(val_idx) if use_val else n_test, perms=perms,
+                    gathers=gathers)
+
+    dev_cache: Dict[str, Any] = {}
+
+    @jax.jit
+    def _gather(full_d, idx, clini, w):
+        out = {k: jnp.take(v, idx, axis=0) for k, v in full_d.items()}
+        out["clini"] = clini
+        out["w"] = w
+        return out
+
+    def fold_to_device(p):
+        """Place one fold's arrays on device. With `tcfg.device_gather` the
+        cohort is uploaded ONCE and each fold's rows are gathered on device
+        (one jitted dispatch, only the small clini/w vectors cross the
+        host->device link); otherwise plain per-fold upload."""
+        if not tcfg.device_gather:
+            return (to_device(p["train_data"]), to_device(p["val_data"]),
+                    to_device(p["test_data"]))
+        if "full" not in dev_cache:
+            dev_cache["full"] = to_device(
+                {k: v for k, v in full.items() if k != "sbj_id"})
+        fd = dev_cache["full"]
+
+        def one(kind, data):
+            idx = p["gathers"][kind]
+            if idx is None:
+                # external test cohort is not part of `full`; its clini is
+                # re-imputed per fold, so upload (arrays are test-size small)
+                return to_device(data)
+            return _gather(fd, jnp.asarray(idx), jnp.asarray(data["clini"]),
+                           jnp.asarray(data["w"]))
+
+        train_dev = one("train", p["train_data"])
+        test_dev = one("test", p["test_data"])
+        val_dev = one("val", p["val_data"]) if use_val else test_dev
+        return train_dev, val_dev, test_dev
 
     all_score_results = []
     test_losses: List[float] = []
@@ -308,9 +356,9 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                 # pass rng whole: fold_fn splits once per epoch, mirroring
                 # the python path's per-epoch split — identical streams.
                 state, rng = init_state(fold)
+                train_dev, val_dev, test_dev = fold_to_device(p)
                 per_epoch, best, state = fold_runner(
-                    state, to_device(p["train_data"]),
-                    to_device(p["val_data"]), to_device(p["test_data"]),
+                    state, train_dev, val_dev, test_dev,
                     jnp.asarray(p["perms"]), rng)
                 per_epoch = jax.device_get(per_epoch)
             has_regr = "our_reg" in per_epoch
@@ -354,9 +402,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                     best_params, best_stats)
         else:
           state, rng = init_state(fold)
-          train_data = to_device(p["train_data"])
-          val_data = to_device(p["val_data"])
-          test_data = to_device(p["test_data"])
+          train_data, val_data, test_data = fold_to_device(p)
           for epoch in range(1, tcfg.epochs + 1):
             perm = p["perms"][epoch - 1]
             rng, erng = jax.random.split(rng)

@@ -55,3 +55,22 @@ def test_fold_scan_no_val_runs(cohort, topo, tiny_cfgs):
                            verbose=False)
     assert np.isfinite(res.mean_test_loss)
     assert res.score_result.shape == (3, 1, 5)
+
+
+def test_device_gather_matches_upload(cohort, topo, tiny_cfgs):
+    """device_gather=True (on-device fold row gather from the once-uploaded
+    cohort) must reproduce the plain per-fold-upload results exactly: padding
+    rows carry different content but every reduction is w-masked."""
+    mcfg, tcfg = tiny_cfgs
+    res_g = _run(cohort, topo, mcfg,
+                 dataclasses.replace(tcfg, device_gather=True), True)
+    res_u = _run(cohort, topo, mcfg,
+                 dataclasses.replace(tcfg, device_gather=False), True)
+    np.testing.assert_allclose(res_g.mean_test_loss, res_u.mean_test_loss,
+                               rtol=1e-5)
+    np.testing.assert_allclose(res_g.score_result, res_u.score_result,
+                               rtol=1e-4, atol=1e-5)
+    for nm in res_g.regression_summary:
+        np.testing.assert_allclose(res_g.regression_summary[nm]["rmse"],
+                                   res_u.regression_summary[nm]["rmse"],
+                                   rtol=1e-4)
