@@ -75,9 +75,7 @@ def bench_jax(topo, cohort):
              jnp.zeros((BATCH, mcfg.rois, mcfg.rois)),
              jnp.zeros((BATCH, mcfg.num_snps)))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), *dummy)
-    state = TrainState(variables["params"], variables["batch_stats"],
-                       optimizer.init(variables["params"]),
-                       jnp.zeros((), jnp.int32))
+    state = TrainState.create(variables, optimizer, steps)
     rng = jax.random.PRNGKey(1)
     host = np.random.default_rng(2)
     perms = jnp.asarray(np.stack([

@@ -74,6 +74,101 @@ def degree_features(adjs: List[np.ndarray], max_degree: int = 10
     return out
 
 
+def normalized_degree_features(adjs: List[np.ndarray]) -> List[np.ndarray]:
+    """Z-scored scalar degree feature (parity `kernel/datasets.py:15-24,
+    62-67`: used instead of one-hot when the global max degree >= 1000)."""
+    degs = np.concatenate([(a != 0).sum(axis=1).astype(np.float64)
+                           for a in adjs])
+    mean, std = degs.mean(), degs.std()
+    return [(((a != 0).sum(axis=1).astype(np.float32) - mean)
+             / std)[:, None].astype(np.float32) for a in adjs]
+
+
+def read_tu_dir(root: str, name: str) -> GraphDataset:
+    """Parse a standard raw TU-benchmark directory into a dense GraphDataset.
+
+    Capability parity with the reference's vendored TUDataset + get_dataset
+    plumbing (`kernel/tu_dataset.py:11-154` process()-> PyG read_tu_data,
+    `kernel/datasets.py:27-91`): reads `<name>_A.txt` (1-based "row, col"
+    edge list), `<name>_graph_indicator.txt` (1-based per-node graph id),
+    `<name>_graph_labels.txt` (arbitrary ints, remapped to 0..C-1 by sorted
+    unique value), optional `<name>_node_labels.txt` (ints -> one-hot) and
+    `<name>_node_attributes.txt` (comma-separated floats); node features are
+    [attributes || one-hot labels]. Edge labels/attributes are ignored (the
+    reference nulls edge_attr at `kernel/datasets.py:53`). Graphs without
+    any node feature get the degree fallback: one-hot up to the global max
+    degree when < 1000, else the z-scored scalar degree
+    (`kernel/datasets.py:55-67`). Self-loops are dropped; duplicate edges
+    collapse in the dense adjacency.
+
+    Files may live at `<root>/<name>/` or `<root>/<name>/raw/`.
+    """
+    import os
+
+    base = os.path.join(root, name)
+    if not os.path.exists(os.path.join(base, f"{name}_A.txt")):
+        raw = os.path.join(base, "raw")
+        if os.path.exists(os.path.join(raw, f"{name}_A.txt")):
+            base = raw
+        else:
+            raise FileNotFoundError(
+                f"no {name}_A.txt under {base} or {base}/raw")
+
+    def path(suffix):
+        return os.path.join(base, f"{name}_{suffix}.txt")
+
+    indicator = np.loadtxt(path("graph_indicator"), dtype=np.int64,
+                           delimiter=",").reshape(-1)
+    edges = np.loadtxt(path("A"), dtype=np.int64, delimiter=",", ndmin=2)
+    graph_labels = np.loadtxt(path("graph_labels"), dtype=np.int64,
+                              delimiter=",").reshape(-1)
+    _, ys = np.unique(graph_labels, return_inverse=True)
+
+    num_nodes = indicator.shape[0]
+    num_graphs = int(indicator.max())
+    # node index offsets per graph (nodes of one graph are contiguous)
+    first_node = np.zeros(num_graphs + 1, np.int64)
+    counts = np.bincount(indicator, minlength=num_graphs + 1)
+    first_node[1:] = np.cumsum(counts)[:-1]
+
+    feats = None
+    if os.path.exists(path("node_attributes")):
+        feats = np.loadtxt(path("node_attributes"), dtype=np.float32,
+                           delimiter=",", ndmin=2)
+        if feats.shape[0] != num_nodes:
+            raise ValueError("node_attributes row count mismatch")
+    if os.path.exists(path("node_labels")):
+        nl = np.loadtxt(path("node_labels"), dtype=np.int64,
+                        delimiter=",").reshape(-1)
+        nl = nl - nl.min()
+        one_hot = np.zeros((num_nodes, int(nl.max()) + 1), np.float32)
+        one_hot[np.arange(num_nodes), nl] = 1.0
+        feats = (one_hot if feats is None
+                 else np.concatenate([feats, one_hot], axis=1))
+
+    xs: List[np.ndarray] = []
+    adjs: List[np.ndarray] = []
+    for g in range(num_graphs):
+        n = int(counts[g + 1])
+        adjs.append(np.zeros((n, n), np.float32))
+        if feats is not None:
+            xs.append(feats[first_node[g + 1]:first_node[g + 1] + n])
+    for r, c in edges:
+        g = int(indicator[r - 1]) - 1
+        i = int(r - 1 - first_node[g + 1])
+        j = int(c - 1 - first_node[g + 1])
+        if i == j:
+            continue  # drop self loops (PyG read_tu_data parity)
+        adjs[g][i, j] = 1.0
+
+    if feats is None:
+        max_deg = max(int((a != 0).sum(axis=1).max()) if a.size else 0
+                      for a in adjs)
+        xs = (degree_features(adjs, max_degree=max_deg) if max_deg < 1000
+              else normalized_degree_features(adjs))
+    return from_graph_list(xs, adjs, ys.astype(np.int64))
+
+
 def synthetic_tu_dataset(rng: np.random.Generator, *, num_graphs: int = 120,
                          n_min: int = 8, n_max: int = 24,
                          num_classes: int = 2, feat_dim: int = 0

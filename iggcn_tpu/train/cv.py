@@ -39,7 +39,7 @@ from iggcn_tpu.train import artifacts, metrics
 from iggcn_tpu.train.checkpoint import save_checkpoint
 from iggcn_tpu.train.fold_parallel import (extend_perms, index_tree,
                                            pad_fold_data, run_folds_parallel)
-from iggcn_tpu.train.fold_scan import make_fold_runner
+from iggcn_tpu.train.fold_scan import make_epoch_fns, make_fold_runner
 from iggcn_tpu.train.steps import (OBJECTIVES, TrainState, make_eval_step,
                                    make_optimizer, make_train_step)
 
@@ -57,45 +57,14 @@ class CVResult:
 
 def _epoch_fns(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,
                objective=None):
+    """Jitted per-epoch train/eval for the python-epoch debug path — thin
+    wrappers over the single shared implementation in
+    `fold_scan.make_epoch_fns` (also the body of the whole-fold scan)."""
     if objective is None:
         objective = OBJECTIVES["sgcn_imgsnp"]
-    train_step = make_train_step(model, mcfg, tcfg, optimizer, objective)
-    eval_step = make_eval_step(model, mcfg, tcfg, objective)
-
-    @jax.jit
-    def train_epoch(state: TrainState, data: Dict[str, jax.Array],
-                    perm: jax.Array, rng: jax.Array):
-        shuffled = {k: jnp.take(v, perm, axis=0) for k, v in data.items()
-                    if k != "sbj_id"}
-        nb = shuffled["y"].shape[0] // tcfg.batch_size
-        batches = {k: v.reshape((nb, tcfg.batch_size) + v.shape[1:])
-                   for k, v in shuffled.items()}
-        rngs = jax.random.split(rng, nb)
-
-        def body(carry, xs):
-            batch, r = xs
-            new_state, loss_sum = train_step(carry, batch, r)
-            return new_state, loss_sum
-
-        state, loss_sums = jax.lax.scan(body, state, (batches, rngs))
-        return state, jnp.sum(loss_sums)
-
-    @jax.jit
-    def eval_epoch(params, batch_stats, data: Dict[str, jax.Array]):
-        nb = data["y"].shape[0] // tcfg.batch_size
-        batches = {k: v.reshape((nb, tcfg.batch_size) + v.shape[1:])
-                   for k, v in data.items() if k != "sbj_id"}
-
-        def body(_, batch):
-            return None, eval_step(params, batch_stats, batch)
-
-        _, outs = jax.lax.scan(body, None, batches)
-        flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in outs.items()
-                if k != "loss_sum"}
-        flat["loss_sum"] = jnp.sum(outs["loss_sum"])
-        return flat
-
-    return train_epoch, eval_epoch
+    train_one_epoch, eval_set = make_epoch_fns(model, mcfg, tcfg, optimizer,
+                                               objective)
+    return jax.jit(train_one_epoch), jax.jit(eval_set)
 
 
 def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
@@ -144,8 +113,10 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     score_names = (SCORE_NAMES_DEFAULT if clinical_score_index == -1
                    else [SCORE_NAMES_ALL[clinical_score_index]])
 
-    def init_state(fold):
-        """Fresh model per fold (parity :101-107); returns (state, rng)."""
+    def init_state(fold, steps_per_epoch):
+        """Fresh model per fold (parity :101-107); returns (state, rng).
+        `steps_per_epoch` = the fold's REAL train batches per epoch, carried
+        in the state so the per-epoch LR decay is exact per fold."""
         rng = jax.random.PRNGKey(tcfg.seed + fold)
         init_rng, rng = jax.random.split(rng)
         dummy = (jnp.zeros((b, mcfg.rois, mcfg.feat_dim)),
@@ -153,10 +124,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
         if model_kind != "sgcn_image":
             dummy = dummy + (jnp.zeros((b, mcfg.num_snps)),)
         variables = jax.jit(model.init)(init_rng, *dummy)
-        state = TrainState(variables["params"],
-                           variables.get("batch_stats", {}),
-                           optimizer.init(variables["params"]),
-                           jnp.zeros((), jnp.int32))
+        state = TrainState.create(variables, optimizer, steps_per_epoch)
         return state, rng
 
     def prep_fold(fold, train_idx, test_idx, val_idx):
@@ -276,6 +244,9 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     if tcfg.fold_parallel and tcfg.use_fold_scan:
         # ---- all folds in ONE sharded device program --------------------
         prepped = [prep_fold(f, *split) for f, split in enumerate(splits)]
+        # each fold's REAL steps/epoch, before cross-fold equalization —
+        # drives that fold's LR decay inside the vmapped program
+        real_spes = [p["train_data"]["y"].shape[0] // b for p in prepped]
         # equalize shapes across folds (zero-weight padding)
         trains = pad_fold_data([p["train_data"] for p in prepped])
         vals = pad_fold_data([p["val_data"] for p in prepped])
@@ -286,11 +257,12 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                                      perms_list):
             p["train_data"], p["val_data"], p["test_data"] = tr, va, te
             p["perms"] = pe
-        optimizer = make_optimizer(tcfg, target // b)
+        optimizer = make_optimizer(tcfg)
         fold_runner = make_fold_runner(
             model, mcfg, tcfg, optimizer, objective,
             track_best_on="val" if use_val else "test")
-        states, rngs = zip(*(init_state(f) for f in range(tcfg.folds)))
+        states, rngs = zip(*(init_state(f, real_spes[f])
+                             for f in range(tcfg.folds)))
         t0 = time.perf_counter()
         parallel_out = run_folds_parallel(
             fold_runner, states, trains, vals, tests, perms_list, rngs)
@@ -302,9 +274,9 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
         n_train, n_test, n_val = p["n_train"], p["n_test"], p["n_val"]
         test_subids = p["test_subids"]
 
+        fold_spe = p["train_data"]["y"].shape[0] // b
         if optimizer is None:
-            steps_per_epoch = p["train_data"]["y"].shape[0] // b
-            optimizer = make_optimizer(tcfg, steps_per_epoch)
+            optimizer = make_optimizer(tcfg)
             if tcfg.use_fold_scan:
                 fold_runner = make_fold_runner(
                     model, mcfg, tcfg, optimizer, objective,
@@ -355,7 +327,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                 # one device dispatch for the entire fold (fold_scan.py);
                 # pass rng whole: fold_fn splits once per epoch, mirroring
                 # the python path's per-epoch split — identical streams.
-                state, rng = init_state(fold)
+                state, rng = init_state(fold, fold_spe)
                 train_dev, val_dev, test_dev = fold_to_device(p)
                 per_epoch, best, state = fold_runner(
                     state, train_dev, val_dev, test_dev,
@@ -401,7 +373,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                     f"{res_dir}/gcn_state_dict_{result_file_name}_fold_{fold}.msgpack",
                     best_params, best_stats)
         else:
-          state, rng = init_state(fold)
+          state, rng = init_state(fold, fold_spe)
           train_data, val_data, test_data = fold_to_device(p)
           for epoch in range(1, tcfg.epochs + 1):
             perm = p["perms"][epoch - 1]

@@ -12,6 +12,12 @@ Fold data shapes are equalized by padding each fold's padded-batch arrays to
 the max size across folds with zero-weight rows (every loss/BN reduction is
 already `w`-masked, and `nn_compat.BatchNorm1d` freezes running stats on
 all-padding batches), and extending the epoch permutations over the pad.
+All-padding batches are complete no-ops: `make_train_step` gates the
+params/opt-state/batch-stats/step update on `sum(w) > 0` (the param-only
+sparsity penalties would otherwise still step Adam), and the LR decay is
+driven by each fold's REAL steps-per-epoch carried in
+`TrainState.steps_per_epoch` — so fold-parallel results match sequential CV
+exactly (up to float reduction order).
 """
 from __future__ import annotations
 

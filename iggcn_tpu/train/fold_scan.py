@@ -32,16 +32,12 @@ class FoldCarry(NamedTuple):
     rng: jax.Array
 
 
-def make_fold_runner(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,
-                     objective, *, track_best_on: str = "val"):
-    """Build a jitted fold runner.
-
-    Args:
-      track_best_on: 'val' (with-val CV) or 'test' (no-val CV parity).
-    Returns fold_fn(state, train_data, val_data, test_data, perms, rng) ->
-      (per_epoch dict, best bundle dict, final TrainState).
-    `perms`: (E, S_train_total) int32 pre-drawn epoch permutations.
-    """
+def make_epoch_fns(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,
+                   objective):
+    """The ONE implementation of per-epoch train/eval used by both the
+    python-epoch debug driver (`cv._epoch_fns`, which jits these directly)
+    and the whole-fold scan (`make_fold_runner`, which scans them over
+    epochs). Returns un-jitted (train_one_epoch, eval_set)."""
     train_step = make_train_step(model, mcfg, tcfg, optimizer, objective)
     eval_step = make_eval_step(model, mcfg, tcfg, objective)
     b = tcfg.batch_size
@@ -75,6 +71,22 @@ def make_fold_runner(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,
 
         state, loss_sums = jax.lax.scan(body, state, (batches, rngs))
         return state, jnp.sum(loss_sums)
+
+    return train_one_epoch, eval_set
+
+
+def make_fold_runner(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,
+                     objective, *, track_best_on: str = "val"):
+    """Build a jitted fold runner.
+
+    Args:
+      track_best_on: 'val' (with-val CV) or 'test' (no-val CV parity).
+    Returns fold_fn(state, train_data, val_data, test_data, perms, rng) ->
+      (per_epoch dict, best bundle dict, final TrainState).
+    `perms`: (E, S_train_total) int32 pre-drawn epoch permutations.
+    """
+    train_one_epoch, eval_set = make_epoch_fns(model, mcfg, tcfg, optimizer,
+                                               objective)
 
     @jax.jit
     def fold_fn(state: TrainState, train_data, val_data, test_data, perms,

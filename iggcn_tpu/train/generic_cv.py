@@ -73,15 +73,22 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
         p = [(0, total - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
         return np.pad(arr, p)
 
-    schedule_boundaries = {}
-    optimizer = None
+    # The reference decays the LR per-epoch per-fold (StepLR). Expressing the
+    # schedule in optimizer steps would tie it to one fold's steps_per_epoch
+    # (folds can differ by a batch multiple), so instead the current LR is an
+    # explicit step argument computed host-side: lr * factor**(epoch // size).
+    if weight_decay:
+        optimizer = optax.chain(optax.add_decayed_weights(weight_decay),
+                                optax.scale_by_adam())
+    else:
+        optimizer = optax.scale_by_adam()
 
     has_stats = None
     accs = np.zeros((folds, epochs))
     losses: List[float] = []
 
     @jax.jit
-    def train_step(variables, opt_state, batch, rng):
+    def train_step(variables, opt_state, batch, rng, lr_t):
         def loss_fn(params):
             vs = dict(variables)
             vs["params"] = params
@@ -100,6 +107,7 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
             variables["params"])
         updates, new_opt = optimizer.update(grads, opt_state,
                                             variables["params"])
+        updates = jax.tree_util.tree_map(lambda u: -lr_t * u, updates)
         params = optax.apply_updates(variables["params"], updates)
         new_vars = {"params": params}
         if has_stats:
@@ -139,16 +147,6 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
         variables = dict(variables)
         if has_stats is None:
             has_stats = "batch_stats" in variables
-        if optimizer is None:
-            spe = -(-len(train_idx) // b)
-            boundaries = {}
-            e = lr_decay_step_size
-            while e <= epochs:
-                boundaries[e * spe] = lr_decay_factor
-                e += lr_decay_step_size
-            schedule = optax.piecewise_constant_schedule(lr, boundaries)
-            optimizer = (optax.adamw(schedule, weight_decay=weight_decay)
-                         if weight_decay else optax.adam(schedule))
         opt_state = optimizer.init(variables["params"])
         host_rng = np.random.default_rng(seed * 31 + fold)
 
@@ -170,7 +168,17 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
                 idx = train_idx[idx]
             else:
                 idx = host_rng.permutation(train_idx)
-            nb = len(idx) // b
+            lr_t = lr * lr_decay_factor ** (epoch // lr_decay_step_size)
+            # pad the shuffled epoch to a batch multiple with w=0 rows so the
+            # ragged tail still trains (the reference's DataLoader keeps the
+            # smaller last batch rather than dropping those samples)
+            nb = -(-len(idx) // b)
+            n_real = len(idx)
+            if nb * b > n_real:
+                idx = np.concatenate(
+                    [idx, np.full(nb * b - n_real, idx[0], idx.dtype)])
+            w_epoch = np.zeros(nb * b, np.float32)
+            w_epoch[:n_real] = 1.0
             for i in range(nb):
                 sel = idx[i * b:(i + 1) * b]
                 batch = {
@@ -179,11 +187,12 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
                     "mask": jnp.asarray(dataset.mask[sel]),
                     "assign": jnp.asarray(dataset.assign[sel]),
                     "y": jnp.asarray(dataset.y[sel].astype(np.int32)),
-                    "w": jnp.ones((b,), jnp.float32),
+                    "w": jnp.asarray(w_epoch[i * b:(i + 1) * b]),
                 }
                 rng, srng = jax.random.split(rng)
                 variables, opt_state, _ = train_step(variables, opt_state,
-                                                     batch, srng)
+                                                     batch, srng,
+                                                     jnp.float32(lr_t))
             correct = 0.0
             tot = 0.0
             for i in range(total_te // b):

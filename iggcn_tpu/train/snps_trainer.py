@@ -53,15 +53,10 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
         model = GeneOntologyNetwork(topo=topo, in_f_dim=2, n_l=n_l,
                                     f_dim=f_dim, l_dim=l_dim)
 
-    # StepLR(50, 0.7) parity
-    steps_per_epoch = -(-len(labels) * (folds - 2) // folds // batch_size)
-    boundaries = {}
-    e = 50
-    while e <= epochs:
-        boundaries[e * steps_per_epoch] = 0.7
-        e += 50
-    schedule = optax.piecewise_constant_schedule(lr, boundaries)
-    optimizer = optax.adam(schedule, b1=0.9, b2=0.999)
+    # StepLR(50, 0.7) parity: decay per EPOCH per FOLD — the LR is an
+    # explicit train_step argument computed host-side, not a step-indexed
+    # optax schedule (which would be tied to one fold's steps_per_epoch).
+    optimizer = optax.scale_by_adam(b1=0.9, b2=0.999)
 
     def forward(params, batch_stats, x, train, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -95,10 +90,11 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
         return class_loss + recon, (new_stats, y_hat)
 
     @jax.jit
-    def train_step(params, batch_stats, opt_state, x, y, w, rng):
+    def train_step(params, batch_stats, opt_state, x, y, w, rng, lr_t):
         (loss, (new_stats, _)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch_stats, x, y, w, True, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: -lr_t * u, updates)
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, loss
 
@@ -146,14 +142,25 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
 
         for epoch in range(epochs):
             idx = imbalanced_sample_indices(y_tr, host_rng)
-            nb = len(idx) // batch_size
+            lr_t = jnp.float32(lr * 0.7 ** (epoch // 50))
+            # pad the epoch to a batch multiple with w=0 rows so the ragged
+            # tail still trains (the reference keeps the smaller last batch)
+            nb = -(-len(idx) // batch_size)
+            n_real = len(idx)
+            if nb * batch_size > n_real:
+                idx = np.concatenate(
+                    [idx, np.full(nb * batch_size - n_real, idx[0],
+                                  idx.dtype)])
+            w_ep = np.zeros(nb * batch_size, np.float32)
+            w_ep[:n_real] = 1.0
             for i in range(nb):
                 sel = idx[i * batch_size:(i + 1) * batch_size]
                 rng, srng = jax.random.split(rng)
                 params, batch_stats, opt_state, _ = train_step(
                     params, batch_stats, opt_state,
                     jnp.asarray(x_tr[sel]), jnp.asarray(y_tr[sel]),
-                    jnp.ones((batch_size,), jnp.float32), srng)
+                    jnp.asarray(w_ep[i * batch_size:(i + 1) * batch_size]),
+                    srng, lr_t)
             correct = 0.0
             tot_loss = 0.0
             for i in range(len(y_te_p) // batch_size):

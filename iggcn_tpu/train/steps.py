@@ -31,7 +31,17 @@ class TrainState(NamedTuple):
     params: Any
     batch_stats: Any
     opt_state: Any
-    step: jax.Array
+    step: jax.Array            # completed REAL (non-padding) optimizer steps
+    # Per-fold real steps per epoch, as DATA so the schedule stays exact when
+    # folds of different sizes run vmapped side by side (fold-parallel).
+    steps_per_epoch: jax.Array = ()
+
+    @classmethod
+    def create(cls, variables, optimizer, steps_per_epoch: int):
+        return cls(variables["params"], variables.get("batch_stats", {}),
+                   optimizer.init(variables["params"]),
+                   jnp.zeros((), jnp.int32),
+                   jnp.asarray(steps_per_epoch, jnp.int32))
 
 
 Batch = Dict[str, jax.Array]
@@ -39,21 +49,39 @@ Batch = Dict[str, jax.Array]
 #             clust_y (B,), tsne (B,F), w (B,)
 
 
-def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int):
-    """Adam + x`lr_decay_factor` every `lr_decay_step_size` epochs.
+def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int = 0):
+    """Adam transform WITHOUT the learning rate baked in.
 
-    Parity: `Adam(lr, weight_decay)` + manual in-place decay
-    (`kernel/train_eval_sgcn_img_snps.py:108,169-171`).
+    Parity target: `Adam(lr, weight_decay)` + manual per-epoch in-place decay
+    (`kernel/train_eval_sgcn_img_snps.py:108,169-171`). The reference decays
+    per EPOCH per FOLD; a step-indexed optax schedule would tie the decay to
+    one fold's steps_per_epoch, so the LR is instead computed inside
+    `make_train_step` from `TrainState.step // TrainState.steps_per_epoch`
+    and applied by scaling the Adam updates. `steps_per_epoch` is accepted
+    and ignored for call-site compatibility.
+
+    torch.optim.Adam's weight_decay is COUPLED L2 (decay added to the
+    gradients before the Adam transform), not AdamW's decoupled decay —
+    reproduced by chaining add_decayed_weights in front of scale_by_adam.
     """
-    boundaries = {}
-    e = tcfg.lr_decay_step_size
-    while e <= tcfg.epochs:
-        boundaries[e * steps_per_epoch] = tcfg.lr_decay_factor
-        e += tcfg.lr_decay_step_size
-    schedule = optax.piecewise_constant_schedule(tcfg.lr, boundaries)
     if tcfg.weight_decay:
-        return optax.adamw(schedule, weight_decay=tcfg.weight_decay)
-    return optax.adam(schedule)
+        return optax.chain(optax.add_decayed_weights(tcfg.weight_decay),
+                           optax.scale_by_adam())
+    return optax.scale_by_adam()
+
+
+def lr_at_step(tcfg: TrainConfig, step: jax.Array,
+               steps_per_epoch: jax.Array) -> jax.Array:
+    """StepLR-parity learning rate: x`lr_decay_factor` every
+    `lr_decay_step_size` completed epochs (`step` counts completed real
+    optimizer steps, so the first step of epoch 51 is already decayed —
+    exactly the reference's end-of-epoch-50 in-place decay)."""
+    if tcfg.lr_decay_step_size <= 0:
+        return jnp.float32(tcfg.lr)
+    epoch = step // jnp.maximum(steps_per_epoch, 1)
+    k = epoch // tcfg.lr_decay_step_size
+    return tcfg.lr * jnp.power(jnp.float32(tcfg.lr_decay_factor),
+                               k.astype(jnp.float32))
 
 
 def _dual_pass(model, params, batch_stats, x, adj, snps, *, train, rng, w):
@@ -386,9 +414,27 @@ def make_train_step(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,
             state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
+        lr_t = lr_at_step(tcfg, state.step, state.steps_per_epoch)
+        updates = jax.tree_util.tree_map(lambda u: -lr_t * u, updates)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, aux["batch_stats"], opt_state,
-                               state.step + 1)
+        # Whole all-padding batches (w == 0 everywhere) exist only as
+        # fold-size equalization in fold-parallel mode (`pad_fold_data`).
+        # Every data term vanishes under the w mask, but the param-only
+        # sparsity penalties don't — so gate the entire update (params, opt
+        # state, batch stats, step counter) on the batch containing at least
+        # one real row, keeping fold-parallel bit-equal to sequential CV.
+        has_real = jnp.sum(batch["w"]) > 0
+
+        def _keep(old, new):
+            return jax.tree_util.tree_map(
+                lambda o, n: jnp.where(has_real, n, o), old, new)
+
+        new_state = TrainState(
+            _keep(state.params, params),
+            _keep(state.batch_stats, aux["batch_stats"]),
+            _keep(state.opt_state, opt_state),
+            state.step + has_real.astype(state.step.dtype),
+            state.steps_per_epoch)
         # reference train-loss bookkeeping: sum(loss * batch_size) / dataset
         return new_state, loss * jnp.sum(batch["w"])
 

@@ -29,9 +29,7 @@ def _setup(cohort, topo, b=16):
     train_step = make_train_step(model, mcfg, tcfg, optimizer)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch["x"],
                                     batch["adj"], batch["snps"])
-    state = TrainState(variables["params"], variables["batch_stats"],
-                       optimizer.init(variables["params"]),
-                       jnp.zeros((), jnp.int32))
+    state = TrainState.create(variables, optimizer, steps_per_epoch=1)
     return train_step, state, batch
 
 
