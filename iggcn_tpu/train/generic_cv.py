@@ -35,6 +35,12 @@ class GenericCVResult:
 def _model_forward(model, variables, batch, train, rng, needs_mask,
                    needs_assign, adj_only, mutable):
     kwargs = {"train": train}
+    # nested-subgraph node labels / resistance distance, when the dataset
+    # carries them (NestedGraphDataset)
+    if "z" in batch:
+        kwargs["z"] = batch["z"]
+    if "rd" in batch:
+        kwargs["rd"] = batch["rd"]
     rngs = {"dropout": rng} if train else None
     args: Tuple = ()
     if adj_only:
@@ -66,6 +72,8 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
                              verbose: bool = False) -> GenericCVResult:
     """Run k-fold CV of a baseline model over a dense padded GraphDataset."""
     y_all = dataset.y
+    extra_keys = [k for k in ("z", "rd")
+                  if getattr(dataset, k, None) is not None]
     splits = k_fold(y_all, folds, seed)
     b = batch_size
 
@@ -161,6 +169,8 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
             "w": np.concatenate([np.ones(n_te, np.float32),
                                  np.zeros(total_te - n_te, np.float32)]),
         }
+        for k in extra_keys:
+            te[k] = pad(getattr(dataset, k)[test_idx], total_te)
 
         for epoch in range(epochs):
             if no_val:
@@ -189,6 +199,8 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
                     "y": jnp.asarray(dataset.y[sel].astype(np.int32)),
                     "w": jnp.asarray(w_epoch[i * b:(i + 1) * b]),
                 }
+                for k in extra_keys:
+                    batch[k] = jnp.asarray(getattr(dataset, k)[sel])
                 rng, srng = jax.random.split(rng)
                 variables, opt_state, _ = train_step(variables, opt_state,
                                                      batch, srng,

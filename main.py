@@ -23,11 +23,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--disease_id4Adnitype", type=int, default=0)
     p.add_argument("--knn", type=int, default=5)
     p.add_argument("--no_val", action="store_true", default=False)
-    p.add_argument("--isPPr", action="store_true", default=True)
-    p.add_argument("--isTopK", action="store_true", default=True)
+    # reference quirk fixed deliberately: these were store_true with
+    # default=True upstream (unreachable False); BooleanOptionalAction makes
+    # --no-isPPr / --no-isTopK / ... reachable (heat-kernel diffusion,
+    # cluster-mode consistency, no-prob4regr variants).
+    p.add_argument("--isPPr", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--isTopK", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--top_k", type=int, default=3)
     p.add_argument("--disease_id", type=int, default=3)
-    p.add_argument("--isCrossAtten", action="store_true", default=True)
+    p.add_argument("--isCrossAtten", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--use_pallas_gcn", action="store_true", default=False,
                    help="run the imaging GCN stack as a fused Pallas kernel")
     p.add_argument("--no_fold_scan", action="store_true", default=False,
@@ -37,7 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of the experiment here "
                         "(view with TensorBoard / xprof)")
-    p.add_argument("--isSoftSimilarity", action="store_true", default=True)
+    p.add_argument("--isSoftSimilarity", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--isMultilModal4Similarity", action="store_true",
                    default=False)
     p.add_argument("--rbf_gamma", type=float, default=0.01)
@@ -46,7 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model4eachregr", action="store_true", default=False)
     p.add_argument("--isPermutTest", action="store_true", default=False)
     p.add_argument("--isMultiFusion", action="store_true", default=False)
-    p.add_argument("--isuseProb4Regr", action="store_true", default=True)
+    p.add_argument("--isuseProb4Regr", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--temperature", type=float, default=0.1,
+                   help="Gumbel/softmax temperature (GUIDE and fused models)")
     p.add_argument("--isImageOnly", action="store_true", default=False)
     p.add_argument("--isSNPsOnly", action="store_true", default=False)
     p.add_argument("--Seed4PermutTest", type=int, default=1)
@@ -59,7 +70,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data", type=str, default="ADNI")
     p.add_argument("--layers", type=int, default=2)
     p.add_argument("--hiddens", type=int, default=5)
-    p.add_argument("--h", type=int, default=2)
+    p.add_argument("--h", type=int, default=2,
+                   help="hop count for Nested* subgraph extraction")
+    # nested-GNN flags (reference main.py:54-57)
+    p.add_argument("--node_label", type=str, default="hop",
+                   choices=["hop", "spd", "spd2", "spd3", "drnl"])
+    p.add_argument("--use_rd", action="store_true", default=False,
+                   help="append resistance-distance features (Nested*)")
+    p.add_argument("--use_rp", type=int, default=None,
+                   help="random-walk return-probability feature steps")
+    p.add_argument("--max_nodes_per_hop", type=int, default=None)
+    p.add_argument("--tu_root", type=str, default="./data",
+                   help="root directory holding raw TU datasets "
+                        "(<root>/<name>/<name>_A.txt ...)")
+    p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -82,8 +106,83 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# --model routing (replaces the reference's `eval(args.model)` at
+# main.py:160, which crashed on unknown names and — despite appearances —
+# always trained the fused model: `Net` is never passed to the trainer
+# there). Here every family dispatches to its actual trainer; unknown names
+# fail loudly with the full list.
+FUSION_MODELS = {
+    "SGCN_GCN_IMGSNP": "sgcn_imgsnp",
+    "GCN_IMGSNP": "gcn_imgsnp",
+    "GUIDE_IMGSNP": "guide_imgsnp",
+    "SGCN_GCN_CLUSTERLABEL": "clusterlabel",
+    "SGCN_GCN": "sgcn_image",
+    "SGCN_GAT": "sgcn_image",
+    "SGCN_Ori": "sgcn_image",
+}
+ZOO_MODELS = ("GCN", "GAT", "GIN", "GIN0", "GraphSAGE",
+              "GraphSAGEWithoutJK", "TopK", "DiffPool", "SortPool",
+              "Set2Set", "GlobalAttention", "Graclus", "CNN_Model",
+              "NestedGCN", "NestedGAT", "NestedGIN", "NestedGIN0",
+              "NestedGraphSAGE")
+SNP_MODELS = ("MLP_Model", "Gene_ontology_network")
+
+
+def _build_zoo_model(name: str, num_layers: int, hidden: int, dataset):
+    """Instantiate a zoo model by reference name; returns (model, cv_kwargs)
+    for `cross_validation_generic`."""
+    from iggcn_tpu.models import baselines as B
+    from iggcn_tpu.models import nested as N
+    nc = dataset.num_classes
+    common = dict(num_layers=num_layers, hidden=hidden, num_classes=nc)
+    mask = dict(needs_mask=True)
+    if name == "GCN":
+        return B.GCNFlat(**common), dict(needs_mask=False)
+    if name == "GAT":
+        return B.GATFlat(**common), dict(needs_mask=False)
+    if name == "GIN":
+        return B.GIN(**common), mask
+    if name == "GIN0":
+        return B.GIN(**common, train_eps=False), mask
+    if name == "GraphSAGE":
+        return B.GraphSAGE(**common), mask
+    if name == "GraphSAGEWithoutJK":
+        return B.GraphSAGE(**common, jk=False), mask
+    if name == "TopK":
+        return B.TopK(**common), mask
+    if name == "DiffPool":
+        return (B.DiffPool(max_nodes=dataset.x.shape[1], hidden=hidden,
+                           num_classes=nc),
+                dict(needs_mask=True, aux_loss=True))
+    if name == "SortPool":
+        return B.SortPool(**common, k=min(10, dataset.x.shape[1])), mask
+    if name == "Set2Set":
+        return B.Set2SetNet(**common), mask
+    if name == "GlobalAttention":
+        return B.GlobalAttentionNet(**common), mask
+    if name == "Graclus":
+        return B.Graclus(**common), dict(needs_mask=True, needs_assign=True)
+    if name == "CNN_Model":
+        return (B.CNNModel(num_classes=nc, rois=dataset.x.shape[1]),
+                dict(adj_only=True))
+    if name.startswith("Nested"):
+        factory = getattr(N, name)
+        use_z = getattr(dataset, "z", None) is not None
+        use_rd = getattr(dataset, "rd", None) is not None
+        return (factory(**common, num_subgraphs=dataset.num_subgraphs,
+                        use_z=use_z, use_rd=use_rd),
+                dict(needs_mask=True, needs_assign=True))
+    raise ValueError(name)
+
+
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    known = (tuple(FUSION_MODELS) + ZOO_MODELS + SNP_MODELS)
+    if args.model not in known:
+        parser.error(f"unknown --model {args.model!r}; choose one of: "
+                     + ", ".join(known))
 
     from iggcn_tpu.config import DataConfig, LossWeights, ModelConfig, TrainConfig
     from iggcn_tpu.data import adni, go_graph
@@ -114,21 +213,25 @@ def main(argv=None):
         is_multi_fusion=args.isMultiFusion, is_permut_test=args.isPermutTest,
         seed4permut_test=args.Seed4PermutTest)
 
-    use_synthetic = args.synthetic or not os.path.isdir(args.data_path)
     rng = np.random.default_rng(args.seed)
-    if use_synthetic:
-        print("[data] using synthetic ADNI-shaped cohort")
-        rois = 270 if args.isMultiFusion else 90
-        feat = 1 if args.isMultiFusion else 3
-        cohort = adni.synthetic_cohort(
-            rng, num_subjects=args.synthetic_subjects, rois=rois,
-            feat_dim=feat, num_classes=dcfg.num_classes,
-            num_regr=args.num_regr, top_k=args.top_k)
-        topo = go_graph.synthetic_topology(rng)
-    else:
-        cohort = adni.load_adni874(dcfg)
-        topo = go_graph.parse_go_json(dcfg.json_path, dcfg.go_connection_path,
-                                      dcfg.snps_to_gene_path)
+
+    def load_cohort():
+        use_synthetic = args.synthetic or not os.path.isdir(args.data_path)
+        if use_synthetic:
+            print("[data] using synthetic ADNI-shaped cohort")
+            rois = 270 if args.isMultiFusion else 90
+            feat = 1 if args.isMultiFusion else 3
+            cohort = adni.synthetic_cohort(
+                rng, num_subjects=args.synthetic_subjects, rois=rois,
+                feat_dim=feat, num_classes=dcfg.num_classes,
+                num_regr=args.num_regr, top_k=args.top_k)
+            topo = go_graph.synthetic_topology(rng)
+        else:
+            cohort = adni.load_adni874(dcfg)
+            topo = go_graph.parse_go_json(dcfg.json_path,
+                                          dcfg.go_connection_path,
+                                          dcfg.snps_to_gene_path)
+        return cohort, topo
 
     if args.search:
         if args.isMultiFusion:
@@ -137,6 +240,75 @@ def main(argv=None):
             combos = list(zip([2, 3, 2, 3, 4], [16, 16, 10, 10, 5]))
     else:
         combos = [(args.layers, args.hiddens)]
+
+    # ---- baseline / pooling / nested zoo (generic trainer) --------------
+    if args.model in ZOO_MODELS:
+        from iggcn_tpu.data import tu as tu_mod
+        from iggcn_tpu.train.generic_cv import cross_validation_generic
+        if args.data == "ADNI":
+            cohort, _ = load_cohort()
+            dataset = tu_mod.from_graph_list(
+                [cohort.x[i] for i in range(len(cohort.y))],
+                [cohort.adj[i] for i in range(len(cohort.y))],
+                cohort.y.astype(np.int64))
+        else:
+            try:
+                dataset = tu_mod.read_tu_dir(args.tu_root, args.data)
+            except FileNotFoundError:
+                if not args.synthetic:
+                    raise
+                print(f"[data] no raw {args.data} files under "
+                      f"{args.tu_root}; using a synthetic TU benchmark")
+                dataset = tu_mod.synthetic_tu_dataset(rng)
+        if args.model.startswith("Nested"):
+            from iggcn_tpu.data.nested import create_nested_dataset
+            dataset = create_nested_dataset(
+                dataset, h=args.h, node_label=args.node_label,
+                use_rd=args.use_rd,
+                use_return_prob=args.use_rp is not None,
+                max_nodes_per_hop=args.max_nodes_per_hop, seed=args.seed)
+        best = (float("inf"), 0.0, 0.0)
+        best_hyper = combos[0]
+        for num_layers, hidden in combos:
+            model, cv_kw = _build_zoo_model(args.model, num_layers, hidden,
+                                            dataset)
+            msg = f"Using {num_layers} layers, {hidden} hidden units"
+            print(msg)
+            logger(msg)
+            res = cross_validation_generic(
+                dataset, model, folds=args.fold, epochs=args.epochs,
+                batch_size=args.batch_size, lr=args.lr,
+                lr_decay_factor=args.lr_decay_factor,
+                lr_decay_step_size=args.lr_decay_step_size,
+                weight_decay=args.weight_decay, seed=args.seed,
+                no_val=args.no_val, verbose=True, **cv_kw)
+            if res.mean_loss < best[0]:
+                best = (res.mean_loss, res.best_acc, res.best_acc_std)
+                best_hyper = (num_layers, hidden)
+        log = (f"Result - {best[1]:.3f} +/- {best[2]:.3f}, with "
+               f"{best_hyper[0]} layers and {best_hyper[1]} hidden units")
+        print(log)
+        logger(log)
+        return
+
+    cohort, topo = load_cohort()
+
+    # ---- SNP-only trainers ---------------------------------------------
+    if args.model in SNP_MODELS:
+        from iggcn_tpu.train.snps_trainer import cross_validation_snps
+        if dcfg.num_classes != 2:
+            parser.error("SNP trainers are binary classifiers (BCE); use "
+                         "--disease_id 0|1|2")
+        kind = "mlp" if args.model == "MLP_Model" else "go"
+        res = cross_validation_snps(
+            cohort.snps, cohort.y.astype(np.float32), topo,
+            folds=args.fold, epochs=args.epochs,
+            batch_size=args.batch_size, lr=args.lr, seed=args.seed,
+            model_kind=kind, verbose=True)
+        log = f"Result - {res.best_acc:.3f} (SNP-only, {args.model})"
+        print(log)
+        logger(log)
+        return
 
     best = (float("inf"), 0.0, 0.0)
     best_hyper = combos[0]
@@ -161,6 +333,7 @@ def main(argv=None):
             lr_decay_step_size=args.lr_decay_step_size, folds=args.fold,
             seed=args.seed, no_val=args.no_val,
             is_permut_test=args.isPermutTest,
+            temperature=args.temperature,
             use_fold_scan=not args.no_fold_scan,
             fold_parallel=args.fold_parallel,
             clinical_score_index=args.clinical_score_index,
@@ -169,15 +342,7 @@ def main(argv=None):
                              args.lambda_simi, args.lambda_orth))
         print(f"Using {num_layers} layers, {hidden} hidden units")
         logger(f"Using {num_layers} layers, {hidden} hidden units")
-        model_kind = {
-            "SGCN_GCN_IMGSNP": "sgcn_imgsnp",
-            "GCN_IMGSNP": "gcn_imgsnp",
-            "GUIDE_IMGSNP": "guide_imgsnp",
-            "SGCN_GCN_CLUSTERLABEL": "clusterlabel",
-            "SGCN_GCN": "sgcn_image",
-            "SGCN_GAT": "sgcn_image",
-            "SGCN_Ori": "sgcn_image",
-        }.get(args.model, "sgcn_imgsnp")
+        model_kind = FUSION_MODELS[args.model]
         if args.model == "SGCN_GAT":
             mcfg = dataclasses.replace(mcfg, use_gat=True)
         train_cohort, ext_test = cohort, None

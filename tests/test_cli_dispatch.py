@@ -1,0 +1,71 @@
+"""CLI model-zoo dispatch (parity surface of reference `main.py:160`
+`eval(args.model)`, rebuilt as explicit routing with loud failure)."""
+import os
+
+import numpy as np
+import pytest
+
+import main as cli
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_unknown_model_fails_loudly(capsys):
+    with pytest.raises(SystemExit):
+        cli.main(["--model", "GINN"])  # typo must not train the flagship
+    assert "unknown --model" in capsys.readouterr().err
+
+
+def test_every_reference_model_name_is_routed():
+    for name in ("GCN", "GAT", "GIN", "GIN0", "GraphSAGE", "TopK",
+                 "DiffPool", "SortPool", "Set2Set", "GlobalAttention",
+                 "Graclus", "CNN_Model", "NestedGCN", "NestedGAT",
+                 "NestedGIN", "NestedGIN0", "NestedGraphSAGE"):
+        assert name in cli.ZOO_MODELS
+    for name in ("SGCN_GCN_IMGSNP", "GCN_IMGSNP", "GUIDE_IMGSNP",
+                 "SGCN_GCN_CLUSTERLABEL", "SGCN_GCN", "SGCN_GAT",
+                 "SGCN_Ori"):
+        assert name in cli.FUSION_MODELS
+    for name in ("MLP_Model", "Gene_ontology_network"):
+        assert name in cli.SNP_MODELS
+
+
+def test_zoo_model_factory_covers_all_names():
+    from iggcn_tpu.data.nested import create_nested_dataset
+    from iggcn_tpu.data.tu import synthetic_tu_dataset
+    ds = synthetic_tu_dataset(np.random.default_rng(0), num_graphs=12)
+    nested = create_nested_dataset(ds, h=1)
+    for name in cli.ZOO_MODELS:
+        d = nested if name.startswith("Nested") else ds
+        model, kw = cli._build_zoo_model(name, 2, 8, d)
+        assert model is not None
+        assert set(kw) <= {"needs_mask", "needs_assign", "adj_only",
+                           "aux_loss"}
+
+
+def test_cli_zoo_tu_end_to_end(tmp_path, monkeypatch):
+    """`--model GIN --data TUTEST` trains from the raw fixture files."""
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--model", "GIN", "--data", "TUTEST",
+              "--tu_root", FIXTURES, "--epochs", "1", "--fold", "3",
+              "--batch_size", "4", "--save_appendix", "_t"])
+    log = (tmp_path / "results" / "ADNI_t" / "log.txt").read_text()
+    assert "Result -" in log
+
+
+def test_cli_snp_end_to_end(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--model", "MLP_Model", "--synthetic",
+              "--synthetic_subjects", "32", "--disease_id", "0",
+              "--epochs", "1", "--fold", "3", "--batch_size", "8",
+              "--save_appendix", "_s"])
+    log = (tmp_path / "results" / "ADNI_s" / "log.txt").read_text()
+    assert "SNP-only" in log
+
+
+def test_snp_trainer_requires_binary(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit):
+        cli.main(["--model", "MLP_Model", "--synthetic", "--disease_id",
+                  "3", "--epochs", "1", "--save_appendix", "_b"])
+    assert "binary" in capsys.readouterr().err
