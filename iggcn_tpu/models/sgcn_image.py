@@ -83,9 +83,17 @@ class SGCNImage(nn.Module):
         self.lin1 = TorchLinear(self.hidden_linear, name="lin1")
         self.lin2 = TorchLinear(self.num_classes, name="lin2")
 
-    def __call__(self, x: jax.Array, adj: jax.Array, *,
-                 is_explain: bool = False, train: bool = False) -> jax.Array:
-        b = x.shape[0]
+    def trunk(self, x: jax.Array, adj: jax.Array, *,
+              is_explain: bool = False):
+        """Conv stack up to (and including) the final conv, PRE-relu.
+
+        Grad-CAM seam: the reference hooks `final_conv_acts` (the last
+        conv's pre-activation output) and its gradient
+        (`kernel/sgcn.py:124-126,195-196`); here the same tensor is simply
+        the second return value, differentiated with `jax.grad` in
+        `tools/explain.py` — no hooks needed. Returns (prefix_feats, acts):
+        prefix_feats are the post-relu outputs of all but the last layer.
+        """
         if is_explain:
             masks = importance_masks(x, adj, self.prob, self.prob_bias)
             x_used, adj_used = masks.x_masked, masks.adj_masked
@@ -94,19 +102,32 @@ class SGCNImage(nn.Module):
         h = x_used
         feats = []
         if self.use_gat:
-            for p in self.gat_ps:
+            for p in self.gat_ps[:-1]:
                 h = nn.relu(gat_conv(h, adj_used, p))
                 feats.append(h)
+            acts = gat_conv(h, adj_used, self.gat_ps[-1])
         else:
             prop = gcn_propagation_matrix(adj_used)
-            for i in range(self.num_layers):
+            for i in range(self.num_layers - 1):
                 h = nn.relu(gcn_conv(h, prop, self.conv_w[i], self.conv_b[i]))
                 feats.append(h)
+            acts = gcn_conv(h, prop, self.conv_w[-1], self.conv_b[-1])
+        return tuple(feats), acts
+
+    def head(self, prefix_feats, acts: jax.Array, *,
+             train: bool = False) -> jax.Array:
+        b = acts.shape[0]
+        feats = list(prefix_feats) + [nn.relu(acts)]
         z = jnp.concatenate(feats, axis=-1).reshape(b, -1)
         z = nn.relu(self.lin1(z))
         if train:
             z = dropout(self.make_rng("dropout"), z, 0.5)
         return jax.nn.log_softmax(self.lin2(z), axis=-1)
+
+    def __call__(self, x: jax.Array, adj: jax.Array, *,
+                 is_explain: bool = False, train: bool = False) -> jax.Array:
+        prefix_feats, acts = self.trunk(x, adj, is_explain=is_explain)
+        return self.head(prefix_feats, acts, train=train)
 
 
 class SGCNOri(nn.Module):
@@ -137,10 +158,11 @@ class SGCNOri(nn.Module):
         self.prob_bias = self.param("prob_bias", _kaiming_a5,
                                     (2 * self.h0, 1))
 
-    def __call__(self, x: jax.Array, adj: jax.Array, *,
-                 is_explain: bool = False, train: bool = False) -> jax.Array:
-        b = x.shape[0]
-        det = not train
+    def trunk(self, x: jax.Array, adj: jax.Array, *,
+              is_explain: bool = False):
+        """(h1, final_conv_acts) — acts is conv3's PRE-relu output, the
+        tensor the reference grad-CAM hooks capture
+        (`kernel/sgcn.py:124-126`)."""
         if is_explain:
             masks = importance_masks(x, adj, self.prob, self.prob_bias)
             x_used, adj_used = masks.x_masked, masks.adj_masked
@@ -148,7 +170,15 @@ class SGCNOri(nn.Module):
             x_used, adj_used = x, adj
         prop = gcn_propagation_matrix(adj_used)
         h1 = nn.relu(gcn_conv(x_used, prop, self.conv1_w, self.conv1_b))
-        h3 = nn.relu(gcn_conv(h1, prop, self.conv3_w, self.conv3_b))
+        acts = gcn_conv(h1, prop, self.conv3_w, self.conv3_b)
+        return (h1,), acts
+
+    def head(self, prefix_feats, acts: jax.Array, *,
+             train: bool = False) -> jax.Array:
+        (h1,) = prefix_feats
+        b = acts.shape[0]
+        det = not train
+        h3 = nn.relu(acts)
         z = jnp.concatenate([h1.reshape(b, -1), h3.reshape(b, -1)], axis=-1)
         z = self.bn1(nn.relu(self.fc1(z)), use_running_average=det)
         if train:
@@ -157,3 +187,8 @@ class SGCNOri(nn.Module):
         if train:
             z = dropout(self.make_rng("dropout"), z, 0.7)
         return jax.nn.log_softmax(self.fc3(z), axis=-1)
+
+    def __call__(self, x: jax.Array, adj: jax.Array, *,
+                 is_explain: bool = False, train: bool = False) -> jax.Array:
+        prefix_feats, acts = self.trunk(x, adj, is_explain=is_explain)
+        return self.head(prefix_feats, acts, train=train)

@@ -63,6 +63,66 @@ def export_edge_probabilities(params: Dict[str, Any], x: np.ndarray,
     return ep
 
 
+def grad_cam(model, variables, x, adj, *, class_index: Optional[int] = None,
+             is_explain: bool = False, pooled: bool = True) -> np.ndarray:
+    """Per-ROI grad-CAM saliency for the SGCN image family.
+
+    The functional equivalent of the reference's forward/backward hooks on
+    `final_conv_acts` (`kernel/sgcn.py:111-148`): the model's `trunk` method
+    returns the final conv's pre-relu activations A (B, N, C); the gradient
+    dy/dA of the target class score is one `jax.grad` through the `head`
+    method.  With `pooled=True` this is graph Grad-CAM (Pope et al.):
+    alpha_c = mean_n dy/dA_{n,c},  map_n = relu(sum_c alpha_c A_{n,c});
+    with `pooled=False`, the element-wise variant relu(sum_c dy/dA * A).
+
+    Args:
+      class_index: logit to explain; None = each subject's predicted class.
+    Returns (B, N) float32 saliency maps.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cls = type(model)
+    prefix, acts = model.apply(variables, jnp.asarray(x), jnp.asarray(adj),
+                               is_explain=is_explain, method=cls.trunk)
+    log_probs = model.apply(variables, prefix, acts, method=cls.head)
+    if class_index is None:
+        target = jnp.argmax(log_probs, axis=-1)
+    else:
+        target = jnp.full((x.shape[0],), class_index, jnp.int32)
+
+    def score(a):
+        lp = model.apply(variables, prefix, a, method=cls.head)
+        return jnp.sum(jnp.take_along_axis(lp, target[:, None], axis=-1))
+
+    grads = jax.grad(score)(acts)
+    if pooled:
+        alpha = jnp.mean(grads, axis=1, keepdims=True)     # (B, 1, C)
+        cam = jax.nn.relu(jnp.sum(alpha * acts, axis=-1))  # (B, N)
+    else:
+        cam = jax.nn.relu(jnp.sum(grads * acts, axis=-1))
+    return np.asarray(cam, np.float32)
+
+
+def export_grad_cam(params: Dict[str, Any], batch_stats: Dict[str, Any],
+                    x: np.ndarray, adj: np.ndarray, out_dir: str,
+                    prefix: str = "ckpt", *, use_gat: bool = False,
+                    num_layers: int = 2, hidden: int = 16,
+                    class_index: Optional[int] = None) -> np.ndarray:
+    """Build an SGCNImage matching the checkpoint and dump saliency npys."""
+    from iggcn_tpu.models.sgcn_image import SGCNImage
+
+    model = SGCNImage(num_layers=num_layers, hidden=hidden,
+                      rois=x.shape[1], feat_dim=x.shape[2], use_gat=use_gat)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    cam = grad_cam(model, variables, x, adj, class_index=class_index)
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, f"grad_cam_{prefix}.npy"), cam)
+    return cam
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("checkpoint")
@@ -71,14 +131,30 @@ def main(argv=None):
     p.add_argument("--x_npy", default=None,
                    help="optional (S, N, D) features npy for per-subject "
                         "edge probabilities")
+    p.add_argument("--adj_npy", default=None,
+                   help="(S, N, N) adjacency npy; with --x_npy on an SGCN "
+                        "image checkpoint, also exports grad-CAM saliency")
+    p.add_argument("--gradcam_layers", type=int, default=2)
+    p.add_argument("--gradcam_hidden", type=int, default=16)
+    p.add_argument("--gradcam_class", type=int, default=None)
     args = p.parse_args(argv)
-    params = load_params(args.checkpoint)
+    with open(args.checkpoint, "rb") as fh:
+        from flax import serialization
+        payload = serialization.msgpack_restore(fh.read())
+    params = payload["params"]
     out = export_importances(params, args.out, args.prefix)
     print(f"exported {sorted(out)} to {args.out}")
     if args.x_npy is not None:
         ep = export_edge_probabilities(params, np.load(args.x_npy),
                                        args.out, args.prefix)
         print(f"edge probabilities {ep.shape} exported")
+    if args.x_npy is not None and args.adj_npy is not None:
+        cam = export_grad_cam(
+            params, payload.get("batch_stats") or {}, np.load(args.x_npy),
+            np.load(args.adj_npy), args.out, args.prefix,
+            num_layers=args.gradcam_layers, hidden=args.gradcam_hidden,
+            class_index=args.gradcam_class)
+        print(f"grad-CAM saliency {cam.shape} exported")
 
 
 if __name__ == "__main__":
