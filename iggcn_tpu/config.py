@@ -139,6 +139,10 @@ class TrainConfig:
     # ~1.5-2x step throughput; identical math incl. sequential BatchNorm
     # running-stat updates (steps._dual_pass).
     dual_pass_vmap: bool = True
+    # Unroll factor for the within-epoch step scan (lax.scan unroll=k):
+    # trades compile time for less loop overhead / cross-step fusion on the
+    # dispatch-latency-bound tiny-op program. 1 = no unrolling.
+    scan_unroll: int = 1
     loss: LossWeights = dataclasses.field(default_factory=LossWeights)
     sparsity: SparsityWeights = dataclasses.field(default_factory=SparsityWeights)
 

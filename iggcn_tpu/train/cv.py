@@ -64,7 +64,9 @@ def _epoch_fns(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,
         objective = OBJECTIVES["sgcn_imgsnp"]
     train_one_epoch, eval_set = make_epoch_fns(model, mcfg, tcfg, optimizer,
                                                objective)
-    return jax.jit(train_one_epoch), jax.jit(eval_set)
+    # donate the state: the per-epoch loop always rebinds it to the output
+    return (jax.jit(train_one_epoch, donate_argnums=(0,)),
+            jax.jit(eval_set))
 
 
 def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,

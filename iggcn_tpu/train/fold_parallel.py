@@ -108,7 +108,8 @@ def run_folds_parallel(fold_fn, states, train_datas, val_datas, test_datas,
     vmapped = jax.vmap(fold_fn)
     run = jax.jit(vmapped,
                   in_shardings=tuple(spec(t) for t in stacked),
-                  out_shardings=spec(jax.eval_shape(vmapped, *stacked)))
+                  out_shardings=spec(jax.eval_shape(vmapped, *stacked)),
+                  donate_argnums=(0,))
     per_epoch, best, final_states = run(*stacked)
     return (jax.device_get(per_epoch), jax.device_get(best),
             jax.device_get(final_states))

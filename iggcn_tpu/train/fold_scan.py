@@ -69,7 +69,8 @@ def make_epoch_fns(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,
             new_state, loss_sum = train_step(carry, batch, r)
             return new_state, loss_sum
 
-        state, loss_sums = jax.lax.scan(body, state, (batches, rngs))
+        state, loss_sums = jax.lax.scan(body, state, (batches, rngs),
+                                        unroll=tcfg.scan_unroll)
         return state, jnp.sum(loss_sums)
 
     return train_one_epoch, eval_set
@@ -88,7 +89,10 @@ def make_fold_runner(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,
     train_one_epoch, eval_set = make_epoch_fns(model, mcfg, tcfg, optimizer,
                                                objective)
 
-    @jax.jit
+    # donate the incoming TrainState: the caller always rebinds it to the
+    # returned final state, and donation lets XLA update params/opt-state
+    # in place instead of allocating a second copy
+    @partial(jax.jit, donate_argnums=(0,))
     def fold_fn(state: TrainState, train_data, val_data, test_data, perms,
                 rng):
         init_test = eval_set(state.params, state.batch_stats, test_data)

@@ -401,8 +401,21 @@ OBJECTIVES = {
 
 
 def make_train_step(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,
-                    objective=fused_objective):
-    """One optimization step on one dense (possibly padded) batch."""
+                    objective=fused_objective, *,
+                    gate_padding: Optional[bool] = None):
+    """One optimization step on one dense (possibly padded) batch.
+
+    gate_padding: whether to no-op the update on whole all-padding batches
+    (w == 0 everywhere). Such batches exist ONLY as fold-size equalization in
+    fold-parallel mode (`pad_fold_data`); the data terms vanish under the w
+    mask but the param-only sparsity penalties don't, so without the gate
+    smaller folds would take extra Adam steps. The gate costs one select per
+    param/opt-state leaf, so it is STATIC: defaults to `tcfg.fold_parallel`
+    and is compiled out entirely in sequential mode (where all-padding
+    batches cannot occur — epochs pad within-batch only).
+    """
+    if gate_padding is None:
+        gate_padding = tcfg.fold_parallel
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array
                    ) -> Tuple[TrainState, jax.Array]:
@@ -417,24 +430,22 @@ def make_train_step(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,
         lr_t = lr_at_step(tcfg, state.step, state.steps_per_epoch)
         updates = jax.tree_util.tree_map(lambda u: -lr_t * u, updates)
         params = optax.apply_updates(state.params, updates)
-        # Whole all-padding batches (w == 0 everywhere) exist only as
-        # fold-size equalization in fold-parallel mode (`pad_fold_data`).
-        # Every data term vanishes under the w mask, but the param-only
-        # sparsity penalties don't — so gate the entire update (params, opt
-        # state, batch stats, step counter) on the batch containing at least
-        # one real row, keeping fold-parallel bit-equal to sequential CV.
-        has_real = jnp.sum(batch["w"]) > 0
+        batch_stats = aux["batch_stats"]
+        if gate_padding:
+            has_real = jnp.sum(batch["w"]) > 0
 
-        def _keep(old, new):
-            return jax.tree_util.tree_map(
-                lambda o, n: jnp.where(has_real, n, o), old, new)
+            def _keep(old, new):
+                return jax.tree_util.tree_map(
+                    lambda o, n: jnp.where(has_real, n, o), old, new)
 
-        new_state = TrainState(
-            _keep(state.params, params),
-            _keep(state.batch_stats, aux["batch_stats"]),
-            _keep(state.opt_state, opt_state),
-            state.step + has_real.astype(state.step.dtype),
-            state.steps_per_epoch)
+            params = _keep(state.params, params)
+            batch_stats = _keep(state.batch_stats, batch_stats)
+            opt_state = _keep(state.opt_state, opt_state)
+            step = state.step + has_real.astype(state.step.dtype)
+        else:
+            step = state.step + 1
+        new_state = TrainState(params, batch_stats, opt_state, step,
+                               state.steps_per_epoch)
         # reference train-loss bookkeeping: sum(loss * batch_size) / dataset
         return new_state, loss * jnp.sum(batch["w"])
 

@@ -201,8 +201,10 @@ def setup():
     return model, variables, params_np, stats_np, a_raw, g_inc, snps
 
 
-def test_flax_matches_sparse_reference(setup):
+@pytest.mark.parametrize("impl", ["dense", "edge"])
+def test_flax_matches_sparse_reference(setup, impl):
     model, variables, params_np, stats_np, a_raw, g_inc, snps = setup
+    model = model.clone(attention_impl=impl)
     latent, x_hat, atten = model.apply(variables,
                                        jnp.asarray(snps, jnp.float32))
     ref_latent, ref_x_hat, ref_atten = _sparse_reference(
