@@ -26,21 +26,26 @@ from typing import Any, Dict, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
-
-from iggcn_tpu.parallel.mesh import make_mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def fold_mesh(num_folds: int, axis_name: str = "fold"):
-    """Mesh over the largest divisor of `num_folds` that fits the device
-    count — sharding a leading axis requires divisibility."""
+def fold_mesh(num_folds: int, axis_name: str = "fold",
+              data_axis: str = "data"):
+    """2-D (fold, data) mesh: the fold axis gets the largest divisor of
+    `num_folds` that fits the device count (sharding a leading axis requires
+    divisibility); devices left over extend a second `data` axis that shards
+    each fold's SAMPLE axis — so k folds on n > k chips use all n
+    (fold-parallel x data-parallel SPMD composition)."""
     n_dev = jax.device_count()
-    size = 1
+    fold_size = 1
     for d in range(min(num_folds, n_dev), 0, -1):
         if num_folds % d == 0:
-            size = d
+            fold_size = d
             break
-    return make_mesh(size, axis_name=axis_name)
+    data_size = max(1, n_dev // fold_size)
+    devices = np.array(jax.devices()[: fold_size * data_size]).reshape(
+        fold_size, data_size)
+    return Mesh(devices, (axis_name, data_axis))
 
 
 def pad_fold_data(datas: Sequence[Dict[str, np.ndarray]]
@@ -101,13 +106,29 @@ def run_folds_parallel(fold_fn, states, train_datas, val_datas, test_datas,
                jnp.stack(list(rngs)))
     axis = mesh.axis_names[0]
     shard = NamedSharding(mesh, P(axis))
+    # second mesh axis (devices beyond the fold count): shard each fold's
+    # sample axis too, when divisible — params stay replicated over it and
+    # XLA inserts the within-fold gradient all-reduce
+    data_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+    data_size = mesh.shape[data_axis] if data_axis else 1
 
     def spec(tree):
         return jax.tree_util.tree_map(lambda _: shard, tree)
 
+    def data_spec(tree):
+        def leaf(x):
+            if (data_size > 1 and x.ndim >= 2
+                    and x.shape[1] % data_size == 0):
+                return NamedSharding(mesh, P(axis, data_axis))
+            return shard
+        return jax.tree_util.tree_map(leaf, tree)
+
+    in_specs = (spec(stacked[0]), data_spec(stacked[1]),
+                data_spec(stacked[2]), data_spec(stacked[3]),
+                spec(stacked[4]), spec(stacked[5]))
     vmapped = jax.vmap(fold_fn)
     run = jax.jit(vmapped,
-                  in_shardings=tuple(spec(t) for t in stacked),
+                  in_shardings=in_specs,
                   out_shardings=spec(jax.eval_shape(vmapped, *stacked)),
                   donate_argnums=(0,))
     per_epoch, best, final_states = run(*stacked)

@@ -90,3 +90,18 @@ def test_fold_parallel_matches_sequential(cohort, topo):
                                rtol=1e-3)
     np.testing.assert_allclose(res_par.score_result, res_seq.score_result,
                                rtol=1e-3, atol=2e-3)
+
+
+def test_fold_mesh_composes_fold_and_data_axes():
+    """Devices beyond the fold count extend a second data axis: 4 folds on
+    8 devices -> (fold=4, data=2); each fold's sample axis is sharded over
+    the data axis (within-fold data parallelism)."""
+    from iggcn_tpu.train.fold_parallel import fold_mesh
+
+    mesh = fold_mesh(4)
+    assert mesh.axis_names == ("fold", "data")
+    assert mesh.shape["fold"] == 4 and mesh.shape["data"] == 2
+    mesh8 = fold_mesh(8)
+    assert mesh8.shape["fold"] == 8 and mesh8.shape["data"] == 1
+    mesh3 = fold_mesh(3)   # 3 folds, 8 devices -> fold=3, data=2 (6 used)
+    assert mesh3.shape["fold"] == 3 and mesh3.shape["data"] == 2
