@@ -44,6 +44,18 @@ def _relu(x):
     return np.maximum(x, 0.0)
 
 
+def _make_act(params, activation):
+    """Site-keyed activation: ReLU (go_model.py) or per-module PReLU
+    (guide_go_model.py diffs: PReLU everywhere, latent WITHOUT the final
+    BN+ReLU after Linear(32, l_dim))."""
+    def act(site, x):
+        if activation == "relu":
+            return _relu(x)
+        alpha = params[site]["alpha"]
+        return np.where(x >= 0, x, alpha * x)
+    return act
+
+
 def _bn_eval(x, p, st, axis_channel):
     """torch BatchNorm1d eval: (x - mean)/sqrt(var+eps)*gamma + beta with
     channel dim `axis_channel` (1 for both 2-D (B,C) and 3-D (B,C,L))."""
@@ -75,9 +87,11 @@ def _row_normalized_nnz(rows, vals):
     return out
 
 
-def _sparse_reference(params, stats, a_raw, g_inc, snps):
+def _sparse_reference(params, stats, a_raw, g_inc, snps,
+                      activation="relu"):
     """Brute-force NumPy executor of Gene_ontology_network.forward (eval)."""
     p = params
+    act = _make_act(params, activation)
     a_net = a_raw.T                     # caller transposes (train_eval:69)
 
     # gene encoding via explicit nnz loop (go_model.py:206-215)
@@ -114,18 +128,23 @@ def _sparse_reference(params, stats, a_raw, g_inc, snps):
         out = out + x_s * v_self
         out = _layernorm_nodes(out, p[f"g_b_{jj}"]["scale"],
                                p[f"g_b_{jj}"]["bias"])
-        out = _relu(out)
+        out = act(f"act_enc_{jj}", out)
         x = out[:, POOL[jj]:, :]
 
     # readouts (go_model.py:117-146,254-255,285)
     atten = x @ p["conc_for_attention"]["kernel"]
-    atten = _relu(_bn_eval(atten, p["bn_atten"], stats["bn_atten"], 1))
+    atten = act("act_atten",
+                _bn_eval(atten, p["bn_atten"], stats["bn_atten"], 1))
     inp = (x @ p["conc"]["kernel"])[..., 0]
-    inp = _relu(_bn_eval(inp, p["bn_b"], stats["bn_b"], 1))
+    inp = act("act_b", _bn_eval(inp, p["bn_b"], stats["bn_b"], 1))
     h = inp @ p["latent1"]["kernel"]
-    h = _relu(_bn_eval(h, p["bn_latent1"], stats["bn_latent1"], 1))
+    h = act("act_latent1",
+            _bn_eval(h, p["bn_latent1"], stats["bn_latent1"], 1))
     h = h @ p["latent2"]["kernel"]
-    latent = _relu(_bn_eval(h, p["bn_latent2"], stats["bn_latent2"], 1))
+    if activation == "relu":
+        latent = _relu(_bn_eval(h, p["bn_latent2"], stats["bn_latent2"], 1))
+    else:   # guide_go_model.py:138-144 ends at the linear
+        latent = h
 
     # decoder (go_model.py:258-275)
     a_t = a_net.T
@@ -145,10 +164,10 @@ def _sparse_reference(params, stats, a_raw, g_inc, snps):
         out[:, pad:, :] += x_s_out
         out = _layernorm_nodes(out, p[f"g_b_d_{jj}"]["scale"],
                                p[f"g_b_d_{jj}"]["bias"])
-        x = _relu(out)
+        x = act(f"act_dec_{jj}", out)
 
     out_d = (x @ p["conc_d"]["kernel"])[..., 0]
-    out_d = _relu(_bn_eval(out_d, p["bn_b_d"], stats["bn_b_d"], 1))
+    out_d = act("act_b_d", _bn_eval(out_d, p["bn_b_d"], stats["bn_b_d"], 1))
 
     # gene decoding via the transposed incidence nnz (go_model.py:280-282)
     x_hat = np.zeros((B, S))
@@ -158,8 +177,9 @@ def _sparse_reference(params, stats, a_raw, g_inc, snps):
     return latent, x_hat, atten
 
 
-@pytest.fixture(scope="module")
-def setup():
+@pytest.fixture(scope="module", params=["relu", "prelu"])
+def setup(request):
+    activation = request.param
     rng = np.random.default_rng(7)
     # fake-data recipe of go_model.py:290-303 (randint adjacency/incidence)
     a_raw = rng.integers(0, 2, (N, N)).astype(np.float64)
@@ -170,7 +190,8 @@ def setup():
                       go_ids=[f"GO:{i}" for i in range(N)],
                       go_genes=[[] for _ in range(N)])
     model = GeneOntologyNetwork(topo=topo, in_f_dim=IN_F, n_l=N_L,
-                                f_dim=F_DIM, l_dim=L_DIM, dim_snps_atten=5)
+                                f_dim=F_DIM, l_dim=L_DIM, dim_snps_atten=5,
+                                activation=activation)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     jnp.asarray(snps, jnp.float32))
     # randomize EVERY parameter and batch stat so agreement is non-trivial
@@ -198,17 +219,19 @@ def setup():
         "batch_stats": jax.tree_util.tree_map(
             lambda a: jnp.asarray(a, jnp.float32), stats_np),
     }
-    return model, variables, params_np, stats_np, a_raw, g_inc, snps
+    return (model, variables, params_np, stats_np, a_raw, g_inc, snps,
+            activation)
 
 
 @pytest.mark.parametrize("impl", ["dense", "edge"])
 def test_flax_matches_sparse_reference(setup, impl):
-    model, variables, params_np, stats_np, a_raw, g_inc, snps = setup
+    (model, variables, params_np, stats_np, a_raw, g_inc, snps,
+     activation) = setup
     model = model.clone(attention_impl=impl)
     latent, x_hat, atten = model.apply(variables,
                                        jnp.asarray(snps, jnp.float32))
     ref_latent, ref_x_hat, ref_atten = _sparse_reference(
-        params_np, stats_np, a_raw, g_inc, snps)
+        params_np, stats_np, a_raw, g_inc, snps, activation)
     np.testing.assert_allclose(np.asarray(latent), ref_latent,
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(x_hat), ref_x_hat,
@@ -221,9 +244,11 @@ def test_golden_is_sensitive_to_orientation(setup):
     """Sanity: the oracle is NOT trivially equal — a plausible misreading
     (forgetting that the caller transposes the adjacency,
     train_eval_sgcn_img_snps.py:69) must break agreement."""
-    model, variables, params_np, stats_np, a_raw, g_inc, snps = setup
+    (model, variables, params_np, stats_np, a_raw, g_inc, snps,
+     activation) = setup
     ref_latent, ref_x_hat, _ = _sparse_reference(params_np, stats_np,
-                                                 a_raw.T, g_inc, snps)
+                                                 a_raw.T, g_inc, snps,
+                                                 activation)
     latent, x_hat, _ = model.apply(variables, jnp.asarray(snps, jnp.float32))
     assert not (np.allclose(np.asarray(latent), ref_latent, rtol=1e-3)
                 and np.allclose(np.asarray(x_hat), ref_x_hat, rtol=1e-3))
