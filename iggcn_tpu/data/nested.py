@@ -136,6 +136,7 @@ def create_nested_dataset(dataset: GraphDataset, h: int = 1, *,
                           node_label: str = "hop",
                           use_rd: bool = False,
                           use_return_prob: bool = False,
+                          return_prob_steps: int = 16,
                           seed: int = 0) -> NestedGraphDataset:
     """Replace every graph with the union of its per-node h-hop rooted
     subgraphs (parity `utils.py:18-122`).
@@ -153,7 +154,7 @@ def create_nested_dataset(dataset: GraphDataset, h: int = 1, *,
         n = int(dataset.mask[g].sum())
         adj = dataset.adj[g, :n, :n]
         xg = dataset.x[g, :n]
-        rp = return_prob(adj) if use_return_prob else None
+        rp = (return_prob(adj, steps=return_prob_steps) if use_return_prob else None)
         ux, urows, uz, urd, uassign = [], [], [], [], []
         blocks = []
         offset = 0
@@ -188,7 +189,7 @@ def create_nested_dataset(dataset: GraphDataset, h: int = 1, *,
 
     m_max = max(sizes)
     n_max = dataset.x.shape[1]
-    f_out = f + (16 if use_return_prob else 0)
+    f_out = f + (return_prob_steps if use_return_prob else 0)
     x = np.zeros((s, m_max, f_out), np.float32)
     adj_u = np.zeros((s, m_max, m_max), np.float32)
     mask = np.zeros((s, m_max), bool)

@@ -18,3 +18,23 @@ def imbalanced_sample_indices(y: np.ndarray, rng: np.random.Generator,
     weights = 1.0 / counts[inverse]
     p = weights / weights.sum()
     return rng.choice(len(y), size=num_samples, replace=True, p=p)
+
+
+def pad_epoch_indices(idx, batch_size):
+    """Pad a shuffled epoch index vector to a batch multiple with repeats of
+    idx[0] and return (padded_idx, weights): the w=0 tail rows let the
+    ragged final batch still train under masked losses (the reference's
+    DataLoader keeps the smaller last batch rather than dropping samples).
+    Consumers must keep the w=0 rows out of any cross-sample statistics
+    (BatchNorm, auxiliary batch means)."""
+    import numpy as np
+
+    b = batch_size
+    nb = -(-len(idx) // b)
+    n_real = len(idx)
+    if nb * b > n_real:
+        idx = np.concatenate([idx, np.full(nb * b - n_real, idx[0],
+                                           idx.dtype)])
+    w = np.zeros(nb * b, np.float32)
+    w[:n_real] = 1.0
+    return idx, w

@@ -153,13 +153,18 @@ def read_tu_dir(root: str, name: str) -> GraphDataset:
         adjs.append(np.zeros((n, n), np.float32))
         if feats is not None:
             xs.append(feats[first_node[g + 1]:first_node[g + 1] + n])
-    for r, c in edges:
-        g = int(indicator[r - 1]) - 1
-        i = int(r - 1 - first_node[g + 1])
-        j = int(c - 1 - first_node[g + 1])
-        if i == j:
-            continue  # drop self loops (PyG read_tu_data parity)
-        adjs[g][i, j] = 1.0
+    # vectorized edge placement (real TU benchmarks have millions of edges)
+    eg = indicator[edges[:, 0] - 1] - 1            # 0-based graph per edge
+    ei = edges[:, 0] - 1 - first_node[eg + 1]      # local node indices
+    ej = edges[:, 1] - 1 - first_node[eg + 1]
+    keep = ei != ej                 # drop self loops (PyG read_tu_data parity)
+    eg, ei, ej = eg[keep], ei[keep], ej[keep]
+    order = np.argsort(eg, kind="stable")
+    eg, ei, ej = eg[order], ei[order], ej[order]
+    bounds = np.searchsorted(eg, np.arange(num_graphs + 1))
+    for g in range(num_graphs):
+        lo, hi = bounds[g], bounds[g + 1]
+        adjs[g][ei[lo:hi], ej[lo:hi]] = 1.0
 
     if feats is None:
         max_deg = max(int((a != 0).sum(axis=1).max()) if a.size else 0

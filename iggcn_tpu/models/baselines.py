@@ -133,9 +133,14 @@ class GIN(nn.Module):
     train_eps: bool = True
 
     @nn.compact
-    def __call__(self, x, adj, mask=None, *, train: bool = False):
+    def __call__(self, x, adj, mask=None, *, train: bool = False,
+                 sample_weight=None):
         if mask is None:
             mask = _ones_mask(x)
+        # zero-weight (epoch-padding) samples must not enter the BN batch
+        # statistics; everything else is per-sample so they are harmless
+        bn_mask = mask if sample_weight is None else (
+            mask & (sample_weight > 0)[:, None])
         feats = []
         h = x
         for i in range(self.num_layers):
@@ -145,7 +150,7 @@ class GIN(nn.Module):
                 eps = 0.0
             agg = P.gin_conv_aggregate(h, adj, eps)
             h = _GINMLP(self.hidden, name=f"mlp_{i}")(agg, train=train,
-                                                      mask=mask)
+                                                      mask=bn_mask)
             h = h * mask[..., None]
             feats.append(h)
         z = P.add_pool(jnp.concatenate(feats, -1), mask)
@@ -360,7 +365,8 @@ class DiffPool(nn.Module):
     num_classes: int = 2
 
     @nn.compact
-    def __call__(self, x, adj, mask=None, *, train: bool = False):
+    def __call__(self, x, adj, mask=None, *, train: bool = False,
+                 sample_weight=None):
         if mask is None:
             mask = _ones_mask(x)
         n1 = max(1, int(0.25 * self.max_nodes))
@@ -373,7 +379,8 @@ class DiffPool(nn.Module):
 
         z = sage("embed1", x, adj, self.hidden) * mask[..., None]
         s = sage("assign1", x, adj, n1)
-        x2, adj2, link1, ent1 = P.diff_pool(z, adj, s, mask)
+        x2, adj2, link1, ent1 = P.diff_pool(z, adj, s, mask,
+                                            sample_weight=sample_weight)
         mask2 = jnp.ones(x2.shape[:2], bool)
         z2 = sage("embed2", x2, adj2, self.hidden)
         g = jnp.concatenate([P.mean_pool(z2, mask2), P.max_pool(z2, mask2)], -1)

@@ -291,11 +291,14 @@ class GeneOntologyNetwork(nn.Module):
         return latent, x_hat, atten_out
 
     def classify(self, latent: jax.Array, snps: jax.Array, *,
-                 train: bool = False) -> jax.Array:
-        """Standalone SNP classifier head (parity `go_model.py:148-157`)."""
+                 train: bool = False,
+                 sample_weight: jax.Array | None = None) -> jax.Array:
+        """Standalone SNP classifier head (parity `go_model.py:148-157`).
+        `sample_weight` masks padding rows out of bn_cls batch statistics."""
         det = not train
         h = jnp.concatenate([latent, snps], axis=-1)
-        h = nn.relu(self.bn_cls(h, use_running_average=det))
+        h = nn.relu(self.bn_cls(h, use_running_average=det,
+                                weight=sample_weight))
         if train:
             h = dropout(self.make_rng("dropout"), h, 0.5)
         h = nn.relu(self.cls1(h))

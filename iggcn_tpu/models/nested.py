@@ -68,8 +68,11 @@ class NestedGNN(nn.Module):
 
     @nn.compact
     def __call__(self, x, adj, mask, assign, *, z=None, rd=None,
-                 train: bool = False):
+                 train: bool = False, sample_weight=None):
         b = x.shape[0]
+        # zero-weight (epoch-padding) samples stay out of BN batch stats
+        bn_mask = mask if sample_weight is None else (
+            mask & (sample_weight > 0)[:, None])
         if self.use_z or self.use_rd:
             emb = 0.0
             if self.use_z:
@@ -119,7 +122,7 @@ class NestedGNN(nn.Module):
                        if self.train_eps else 0.0)
                 agg = P.gin_conv_aggregate(h * mf, adj, eps)
                 h = _GINMLP(self.hidden, name=f"mlp_{i}")(agg, train=train,
-                                                          mask=mask)
+                                                          mask=bn_mask)
             elif self.conv == "sage":
                 ws = self.param(f"sage_ws_{i}", _glorot,
                                 (h.shape[-1], self.hidden))

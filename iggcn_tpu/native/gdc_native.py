@@ -25,10 +25,18 @@ if os.environ.get("IGGCN_NO_NATIVE"):
 
 
 def _build() -> None:
+    # pid-unique temp output: concurrent first importers (parallel test
+    # workers / jobs) each compile privately; only the install is shared
+    # and os.replace makes that atomic
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-fopenmp",
-           _SRC, "-o", _LIB + ".tmp"]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(_LIB + ".tmp", _LIB)  # atomic: parallel builders race safely
+           _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 if (not os.path.exists(_LIB)

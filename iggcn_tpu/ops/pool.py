@@ -150,11 +150,16 @@ def global_attention_pool(x: jax.Array, mask: jax.Array, gate: jax.Array
 
 
 def diff_pool(z: jax.Array, adj: jax.Array, s_logits: jax.Array,
-              mask: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array,
-                                        jax.Array]:
+              mask: jax.Array, sample_weight: jax.Array | None = None
+              ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """dense_diff_pool parity: S = softmax(s_logits); x' = S^T z;
     A' = S^T A S; link loss = ||A - S S^T||_F / |A|; entropy loss =
-    mean entropy of S rows. Returns (x', adj', link_loss, ent_loss)."""
+    mean entropy of S rows. Returns (x', adj', link_loss, ent_loss).
+
+    `sample_weight`: optional (B,) 0/1 padding mask — the link/entropy
+    reductions run over real samples only, so zero-weight epoch-padding rows
+    contribute no auxiliary gradient (matching the reference's smaller final
+    batch)."""
     s = jax.nn.softmax(s_logits, axis=-1)
     s = s * mask[..., None]
     x_new = jnp.einsum("bnk,bnf->bkf", s, z,
@@ -162,10 +167,17 @@ def diff_pool(z: jax.Array, adj: jax.Array, s_logits: jax.Array,
     adj_new = jnp.einsum("bnk,bnm,bml->bkl", s, adj, s,
                          preferred_element_type=jnp.float32)
     ss = jnp.einsum("bnk,bmk->bnm", s, s)
-    link = jnp.sqrt(jnp.sum(jnp.square(adj - ss), axis=(1, 2)) + 1e-12)
-    link = jnp.mean(link / jnp.maximum(adj.shape[1] * adj.shape[2], 1))
-    ent = -jnp.sum(s * jnp.log(s + 1e-15), axis=-1)
-    ent = jnp.sum(ent * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    link_i = (jnp.sqrt(jnp.sum(jnp.square(adj - ss), axis=(1, 2)) + 1e-12)
+              / jnp.maximum(adj.shape[1] * adj.shape[2], 1))
+    ent_n = -jnp.sum(s * jnp.log(s + 1e-15), axis=-1) * mask
+    if sample_weight is None:
+        link = jnp.mean(link_i)
+        ent = jnp.sum(ent_n) / jnp.maximum(jnp.sum(mask), 1.0)
+    else:
+        sw = sample_weight.astype(z.dtype)
+        link = jnp.sum(link_i * sw) / jnp.maximum(jnp.sum(sw), 1.0)
+        wm = mask * sw[:, None]
+        ent = jnp.sum(ent_n * sw[:, None]) / jnp.maximum(jnp.sum(wm), 1.0)
     return x_new, adj_new, link, ent
 
 

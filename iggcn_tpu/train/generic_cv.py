@@ -17,11 +17,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from iggcn_tpu.data.sampler import imbalanced_sample_indices
+from iggcn_tpu.data.sampler import (imbalanced_sample_indices,
+                                    pad_epoch_indices)
 from iggcn_tpu.data.splits import k_fold
 from iggcn_tpu.data.tu import GraphDataset
 from iggcn_tpu.train import metrics
 from iggcn_tpu.train.losses import nll_loss
+from iggcn_tpu.train.steps import steplr_host
 
 
 @dataclasses.dataclass
@@ -33,8 +35,12 @@ class GenericCVResult:
 
 
 def _model_forward(model, variables, batch, train, rng, needs_mask,
-                   needs_assign, adj_only, mutable):
+                   needs_assign, adj_only, mutable, takes_weight=False):
     kwargs = {"train": train}
+    if takes_weight:
+        # BN statistics / auxiliary losses must exclude the zero-weight
+        # epoch-padding rows (GIN, DiffPool, Nested*)
+        kwargs["sample_weight"] = batch["w"]
     # nested-subgraph node labels / resistance distance, when the dataset
     # carries them (NestedGraphDataset)
     if "z" in batch:
@@ -69,6 +75,7 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
                              needs_assign: bool = False,
                              adj_only: bool = False,
                              aux_loss: bool = False,
+                             takes_weight: bool = False,
                              verbose: bool = False) -> GenericCVResult:
     """Run k-fold CV of a baseline model over a dense padded GraphDataset."""
     y_all = dataset.y
@@ -102,7 +109,7 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
             vs["params"] = params
             out, mut = _model_forward(model, vs, batch, True, rng,
                                       needs_mask, needs_assign, adj_only,
-                                      has_stats)
+                                      has_stats, takes_weight)
             if aux_loss:
                 logp, link, ent = out
                 loss = nll_loss(logp, batch["y"], batch["w"]) + link + ent
@@ -125,7 +132,8 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
     @jax.jit
     def eval_batch(variables, batch):
         out, _ = _model_forward(model, variables, batch, False, None,
-                                needs_mask, needs_assign, adj_only, False)
+                                needs_mask, needs_assign, adj_only, False,
+                                takes_weight)
         logp = out[0] if aux_loss else out
         loss = nll_loss(logp, batch["y"], batch["w"])
         pred = jnp.argmax(logp, -1)
@@ -178,17 +186,10 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
                 idx = train_idx[idx]
             else:
                 idx = host_rng.permutation(train_idx)
-            lr_t = lr * lr_decay_factor ** (epoch // lr_decay_step_size)
-            # pad the shuffled epoch to a batch multiple with w=0 rows so the
-            # ragged tail still trains (the reference's DataLoader keeps the
-            # smaller last batch rather than dropping those samples)
-            nb = -(-len(idx) // b)
-            n_real = len(idx)
-            if nb * b > n_real:
-                idx = np.concatenate(
-                    [idx, np.full(nb * b - n_real, idx[0], idx.dtype)])
-            w_epoch = np.zeros(nb * b, np.float32)
-            w_epoch[:n_real] = 1.0
+            lr_t = steplr_host(lr, lr_decay_factor, lr_decay_step_size,
+                               epoch)
+            idx, w_epoch = pad_epoch_indices(idx, b)
+            nb = len(idx) // b
             for i in range(nb):
                 sel = idx[i * b:(i + 1) * b]
                 batch = {

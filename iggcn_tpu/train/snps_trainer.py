@@ -19,10 +19,12 @@ import numpy as np
 import optax
 
 from iggcn_tpu.data.go_graph import GoTopology
-from iggcn_tpu.data.sampler import imbalanced_sample_indices
+from iggcn_tpu.data.sampler import (imbalanced_sample_indices,
+                                    pad_epoch_indices)
 from iggcn_tpu.data.splits import k_fold
 from iggcn_tpu.models.go_network import GeneOntologyNetwork
 from iggcn_tpu.train import metrics
+from iggcn_tpu.train.steps import steplr_host
 
 
 @dataclasses.dataclass
@@ -58,7 +60,7 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
     # optax schedule (which would be tied to one fold's steps_per_epoch).
     optimizer = optax.scale_by_adam(b1=0.9, b2=0.999)
 
-    def forward(params, batch_stats, x, train, rng):
+    def forward(params, batch_stats, x, w, train, rng):
         variables = {"params": params, "batch_stats": batch_stats}
         if use_mlp:
             if train:
@@ -68,12 +70,15 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
                 y_hat = model.apply({"params": params}, x)
             return None, x, y_hat, batch_stats
         if train:
+            # sample_weight keeps zero-weight (tail-padding) rows out of
+            # every BatchNorm's batch statistics
             (latent, x_hat, _), mut = model.apply(
                 variables, x, train=True, rngs={"dropout": rng},
-                mutable=["batch_stats"])
+                sample_weight=w, mutable=["batch_stats"])
             y_hat, mut2 = model.apply(
                 {"params": params, "batch_stats": mut["batch_stats"]},
                 latent, x, train=True, rngs={"dropout": rng},
+                sample_weight=w,
                 method=GeneOntologyNetwork.classify, mutable=["batch_stats"])
             return latent, x_hat, y_hat, mut2["batch_stats"]
         latent, x_hat, _ = model.apply(variables, x)
@@ -82,7 +87,8 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
         return latent, x_hat, y_hat, batch_stats
 
     def loss_fn(params, batch_stats, x, y, w, train, rng):
-        _, x_hat, y_hat, new_stats = forward(params, batch_stats, x, train, rng)
+        _, x_hat, y_hat, new_stats = forward(params, batch_stats, x, w,
+                                             train, rng)
         bce = -(y * jnp.log(jnp.clip(y_hat[:, 0], 1e-7, 1.0))
                 + (1 - y) * jnp.log(jnp.clip(1 - y_hat[:, 0], 1e-7, 1.0)))
         class_loss = jnp.sum(bce * w)
@@ -142,17 +148,9 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
 
         for epoch in range(epochs):
             idx = imbalanced_sample_indices(y_tr, host_rng)
-            lr_t = jnp.float32(lr * 0.7 ** (epoch // 50))
-            # pad the epoch to a batch multiple with w=0 rows so the ragged
-            # tail still trains (the reference keeps the smaller last batch)
-            nb = -(-len(idx) // batch_size)
-            n_real = len(idx)
-            if nb * batch_size > n_real:
-                idx = np.concatenate(
-                    [idx, np.full(nb * batch_size - n_real, idx[0],
-                                  idx.dtype)])
-            w_ep = np.zeros(nb * batch_size, np.float32)
-            w_ep[:n_real] = 1.0
+            lr_t = jnp.float32(steplr_host(lr, 0.7, 50, epoch))
+            idx, w_ep = pad_epoch_indices(idx, batch_size)
+            nb = len(idx) // batch_size
             for i in range(nb):
                 sel = idx[i * batch_size:(i + 1) * batch_size]
                 rng, srng = jax.random.split(rng)

@@ -70,6 +70,17 @@ def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int = 0):
     return optax.scale_by_adam()
 
 
+def steplr_host(lr: float, factor: float, step_size: int,
+                epoch: int) -> float:
+    """Host-side StepLR: lr * factor**(epoch // step_size) (0-indexed
+    epoch). The python-loop trainers (generic_cv, snps_trainer) feed this to
+    their jitted steps as an explicit argument; `lr_at_step` below is the
+    traced equivalent for scan-based trainers."""
+    if step_size <= 0:
+        return lr
+    return lr * factor ** (epoch // step_size)
+
+
 def lr_at_step(tcfg: TrainConfig, step: jax.Array,
                steps_per_epoch: jax.Array) -> jax.Array:
     """StepLR-parity learning rate: x`lr_decay_factor` every

@@ -141,9 +141,10 @@ def _build_zoo_model(name: str, num_layers: int, hidden: int, dataset):
     if name == "GAT":
         return B.GATFlat(**common), dict(needs_mask=False)
     if name == "GIN":
-        return B.GIN(**common), mask
+        return B.GIN(**common), dict(needs_mask=True, takes_weight=True)
     if name == "GIN0":
-        return B.GIN(**common, train_eps=False), mask
+        return (B.GIN(**common, train_eps=False),
+                dict(needs_mask=True, takes_weight=True))
     if name == "GraphSAGE":
         return B.GraphSAGE(**common), mask
     if name == "GraphSAGEWithoutJK":
@@ -153,7 +154,7 @@ def _build_zoo_model(name: str, num_layers: int, hidden: int, dataset):
     if name == "DiffPool":
         return (B.DiffPool(max_nodes=dataset.x.shape[1], hidden=hidden,
                            num_classes=nc),
-                dict(needs_mask=True, aux_loss=True))
+                dict(needs_mask=True, aux_loss=True, takes_weight=True))
     if name == "SortPool":
         return B.SortPool(**common, k=min(10, dataset.x.shape[1])), mask
     if name == "Set2Set":
@@ -171,7 +172,7 @@ def _build_zoo_model(name: str, num_layers: int, hidden: int, dataset):
         use_rd = getattr(dataset, "rd", None) is not None
         return (factory(**common, num_subgraphs=dataset.num_subgraphs,
                         use_z=use_z, use_rd=use_rd),
-                dict(needs_mask=True, needs_assign=True))
+                dict(needs_mask=True, needs_assign=True, takes_weight=True))
     raise ValueError(name)
 
 
@@ -266,6 +267,7 @@ def main(argv=None):
                 dataset, h=args.h, node_label=args.node_label,
                 use_rd=args.use_rd,
                 use_return_prob=args.use_rp is not None,
+                return_prob_steps=args.use_rp or 16,
                 max_nodes_per_hop=args.max_nodes_per_hop, seed=args.seed)
         best = (float("inf"), 0.0, 0.0)
         best_hyper = combos[0]

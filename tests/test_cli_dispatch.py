@@ -40,7 +40,7 @@ def test_zoo_model_factory_covers_all_names():
         model, kw = cli._build_zoo_model(name, 2, 8, d)
         assert model is not None
         assert set(kw) <= {"needs_mask", "needs_assign", "adj_only",
-                           "aux_loss"}
+                           "aux_loss", "takes_weight"}
 
 
 def test_cli_zoo_tu_end_to_end(tmp_path, monkeypatch):

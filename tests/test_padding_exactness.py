@@ -1,0 +1,89 @@
+"""Epoch tail-padding exactness: zero-weight duplicate rows must not leak
+into cross-sample statistics (BatchNorm batches, DiffPool aux losses) — the
+padded batch must train identically to the reference's smaller real batch."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iggcn_tpu.models import baselines as B
+from iggcn_tpu.ops import pool as P
+
+
+def _toy(n_graphs, n=7, f=4, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n_graphs, n, f)).astype(np.float32)
+    adj = (rng.random((n_graphs, n, n)) < 0.4).astype(np.float32)
+    mask = np.ones((n_graphs, n), bool)
+    mask[:, n - 2:] = False
+    return jnp.asarray(x), jnp.asarray(adj), jnp.asarray(mask)
+
+
+def test_gin_bn_stats_ignore_padding_rows():
+    x, adj, mask = _toy(2)
+    # padded batch: the 2 real rows + 2 duplicates of row 0 with w=0
+    xp = jnp.concatenate([x, x[:1], x[:1]])
+    ap = jnp.concatenate([adj, adj[:1], adj[:1]])
+    mp = jnp.concatenate([mask, mask[:1], mask[:1]])
+    w = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+
+    model = B.GIN(num_layers=2, hidden=8, num_classes=2)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, adj, mask)
+
+    _, mut_real = model.apply(variables, x, adj, mask, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(1)},
+                              mutable=["batch_stats"])
+    _, mut_pad = model.apply(variables, xp, ap, mp, train=True,
+                             sample_weight=w,
+                             rngs={"dropout": jax.random.PRNGKey(1)},
+                             mutable=["batch_stats"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        mut_real["batch_stats"], mut_pad["batch_stats"])
+
+
+def test_diff_pool_aux_ignores_padding_rows():
+    x, adj, mask = _toy(3, seed=1)
+    rng = np.random.default_rng(2)
+    s = jnp.asarray(rng.normal(size=(3, 7, 3)).astype(np.float32))
+    _, _, link_real, ent_real = P.diff_pool(x, adj, s, mask)
+
+    xp = jnp.concatenate([x, x[:1]])
+    ap = jnp.concatenate([adj, adj[:1]])
+    sp = jnp.concatenate([s, s[:1]])
+    mp = jnp.concatenate([mask, mask[:1]])
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    _, _, link_pad, ent_pad = P.diff_pool(xp, ap, sp, mp, sample_weight=w)
+    np.testing.assert_allclose(float(link_pad), float(link_real), rtol=1e-6)
+    np.testing.assert_allclose(float(ent_pad), float(ent_real), rtol=1e-6)
+
+    # without the weight the duplicates DO shift the means (the bug this
+    # guards against)
+    _, _, link_bug, _ = P.diff_pool(xp, ap, sp, mp)
+    assert not np.isclose(float(link_bug), float(link_real), rtol=1e-6)
+
+
+def test_snps_go_bn_stats_ignore_padding_rows():
+    from iggcn_tpu.data.go_graph import synthetic_topology
+    from iggcn_tpu.models.go_network import GeneOntologyNetwork
+
+    topo = synthetic_topology(np.random.default_rng(0),
+                              level_sizes=[6, 4, 2, 1], num_levels=4, n_l=2)
+    model = GeneOntologyNetwork(topo=topo, in_f_dim=2, n_l=2, f_dim=(4, 4),
+                                l_dim=4)
+    rng = np.random.default_rng(3)
+    snps = jnp.asarray(rng.random((3, 54)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), snps)
+
+    _, mut_real = model.apply(variables, snps, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(1)},
+                              mutable=["batch_stats"])
+    snps_p = jnp.concatenate([snps, snps[:1]])
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    _, mut_pad = model.apply(variables, snps_p, train=True, sample_weight=w,
+                             rngs={"dropout": jax.random.PRNGKey(1)},
+                             mutable=["batch_stats"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        mut_real["batch_stats"], mut_pad["batch_stats"])
