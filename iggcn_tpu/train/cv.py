@@ -235,7 +235,9 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     durations: List[float] = []
     best_hidden, best_subids, best_linear = [], [], []
     best_true_scores, best_true_labels, best_pred_scores = [], [], []
-    total_graphs = 0
+    fold_graphs: List[int] = []
+    fold_cold: List[bool] = []      # fold triggered a fresh XLA compile
+    seen_shapes: set = set()
     optimizer = None
     train_epoch = eval_epoch = None
     fold_runner = None
@@ -265,10 +267,9 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
             track_best_on="val" if use_val else "test")
         states, rngs = zip(*(init_state(f, real_spes[f])
                              for f in range(tcfg.folds)))
-        t0 = time.perf_counter()
-        parallel_out = run_folds_parallel(
+        *parallel_out, parallel_dt = run_folds_parallel(
             fold_runner, states, trains, vals, tests, perms_list, rngs)
-        parallel_dt = time.perf_counter() - t0
+        parallel_out = tuple(parallel_out)
 
     for fold, (train_idx, test_idx, val_idx) in enumerate(splits):
         p = prepped[fold] if prepped is not None else prep_fold(
@@ -425,7 +426,12 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
 
         durations.append(parallel_dt / tcfg.folds if parallel_out is not None
                          else time.perf_counter() - t_start)
-        total_graphs += n_train * tcfg.epochs
+        fold_graphs.append(n_train * tcfg.epochs)
+        # a fold with data shapes unseen so far compiles a fresh program
+        shape_key = tuple(p[k]["y"].shape[0]
+                          for k in ("train_data", "val_data", "test_data"))
+        fold_cold.append(parallel_out is None and shape_key not in seen_shapes)
+        seen_shapes.add(shape_key)
         test_losses.extend(fold_test_losses)
         accs.extend(fold_accs)
         all_score_results.append(score_result_epoch)
@@ -482,7 +488,15 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
             if logger is not None:
                 logger(msg)
 
-    throughput = total_graphs / max(sum(durations), 1e-9)
+    # steady-state throughput: exclude folds whose data shapes forced a
+    # fresh XLA compile (the fold-parallel path already measures execution
+    # only — its program is AOT-compiled inside run_folds_parallel)
+    warm = [(g, d) for g, d, cold in zip(fold_graphs, durations, fold_cold)
+            if not cold]
+    if not warm:
+        warm = list(zip(fold_graphs, durations))
+    throughput = (sum(g for g, _ in warm)
+                  / max(sum(d for _, d in warm), 1e-9))
     return CVResult(
         mean_test_loss=float(loss_arr.mean()),
         best_acc=float(acc_mean[argmax]),

@@ -131,6 +131,13 @@ def run_folds_parallel(fold_fn, states, train_datas, val_datas, test_datas,
                   in_shardings=in_specs,
                   out_shardings=spec(jax.eval_shape(vmapped, *stacked)),
                   donate_argnums=(0,))
-    per_epoch, best, final_states = run(*stacked)
-    return (jax.device_get(per_epoch), jax.device_get(best),
-            jax.device_get(final_states))
+    # compile ahead of time so the returned duration measures EXECUTION only
+    # (comparable to the sequential path's warm-fold throughput)
+    compiled = run.lower(*stacked).compile()
+    import time
+    t0 = time.perf_counter()
+    per_epoch, best, final_states = compiled(*stacked)
+    out = (jax.device_get(per_epoch), jax.device_get(best),
+           jax.device_get(final_states))
+    exec_seconds = time.perf_counter() - t0
+    return out + (exec_seconds,)
