@@ -88,6 +88,33 @@ def test_load_adni874_through_cv(mat_cohort):
     assert res.score_result.shape == (3, 2, 5)
 
 
+def test_load_adni874_multi_fusion(tmp_path):
+    """Multi-fusion mode: three per-modality correlation matrices become one
+    block-diagonal 3N-node graph with the imaging channels flattened to one
+    (parity `sgcn_data.py:221-281`)."""
+    base = str(tmp_path) + "/"
+    rng = np.random.default_rng(5)
+    _write_mat_cohort(base, rng)
+    mods = {}
+    for mod in ("MRI", "FDG-PET", "AV45-PET"):
+        mdir = os.path.join(base, mod, "knn", "5")
+        os.makedirs(mdir)
+        m = np.abs(rng.normal(size=(S, N, N))) + 0.1
+        sio.savemat(os.path.join(mdir, "corr_data.mat"), {"corr_data": m})
+        mods[mod] = m
+    cfg = DataConfig(data_path=base, knn=5, disease_id=0,
+                     is_multi_fusion=True)
+    cohort = load_adni874(cfg)
+    assert cohort.x.shape == (S, 3 * N, 1)
+    assert cohort.raw_adj.shape == (S, 3 * N, 3 * N)
+    for k, mod in enumerate(("MRI", "FDG-PET", "AV45-PET")):
+        blk = cohort.raw_adj[:, k * N:(k + 1) * N, k * N:(k + 1) * N]
+        np.testing.assert_allclose(blk, mods[mod].astype(np.float32),
+                                   rtol=1e-6)
+    # off-diagonal blocks stay zero (modalities are not cross-wired)
+    assert cohort.raw_adj[:, :N, N:2 * N].sum() == 0
+
+
 def test_load_adni_csv(tmp_path):
     rng = np.random.default_rng(2)
     base = tmp_path / "data_AH"         # disease_id 0 task directory
