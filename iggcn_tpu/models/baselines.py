@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from iggcn_tpu.models.nn_compat import BatchNorm1d, TorchLinear, dropout
+from iggcn_tpu.models.nn_compat import (BatchNorm1d, TorchLinear, dropout,
+                                        pyg_glorot_att)
 from iggcn_tpu.ops import pool as P
 from iggcn_tpu.ops.gat import GATParams, gat_conv
 from iggcn_tpu.ops.gcn import gcn_conv, gcn_propagation_matrix
@@ -80,13 +81,13 @@ class GATFlat(nn.Module):
             p = GATParams(
                 weight=self.param(f"gat_w_{i}", _glorot,
                                   (h.shape[-1], self.hidden)),
-                att_src=self.param(f"att_src_{i}", nn.initializers.normal(0.1),
+                att_src=self.param(f"att_src_{i}", pyg_glorot_att,
                                    (self.hidden,)),
-                att_dst=self.param(f"att_dst_{i}", nn.initializers.normal(0.1),
+                att_dst=self.param(f"att_dst_{i}", pyg_glorot_att,
                                    (self.hidden,)),
                 lin_edge=self.param(f"lin_edge_{i}", _glorot, (1, self.hidden)),
                 att_edge=self.param(f"att_edge_{i}",
-                                    nn.initializers.normal(0.1), (self.hidden,)),
+                                    pyg_glorot_att, (self.hidden,)),
                 bias=self.param(f"gat_b_{i}", nn.initializers.zeros,
                                 (self.hidden,)))
             h = nn.relu(gat_conv(h, adj, p))
@@ -392,8 +393,11 @@ class DiffPool(nn.Module):
 
 
 class CNNModel(nn.Module):
-    """`CNN_Model` (`kernel/mlp.py:13-72`): 2x Conv2d over the (N, N)
-    adjacency image + FC head."""
+    """`CNN_Model` (`kernel/mlp.py:13-72`), exact geometry: Conv2d(1, 4, 3)
+    (VALID) -> MaxPool(3, 3) -> Conv2d(4, 4, 3) -> MaxPool(3, 3) -> flatten
+    (90x90 input gives 4 * 9 * 9 = 324, matching the reference's hardcoded
+    fc1 in-dim) -> fc1(64) -> dropout(hp.droupout_prob=0.5) -> fc2(16)
+    -> fc3(num_classes)."""
 
     num_classes: int = 2
     rois: int = 90
@@ -401,15 +405,16 @@ class CNNModel(nn.Module):
     @nn.compact
     def __call__(self, adj, *, train: bool = False):
         h = adj[..., None]                        # (B, N, N, 1)
-        h = nn.relu(nn.Conv(8, (5, 5), strides=(2, 2), name="conv1")(h))
-        h = nn.max_pool(h, (2, 2), strides=(2, 2))
-        h = nn.relu(nn.Conv(16, (3, 3), strides=(1, 1), name="conv2")(h))
-        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = nn.relu(nn.Conv(4, (3, 3), padding="VALID", name="conv1")(h))
+        h = nn.max_pool(h, (3, 3), strides=(3, 3))
+        h = nn.relu(nn.Conv(4, (3, 3), padding="VALID", name="conv2")(h))
+        h = nn.max_pool(h, (3, 3), strides=(3, 3))
         h = h.reshape(h.shape[0], -1)
         h = nn.relu(TorchLinear(64, name="fc1")(h))
         if train:
             h = dropout(self.make_rng("dropout"), h, 0.5)
-        return jax.nn.log_softmax(TorchLinear(self.num_classes, name="fc2")(h), -1)
+        h = nn.relu(TorchLinear(16, name="fc2")(h))
+        return jax.nn.log_softmax(TorchLinear(self.num_classes, name="fc3")(h), -1)
 
 
 class MLPModel(nn.Module):

@@ -16,7 +16,8 @@ from flax import linen as nn
 from iggcn_tpu.config import ModelConfig
 from iggcn_tpu.models.fused_sgcn import _glorot_uniform, _kaiming_uniform_a5
 from iggcn_tpu.models.go_network import GeneOntologyNetwork
-from iggcn_tpu.models.nn_compat import TorchLinear, dropout
+from iggcn_tpu.models.nn_compat import (TorchLinear, dropout,
+                                        torch_linear_init)
 from iggcn_tpu.ops.attention import MHAParams, multihead_cross_attention
 from iggcn_tpu.ops.gcn import gcn_conv, gcn_propagation_matrix
 from iggcn_tpu.ops.masking import importance_masks
@@ -60,9 +61,10 @@ class ClusterLabelSGCN(nn.Module):
                                           (3 * e, e)),
                 in_proj_bias=self.param("mha_in_proj_bias",
                                         nn.initializers.zeros, (3 * e,)),
+                # torch MultiheadAttention only xavier-inits in_proj;
+                # out_proj keeps nn.Linear's default U(-1/sqrt(E), 1/sqrt(E))
                 out_proj_weight=self.param("mha_out_proj_weight",
-                                           nn.initializers.xavier_uniform(),
-                                           (e, e)),
+                                           torch_linear_init(e), (e, e)),
                 out_proj_bias=self.param("mha_out_proj_bias",
                                          nn.initializers.zeros, (e,)))
         self.lin1_classify = TorchLinear(cfg.hidden_linear, name="lin1_classify")

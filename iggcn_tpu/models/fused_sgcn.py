@@ -29,7 +29,7 @@ from flax import linen as nn
 from iggcn_tpu.config import ModelConfig
 from iggcn_tpu.models.go_network import GeneOntologyNetwork
 from iggcn_tpu.models.nn_compat import (TorchLinear, dropout,
-                                        torch_linear_init)
+                                        pyg_glorot_att, torch_linear_init)
 from iggcn_tpu.ops.attention import MHAParams, multihead_cross_attention
 from iggcn_tpu.ops.gcn import gcn_conv, gcn_propagation_matrix
 from iggcn_tpu.ops.masking import importance_masks
@@ -71,14 +71,14 @@ class FusedSGCN(nn.Module):
             self.gat_ps = [GATParams(
                 weight=self.param(f"gat_w_{i}", _glorot_uniform,
                                   (cfg.feat_dim if i == 0 else hidden, hidden)),
-                att_src=self.param(f"gat_att_src_{i}", nn.initializers.normal(0.1),
+                att_src=self.param(f"gat_att_src_{i}", pyg_glorot_att,
                                    (hidden,)),
-                att_dst=self.param(f"gat_att_dst_{i}", nn.initializers.normal(0.1),
+                att_dst=self.param(f"gat_att_dst_{i}", pyg_glorot_att,
                                    (hidden,)),
                 lin_edge=self.param(f"gat_lin_edge_{i}", _glorot_uniform,
                                     (1, hidden)),
                 att_edge=self.param(f"gat_att_edge_{i}",
-                                    nn.initializers.normal(0.1), (hidden,)),
+                                    pyg_glorot_att, (hidden,)),
                 bias=self.param(f"gat_b_{i}", nn.initializers.zeros, (hidden,)))
                 for i in range(cfg.num_layers)]
         else:

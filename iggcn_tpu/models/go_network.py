@@ -90,14 +90,16 @@ class GeneOntologyNetwork(nn.Module):
         self.fdims = [self.in_f_dim] + list(self.f_dim)
 
         # static masks (numpy -> baked into the jitted program as constants)
-        self.enc_masks = [jnp.asarray(m) for m in topo.encoder_masks(self.n_l)]
+        host_enc_masks = topo.encoder_masks(self.n_l)
+        self.enc_masks = [jnp.asarray(m) for m in host_enc_masks]
         self.dec_masks = [jnp.asarray(m) for m in topo.decoder_masks(self.n_l)]
         # static edge lists of the encoder masks: the GO DAG has ~2 edges per
-        # node, so the edge attention runs on (B, E) gathered scores +
-        # scatter-add instead of materializing dense (B, n, n) tensors
-        # (~200x less HBM traffic at the real ~440-node scale)
+        # node, so the edge attention runs on (B, E) gathered scores + static
+        # one-hot aggregation matmuls instead of materializing dense
+        # (B, n, n) tensors (~200x less HBM traffic at the real ~440-node
+        # scale)
         enc_edges = []
-        for m in topo.encoder_masks(self.n_l):
+        for m in host_enc_masks:
             r, c = np.nonzero(m)
             # static one-hot row-aggregation matrix (n_cur, E): edge->row
             # sums become dense matmuls (MXU) instead of scatters

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from iggcn_tpu.models.baselines import _GINMLP, _glorot
+from iggcn_tpu.models.nn_compat import pyg_glorot_att
 from iggcn_tpu.models.nn_compat import TorchLinear, dropout
 from iggcn_tpu.ops import pool as P
 from iggcn_tpu.ops.gat import GATParams, gat_conv
@@ -103,16 +104,13 @@ class NestedGNN(nn.Module):
                 p = GATParams(
                     weight=self.param(f"gat_w_{i}", _glorot,
                                       (h.shape[-1], self.hidden)),
-                    att_src=self.param(f"att_src_{i}",
-                                       nn.initializers.normal(0.1),
+                    att_src=self.param(f"att_src_{i}", pyg_glorot_att,
                                        (self.hidden,)),
-                    att_dst=self.param(f"att_dst_{i}",
-                                       nn.initializers.normal(0.1),
+                    att_dst=self.param(f"att_dst_{i}", pyg_glorot_att,
                                        (self.hidden,)),
                     lin_edge=self.param(f"lin_edge_{i}", _glorot,
                                         (1, self.hidden)),
-                    att_edge=self.param(f"att_edge_{i}",
-                                        nn.initializers.normal(0.1),
+                    att_edge=self.param(f"att_edge_{i}", pyg_glorot_att,
                                         (self.hidden,)),
                     bias=self.param(f"gat_b_{i}", nn.initializers.zeros,
                                     (self.hidden,)))

@@ -158,3 +158,16 @@ def dropout(rng: jax.Array, x: jax.Array, rate: float,
         return x
     keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def pyg_glorot_att(key, shape, dtype=None):
+    """PyG GATConv attention-vector init: glorot over the (1, heads, C)
+    parameter -> uniform(+-sqrt(6 / (heads + C))). Our dense single-head GAT
+    stores att vectors as (C,), so heads = 1."""
+    import jax
+    import jax.numpy as jnp
+
+    c = shape[-1]
+    bound = (6.0 / (1 + c)) ** 0.5
+    return jax.random.uniform(key, shape, dtype or jnp.float32,
+                              -bound, bound)

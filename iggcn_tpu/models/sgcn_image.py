@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from iggcn_tpu.models.nn_compat import BatchNorm1d, TorchLinear, dropout
+from iggcn_tpu.models.nn_compat import (BatchNorm1d, TorchLinear,
+                                        dropout, pyg_glorot_att)
 from iggcn_tpu.ops.gat import GATParams, gat_conv
 from iggcn_tpu.ops.gcn import gcn_conv, gcn_propagation_matrix
 from iggcn_tpu.ops.masking import importance_masks
@@ -56,14 +57,14 @@ class SGCNImage(nn.Module):
             self.gat_ps = [GATParams(
                 weight=self.param(f"gat_w_{i}", _glorot,
                                   (dims[i], self.hidden)),
-                att_src=self.param(f"gat_att_src_{i}",
-                                   nn.initializers.normal(0.1), (self.hidden,)),
-                att_dst=self.param(f"gat_att_dst_{i}",
-                                   nn.initializers.normal(0.1), (self.hidden,)),
+                att_src=self.param(f"gat_att_src_{i}", pyg_glorot_att,
+                                   (self.hidden,)),
+                att_dst=self.param(f"gat_att_dst_{i}", pyg_glorot_att,
+                                   (self.hidden,)),
                 lin_edge=self.param(f"gat_lin_edge_{i}", _glorot,
                                     (1, self.hidden)),
-                att_edge=self.param(f"gat_att_edge_{i}",
-                                    nn.initializers.normal(0.1), (self.hidden,)),
+                att_edge=self.param(f"gat_att_edge_{i}", pyg_glorot_att,
+                                    (self.hidden,)),
                 bias=self.param(f"gat_b_{i}", nn.initializers.zeros,
                                 (self.hidden,)))
                 for i in range(self.num_layers)]

@@ -1,5 +1,5 @@
 """TPU-native graph primitives: dense batched message passing, masked
-attention normalization, segment ops, importance masking.
+attention normalization, importance masking.
 
 Everything here is shape-static and jit/vmap-friendly; the hot ops are
 formulated as dense (B, N, N) einsums so XLA tiles them onto the MXU.
@@ -14,5 +14,4 @@ from iggcn_tpu.ops.masking import (  # noqa: F401
     importance_masks,
     edge_probability_dense,
 )
-from iggcn_tpu.ops.segment import segment_sum  # noqa: F401
 from iggcn_tpu.ops.attention import multihead_cross_attention  # noqa: F401

@@ -39,13 +39,17 @@ def gat_conv(x: jax.Array, adj: jax.Array, p: GATParams,
     a_src = h @ p.att_src                              # (B, N)
     a_dst = h @ p.att_dst                              # (B, N)
 
-    mask = adj != 0
-    # self-loops with mean edge weight (PyG fill_value='mean')
-    n_edges = jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1)
-    mean_w = jnp.sum(adj, axis=(1, 2)) / n_edges       # (B,)
     eye = jnp.eye(n, dtype=bool)
-    adj_sl = jnp.where(eye, mean_w[:, None, None], adj)
-    mask_sl = mask | eye
+    # PyG GATConv: remove_self_loops, then add_self_loops with
+    # fill_value='mean' = the PER-TARGET mean of that node's incoming edge
+    # attributes (scatter-mean over edge_index[1]; 0 for nodes with no
+    # incoming edges)
+    mask_off = (adj != 0) & ~eye
+    w_off = jnp.where(mask_off, adj, 0.0)
+    cnt_in = jnp.sum(mask_off, axis=1)                       # (B, N) per target
+    mean_in = jnp.sum(w_off, axis=1) / jnp.maximum(cnt_in, 1)
+    adj_sl = jnp.where(eye, mean_in[:, None, :] * eye, w_off)
+    mask_sl = mask_off | eye
 
     e_feat = adj_sl[..., None] * p.lin_edge[0]         # (B, N, N, F)
     a_edge = e_feat @ p.att_edge                       # (B, N, N)

@@ -6,9 +6,12 @@ fixed-size (N=90 ROIs, or 270 in multi-fusion), so the idiomatic formulation is
 a dense batched propagation matrix: one (B, N, N) x (B, N, F) matmul per layer,
 which is pure MXU work and fuses with the pointwise epilogue under XLA.
 
-Semantics match PyG 2.0.2 `gcn_norm` exactly (add self-loops of weight 1,
-symmetric D^-1/2 (A+I) D^-1/2 normalization with degrees accumulated at edge
-*targets*, inf->0 guard on isolated nodes).
+Semantics match PyG 2.0.2 `gcn_norm` exactly: `add_remaining_self_loops`
+(an EXISTING self-loop keeps its weight; a loop of weight 1 — 2 if improved —
+is added only where the diagonal is zero; this matters because PPR+top-k
+diffusion keeps large diagonal entries), symmetric D^-1/2 A D^-1/2
+normalization with degrees accumulated at edge *targets*, inf->0 guard on
+isolated nodes.
 """
 from __future__ import annotations
 
@@ -40,7 +43,12 @@ def gcn_propagation_matrix(adj: jax.Array, *, add_self_loops: bool = True,
     fill = 2.0 if improved else 1.0
     m = adj
     if add_self_loops:
-        m = adj + fill * jnp.eye(n, dtype=adj.dtype)
+        # PyG add_remaining_self_loops: keep existing diagonal weights, fill
+        # only missing ones
+        eye = jnp.eye(n, dtype=bool)
+        diag = jnp.diagonal(adj, axis1=-2, axis2=-1)
+        new_diag = jnp.where(diag != 0, diag, fill)
+        m = jnp.where(eye, new_diag[..., None, :] * eye, adj)
     deg = jnp.sum(m, axis=-2)  # column sums: degree at edge targets
     d_inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-38)), 0.0)
     # P[c, r] = d[c] * m[r, c] * d[r]

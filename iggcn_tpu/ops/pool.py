@@ -152,14 +152,19 @@ def global_attention_pool(x: jax.Array, mask: jax.Array, gate: jax.Array
 def diff_pool(z: jax.Array, adj: jax.Array, s_logits: jax.Array,
               mask: jax.Array, sample_weight: jax.Array | None = None
               ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """dense_diff_pool parity: S = softmax(s_logits); x' = S^T z;
-    A' = S^T A S; link loss = ||A - S S^T||_F / |A|; entropy loss =
-    mean entropy of S rows. Returns (x', adj', link_loss, ent_loss).
+    """PyG `dense_diff_pool` parity: S = softmax(s_logits) * mask;
+    x' = S^T z; A' = S^T A S; link loss = ||A - S S^T||_F / numel(A) (ONE
+    global Frobenius norm over the whole (B, N, N) tensor); entropy loss =
+    mean over ALL B*N rows of the row entropy (masked rows contribute 0 to
+    the numerator but count in the denominator, exactly like PyG). Returns
+    (x', adj', link_loss, ent_loss). NOTE: the reference's DiffPool model
+    computes but DISCARDS these losses (`kernel/diff_pool.py:95,168`
+    `x, adj, _, _ = dense_diff_pool(...)`) — the zoo dispatch follows that;
+    the losses are available for the canonical DiffPool objective.
 
-    `sample_weight`: optional (B,) 0/1 padding mask — the link/entropy
-    reductions run over real samples only, so zero-weight epoch-padding rows
-    contribute no auxiliary gradient (matching the reference's smaller final
-    batch)."""
+    `sample_weight`: optional (B,) 0/1 padding mask — padded rows are
+    excluded from both numerators and denominators, so the padded batch
+    matches PyG on the real smaller batch exactly."""
     s = jax.nn.softmax(s_logits, axis=-1)
     s = s * mask[..., None]
     x_new = jnp.einsum("bnk,bnf->bkf", s, z,
@@ -167,17 +172,20 @@ def diff_pool(z: jax.Array, adj: jax.Array, s_logits: jax.Array,
     adj_new = jnp.einsum("bnk,bnm,bml->bkl", s, adj, s,
                          preferred_element_type=jnp.float32)
     ss = jnp.einsum("bnk,bmk->bnm", s, s)
-    link_i = (jnp.sqrt(jnp.sum(jnp.square(adj - ss), axis=(1, 2)) + 1e-12)
-              / jnp.maximum(adj.shape[1] * adj.shape[2], 1))
-    ent_n = -jnp.sum(s * jnp.log(s + 1e-15), axis=-1) * mask
+    n = adj.shape[1]
+    sq_i = jnp.sum(jnp.square(adj - ss), axis=(1, 2))          # (B,)
+    ent_n = -jnp.sum(s * jnp.log(s + 1e-15), axis=-1)          # (B, N)
     if sample_weight is None:
-        link = jnp.mean(link_i)
-        ent = jnp.sum(ent_n) / jnp.maximum(jnp.sum(mask), 1.0)
+        b_eff = jnp.asarray(adj.shape[0], z.dtype)
+        sq_total = jnp.sum(sq_i)
+        ent_total = jnp.sum(ent_n)
     else:
         sw = sample_weight.astype(z.dtype)
-        link = jnp.sum(link_i * sw) / jnp.maximum(jnp.sum(sw), 1.0)
-        wm = mask * sw[:, None]
-        ent = jnp.sum(ent_n * sw[:, None]) / jnp.maximum(jnp.sum(wm), 1.0)
+        b_eff = jnp.maximum(jnp.sum(sw), 1.0)
+        sq_total = jnp.sum(sq_i * sw)
+        ent_total = jnp.sum(ent_n * sw[:, None])
+    link = jnp.sqrt(sq_total + 1e-12) / (b_eff * n * n)
+    ent = ent_total / (b_eff * n)
     return x_new, adj_new, link, ent
 
 

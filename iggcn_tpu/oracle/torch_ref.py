@@ -154,8 +154,13 @@ class TorchFused(nn.Module):
 
     @staticmethod
     def gcn_prop(adj):
+        # PyG gcn_norm uses add_REMAINING_self_loops: existing diagonal
+        # weights are kept, missing ones get 1
         n = adj.shape[-1]
-        m = adj + torch.eye(n)
+        eye = torch.eye(n, dtype=torch.bool)
+        diag = adj.diagonal(dim1=-2, dim2=-1)
+        new_diag = torch.where(diag != 0, diag, torch.ones_like(diag))
+        m = torch.where(eye, new_diag[..., None, :] * eye, adj)
         deg = m.sum(-2)
         dis = torch.where(deg > 0, deg.clamp_min(1e-38).rsqrt(),
                           torch.zeros_like(deg))

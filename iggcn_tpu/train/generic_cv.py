@@ -4,8 +4,9 @@ Re-design of `kernel/train_eval.py`: plain NLL objective, with-val variant
 selects test metrics via best-val-loss epoch bookkeeping; without-val variant
 resamples the train split with the imbalance-weighted sampler and reports the
 max over epochs of fold-mean accuracy (`kernel/train_eval.py:85-104,146-149,
-203-228`). DiffPool's auxiliary link/entropy losses are added when the model
-returns them (parity `kernel/train_eval.py` diff-pool path).
+203-228`). `aux_loss=True` adds DiffPool's link/entropy losses to the
+objective — NOT reference behavior (the reference discards them,
+`kernel/diff_pool.py:95,168`) but the canonical DiffPool objective.
 """
 from __future__ import annotations
 

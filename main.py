@@ -152,9 +152,13 @@ def _build_zoo_model(name: str, num_layers: int, hidden: int, dataset):
     if name == "TopK":
         return B.TopK(**common), mask
     if name == "DiffPool":
+        # the reference DISCARDS dense_diff_pool's link/entropy losses
+        # (kernel/diff_pool.py:95,168: `x, adj, _, _ = ...`), so the default
+        # objective is plain NLL; pass aux_loss=True to
+        # cross_validation_generic for the canonical DiffPool objective.
         return (B.DiffPool(max_nodes=dataset.x.shape[1], hidden=hidden,
                            num_classes=nc),
-                dict(needs_mask=True, aux_loss=True, takes_weight=True))
+                dict(needs_mask=True, aux_loss=False, takes_weight=True))
     if name == "SortPool":
         return B.SortPool(**common, k=min(10, dataset.x.shape[1])), mask
     if name == "Set2Set":

@@ -31,7 +31,9 @@ def test_grad_cam_shapes_and_sensitivity(data, model):
     assert cam0.shape == (6, 20) and cam0.dtype == np.float32
     assert np.isfinite(cam0).all() and np.isfinite(cam1).all()
     assert (cam0 >= 0).all(), "grad-CAM maps are relu'd"
-    assert cam0.max() > 0, "maps must be nonzero on random data"
+    # one class's pooled map can legitimately relu to zero; at least one
+    # class must light up on random data
+    assert max(cam0.max(), cam1.max()) > 0
     assert not np.allclose(cam0, cam1), "maps must be class-sensitive"
 
 
