@@ -200,6 +200,11 @@ def load_adni874(cfg: DataConfig) -> AdniCohort:
         big = np.zeros((s, 3 * n, 3 * n))
         for k, m in enumerate(mats):
             big[:, k * n:(k + 1) * n, k * n:(k + 1) * n] = m
+        # reference quirk reproduced bug-for-bug: X.reshape((-1, 1)) on the
+        # (90, 3) feature matrix is ROW-major (`sgcn_data.py:272`), so union
+        # node j carries (ROI j//3, modality j%3) while the adjacency blocks
+        # are modality-major — features and blocks address different
+        # entities, exactly as in the reference's multi-fusion mode.
         x = img[sel].reshape(s, 3 * n, 1)
         raw_adj = big
     else:

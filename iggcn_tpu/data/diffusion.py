@@ -60,8 +60,13 @@ def preprocess_diffusion(adjs: np.ndarray, *, is_ppr: bool = True,
                          ) -> np.ndarray:
     """Diffuse + sparsify a stack of adjacencies (B, N, N).
 
-    Parity: `preprocess_diffusion_imgs_snps` (`util_gdc.py:71-101`) applied per
-    subject. Prefers the native C++ kernel when available, else NumPy.
+    Parity: `preprocess_diffusion_imgs_snps` (`util_gdc.py:71-101`) applied
+    per subject, INCLUDING the reference's odd `is_topk=False` branch, which
+    applies the heat kernel to the already-diffused matrix
+    (`util_gdc.py:80-83` `else: A_res = get_heat_matrix(A_diff)`) instead of
+    the eps-clip sparsifier it defines but never calls — reproduced
+    bug-for-bug (`get_clipped_matrix` is likewise provided but unused).
+    Prefers the native C++ kernel when available, else NumPy.
     """
     if gdc_native is not None and is_ppr and is_topk:
         return gdc_native.ppr_topk_batch(
@@ -88,7 +93,11 @@ def ppr_topk_batch_jax(adjs: jax.Array, alpha: float = 0.05, top_k: int = 3
     """Vectorized PPR + column top-k + column-normalize on device.
 
     Numerically equivalent to the NumPy path (up to solve vs. inverse
-    round-off); runs the whole (B, 90, 90) cohort as one batched solve.
+    round-off) on inputs WITHOUT exact ties at the k-th per-column value:
+    this threshold formulation keeps every entry >= the k-th value (> k kept
+    on ties), whereas the NumPy/native paths zero exactly n-k entries via
+    stable argsort. Runs the whole (B, 90, 90) cohort as one batched solve;
+    the host paths are the defaults in `preprocess_diffusion`.
     """
     n = adjs.shape[-1]
     d = 1.0 / jnp.sqrt(jnp.sum(adjs, axis=-1))

@@ -57,6 +57,12 @@ def _parse_pass(data: dict, keep_ids: Optional[set] = None):
     goes to the nearest previous term in the same pathway with a strictly
     smaller level; `subgraph_ids` collects first-terms, per-run roots and
     last terms (the filter set for the second pass).
+
+    Reference quirk reproduced bug-for-bug: `go_ids_genes` appends one entry
+    per term OCCURRENCE while `go_ids` dedupes (`snps_graph.py:131-141`), so
+    when a GO term repeats across pathways the positional gene lists shift
+    for all later ids — the reference consumes them positionally the same
+    way (`preprocess_genes`, `snps_graph.py:219-226`).
     """
     go_ids: List[str] = []
     go_ids_genes: List[List[str]] = []
@@ -272,6 +278,17 @@ def build_topology(go_ids: List[str], go_ids_genes: List[List[str]],
 
     root_index = go_ids.index(ROOT_GO_ID)
     go_level = bfs_levels(adj, root_index)
+    # the reference would crash later with an opaque LayerNorm shape error if
+    # any term is unreachable from the root or deeper than num_levels-1
+    # (pool would not cover all nodes); fail early with a useful message
+    n_uncovered = int(np.sum(~np.isin(go_level, np.arange(num_levels))))
+    if n_uncovered:
+        bad = [go_ids[i] for i in range(len(go_ids))
+               if go_level[i] not in range(num_levels)][:5]
+        raise ValueError(
+            f"{n_uncovered} GO terms are unreachable from {ROOT_GO_ID} or "
+            f"deeper than level {num_levels - 1} (e.g. {bad}); check the "
+            "root-connection file covers every retained term")
 
     sort_index = np.argsort(-go_level, kind="stable")
     go_level = go_level[sort_index]

@@ -52,6 +52,11 @@ class TorchLinear(nn.Module):
         return y
 
 
+# torch BatchNorm default momentum; steps._dual_pass's sequential-stats
+# reconstruction depends on this exact value — keep them in sync.
+BN_MOMENTUM = 0.1
+
+
 class BatchNorm1d(nn.Module):
     """torch.nn.BatchNorm1d parity.
 
@@ -63,7 +68,7 @@ class BatchNorm1d(nn.Module):
     itself is identical.
     """
 
-    momentum: float = 0.1   # torch convention: new = (1-m)*old + m*batch
+    momentum: float = BN_MOMENTUM  # torch: new = (1-m)*old + m*batch
     epsilon: float = 1e-5
     use_running_average: Optional[bool] = None
 

@@ -500,7 +500,8 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     return CVResult(
         mean_test_loss=float(loss_arr.mean()),
         best_acc=float(acc_mean[argmax]),
-        best_acc_std=float(acc_arr[:, argmax].std(ddof=1)),
+        best_acc_std=float(acc_arr[:, argmax].std(ddof=1)
+                           if acc_arr.shape[0] > 1 else 0.0),
         score_result=score_result, durations=durations,
         throughput_graphs_per_sec=float(throughput),
         regression_summary=regression_summary)

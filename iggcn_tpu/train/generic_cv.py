@@ -1,7 +1,8 @@
 """Generic graph-classification CV trainer (baseline zoo / TU benchmarks).
 
 Re-design of `kernel/train_eval.py`: plain NLL objective, with-val variant
-selects test metrics via best-val-loss epoch bookkeeping; without-val variant
+evaluates the held-out val fold each epoch and reports per-fold test accuracy
+at the best-val-loss epoch (`kernel/train_eval.py:85-115`); without-val variant
 resamples the train split with the imbalance-weighted sampler and reports the
 max over epochs of fold-mean accuracy (`kernel/train_eval.py:85-104,146-149,
 203-228`). `aux_loss=True` adds DiffPool's link/entropy losses to the
@@ -101,6 +102,7 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
 
     has_stats = None
     accs = np.zeros((folds, epochs))
+    val_losses = np.full((folds, epochs), np.inf)
     losses: List[float] = []
 
     @jax.jit
@@ -167,19 +169,25 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
         opt_state = optimizer.init(variables["params"])
         host_rng = np.random.default_rng(seed * 31 + fold)
 
-        n_te = len(test_idx)
-        total_te = -(-n_te // b) * b
-        te = {
-            "x": pad(dataset.x[test_idx], total_te),
-            "adj": pad(dataset.adj[test_idx], total_te),
-            "mask": pad(dataset.mask[test_idx], total_te),
-            "assign": pad(dataset.assign[test_idx], total_te),
-            "y": pad(dataset.y[test_idx].astype(np.int32), total_te),
-            "w": np.concatenate([np.ones(n_te, np.float32),
-                                 np.zeros(total_te - n_te, np.float32)]),
-        }
-        for k in extra_keys:
-            te[k] = pad(getattr(dataset, k)[test_idx], total_te)
+        def eval_set(idx):
+            n_real = len(idx)
+            total = -(-n_real // b) * b
+            d = {
+                "x": pad(dataset.x[idx], total),
+                "adj": pad(dataset.adj[idx], total),
+                "mask": pad(dataset.mask[idx], total),
+                "assign": pad(dataset.assign[idx], total),
+                "y": pad(dataset.y[idx].astype(np.int32), total),
+                "w": np.concatenate([np.ones(n_real, np.float32),
+                                     np.zeros(total - n_real, np.float32)]),
+            }
+            for k in extra_keys:
+                d[k] = pad(getattr(dataset, k)[idx], total)
+            return d, n_real, total
+
+        te, n_te, total_te = eval_set(test_idx)
+        if not no_val:
+            va, n_va, total_va = eval_set(val_idx)
 
         for epoch in range(epochs):
             if no_val:
@@ -207,22 +215,40 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
                 variables, opt_state, _ = train_step(variables, opt_state,
                                                      batch, srng,
                                                      jnp.float32(lr_t))
-            correct = 0.0
-            tot = 0.0
-            for i in range(total_te // b):
-                s = slice(i * b, (i + 1) * b)
-                batch = {k: jnp.asarray(v[s]) for k, v in te.items()}
-                l, c = eval_batch(variables, batch)
-                correct += float(c)
-                tot += float(l)
-            accs[fold, epoch] = correct / n_te
-            losses.append(tot / n_te)
+            def run_eval(data, total, n_real):
+                correct = 0.0
+                tot = 0.0
+                for i in range(total // b):
+                    s = slice(i * b, (i + 1) * b)
+                    batch = {k: jnp.asarray(v[s]) for k, v in data.items()}
+                    l, c = eval_batch(variables, batch)
+                    correct += float(c)
+                    tot += float(l)
+                return tot / n_real, correct / n_real
+
+            te_loss, te_acc = run_eval(te, total_te, n_te)
+            accs[fold, epoch] = te_acc
+            losses.append(te_loss)
+            if not no_val:
+                val_losses[fold, epoch], _ = run_eval(va, total_va, n_va)
             if verbose:
                 print(f"fold {fold} epoch {epoch}: acc {accs[fold, epoch]:.3f}")
 
-    acc_mean = accs.mean(axis=0)
-    arg = int(acc_mean.argmax())
+    if no_val:
+        # reference without-val selection: max over epochs of fold-mean acc
+        # (kernel/train_eval.py:203-228)
+        acc_mean = accs.mean(axis=0)
+        arg = int(acc_mean.argmax())
+        best = float(acc_mean[arg])
+        std = float(accs[:, arg].std(ddof=1) if folds > 1 else 0.0)
+    else:
+        # reference with-val selection: per fold, the test acc at the epoch
+        # of minimum val loss; mean +/- std over folds
+        # (kernel/train_eval.py:85-115)
+        argmin = val_losses.argmin(axis=1)
+        picked = accs[np.arange(folds), argmin]
+        best = float(picked.mean())
+        std = float(picked.std(ddof=1) if folds > 1 else 0.0)
     return GenericCVResult(
-        best_acc=float(acc_mean[arg]),
-        best_acc_std=float(accs[:, arg].std(ddof=1) if folds > 1 else 0.0),
+        best_acc=best, best_acc_std=std,
         accs=accs, mean_loss=float(np.mean(losses)))

@@ -71,13 +71,15 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
             return None, x, y_hat, batch_stats
         if train:
             # sample_weight keeps zero-weight (tail-padding) rows out of
-            # every BatchNorm's batch statistics
+            # every BatchNorm's batch statistics; the two applies draw
+            # INDEPENDENT dropout keys (torch modules draw independently)
+            r_enc, r_cls = jax.random.split(rng)
             (latent, x_hat, _), mut = model.apply(
-                variables, x, train=True, rngs={"dropout": rng},
+                variables, x, train=True, rngs={"dropout": r_enc},
                 sample_weight=w, mutable=["batch_stats"])
             y_hat, mut2 = model.apply(
                 {"params": params, "batch_stats": mut["batch_stats"]},
-                latent, x, train=True, rngs={"dropout": rng},
+                latent, x, train=True, rngs={"dropout": r_cls},
                 sample_weight=w,
                 method=GeneOntologyNetwork.classify, mutable=["batch_stats"])
             return latent, x_hat, y_hat, mut2["batch_stats"]

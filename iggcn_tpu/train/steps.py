@@ -108,12 +108,16 @@ def _dual_pass(model, params, batch_stats, x, adj, snps, *, train, rng, w):
     BatchNorm sequential equivalence: the reference updates running stats in
     pass order (r1 = (1-m)r0 + m*s0, then r2 = (1-m)r1 + m*s1). Each vmap
     lane i computes L_i = (1-m)r0 + m*s_i from the SAME r0, so
-    r2 = (1-m)*L0 + L1 - (1-m)*r0 — reconstructed exactly below with no
-    dependence on the batch statistics themselves. (All stateful norms in
-    this codebase are `nn_compat.BatchNorm1d` with momentum 0.1; the
-    identity holds for any momentum.)
+    r2 = (1-m)*L0 + L1 - (1-m)*r0 — reconstructed exactly below. The
+    reconstruction is momentum-DEPENDENT: it uses nn_compat.BN_MOMENTUM,
+    which every stateful norm in this codebase (`nn_compat.BatchNorm1d`)
+    shares; a model using a different momentum must not run under
+    dual_pass_vmap.
     """
+    from iggcn_tpu.models.nn_compat import BN_MOMENTUM
     from iggcn_tpu.ops.masking import importance_masks
+
+    keep = 1.0 - BN_MOMENTUM
 
     masks = importance_masks(x, adj, params["prob"], params["prob_bias"],
                              snps, params["snps_prob"])
@@ -132,7 +136,7 @@ def _dual_pass(model, params, batch_stats, x, adj, snps, *, train, rng, w):
         outs, muts = jax.vmap(one_pass)(xs, adjs, snpss, rngs2)
         lanes = muts["batch_stats"]
         new_stats = jax.tree_util.tree_map(
-            lambda lane, r0: 0.9 * lane[0] + lane[1] - 0.9 * r0,
+            lambda lane, r0: keep * lane[0] + lane[1] - keep * r0,
             lanes, batch_stats)
     else:
         def one_pass(xi, ai, si):
