@@ -35,11 +35,13 @@ def get_heat_matrix(adj: np.ndarray, t: float = 5.0) -> np.ndarray:
 
 def get_top_k_matrix(a: np.ndarray, k: int = 5) -> np.ndarray:
     """Keep top-k entries per column, then column-normalize
-    (parity `util_gdc.py:25-31`; operates on a copy)."""
+    (parity `util_gdc.py:25-31`; operates on a copy). Uses a STABLE argsort
+    so tie handling is deterministic and matches the native C++ kernel
+    (the reference's default quicksort is implementation-defined on ties)."""
     a = a.copy()
     num_nodes = a.shape[0]
     row_idx = np.arange(num_nodes)
-    a[a.argsort(axis=0)[: num_nodes - k], row_idx] = 0.0
+    a[a.argsort(axis=0, kind="stable")[: num_nodes - k], row_idx] = 0.0
     norm = a.sum(axis=0)
     norm[norm <= 0] = 1
     return a / norm

@@ -39,8 +39,15 @@ def _build() -> None:
             os.unlink(tmp)
 
 
-if (not os.path.exists(_LIB)
-        or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+try:
+    _stale = (not os.path.exists(_LIB)
+              or (os.path.exists(_SRC)
+                  and os.path.getmtime(_LIB) < os.path.getmtime(_SRC)))
+except OSError as exc:  # racing deletes etc. -> NumPy fallback
+    raise ImportError(f"could not stat gdc_native artifacts: {exc}") from exc
+if _stale:
+    if not os.path.exists(_SRC):
+        raise ImportError(f"gdc_native source missing: {_SRC}")
     try:
         _build()
     except Exception as exc:  # no compiler / failed build -> NumPy fallback

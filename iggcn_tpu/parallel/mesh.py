@@ -54,19 +54,21 @@ def make_dp_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
     emits the ICI gradient all-reduce automatically."""
     rep = replicated(mesh)
     bsh = batch_sharding(mesh, axis_name)
-
-    def batch_spec(batch: Dict[str, jax.Array]):
-        return {k: bsh for k in batch}
-
-    def sharded_step(state, batch, rng):
-        return train_step(state, batch, rng)
+    cache: Dict[Any, Any] = {}
 
     def run(state, batch, rng):
-        jitted = jax.jit(
-            sharded_step,
-            in_shardings=(jax.tree_util.tree_map(lambda _: rep, state),
-                          batch_spec(batch), rep),
-            out_shardings=(jax.tree_util.tree_map(lambda _: rep, state), rep))
+        # build the jitted wrapper once per batch key-set: a fresh jax.jit
+        # per call would discard the trace cache and re-lower every step
+        key = tuple(sorted(batch))
+        jitted = cache.get(key)
+        if jitted is None:
+            jitted = jax.jit(
+                train_step,
+                in_shardings=(jax.tree_util.tree_map(lambda _: rep, state),
+                              {k: bsh for k in batch}, rep),
+                out_shardings=(jax.tree_util.tree_map(lambda _: rep, state),
+                               rep))
+            cache[key] = jitted
         return jitted(state, batch, rng)
 
     return run

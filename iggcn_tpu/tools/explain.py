@@ -106,12 +106,16 @@ def grad_cam(model, variables, x, adj, *, class_index: Optional[int] = None,
 
 def export_grad_cam(params: Dict[str, Any], batch_stats: Dict[str, Any],
                     x: np.ndarray, adj: np.ndarray, out_dir: str,
-                    prefix: str = "ckpt", *, use_gat: bool = False,
+                    prefix: str = "ckpt", *, use_gat: Optional[bool] = None,
                     num_layers: int = 2, hidden: int = 16,
                     class_index: Optional[int] = None) -> np.ndarray:
-    """Build an SGCNImage matching the checkpoint and dump saliency npys."""
+    """Build an SGCNImage matching the checkpoint and dump saliency npys.
+    `use_gat=None` autodetects the conv family from the checkpoint's param
+    keys (gat_w_0 vs conv_w_0)."""
     from iggcn_tpu.models.sgcn_image import SGCNImage
 
+    if use_gat is None:
+        use_gat = any(k.startswith("gat_") for k in params)
     model = SGCNImage(num_layers=num_layers, hidden=hidden,
                       rois=x.shape[1], feat_dim=x.shape[2], use_gat=use_gat)
     variables = {"params": params}

@@ -188,6 +188,9 @@ def main(argv=None):
     if args.model not in known:
         parser.error(f"unknown --model {args.model!r}; choose one of: "
                      + ", ".join(known))
+    if args.fold_parallel and args.no_fold_scan:
+        parser.error("--fold_parallel requires the whole-fold scan; drop "
+                     "--no_fold_scan")
 
     from iggcn_tpu.config import DataConfig, LossWeights, ModelConfig, TrainConfig
     from iggcn_tpu.data import adni, go_graph
@@ -271,7 +274,7 @@ def main(argv=None):
                 dataset, h=args.h, node_label=args.node_label,
                 use_rd=args.use_rd,
                 use_return_prob=args.use_rp is not None,
-                return_prob_steps=args.use_rp or 16,
+                return_prob_steps=(args.use_rp if args.use_rp is not None else 16),
                 max_nodes_per_hop=args.max_nodes_per_hop, seed=args.seed)
         best = (float("inf"), 0.0, 0.0)
         best_hyper = combos[0]
@@ -335,6 +338,7 @@ def main(argv=None):
             use_pallas_gcn=args.use_pallas_gcn)
         tcfg = TrainConfig(
             epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+            weight_decay=args.weight_decay,
             lr_decay_factor=args.lr_decay_factor,
             lr_decay_step_size=args.lr_decay_step_size, folds=args.fold,
             seed=args.seed, no_val=args.no_val,
@@ -355,6 +359,11 @@ def main(argv=None):
         if args.isTestAdnitype:
             train_cohort, ext_test = adni.separate_data_adnitype(
                 cohort, args.disease_id4Adnitype, args.adnitype_id)
+            if train_cohort.num_classes != mcfg.num_classes:
+                # the held-out-type split binarizes labels; the head and
+                # metrics must follow the cohort, not --disease_id
+                mcfg = dataclasses.replace(
+                    mcfg, num_classes=train_cohort.num_classes)
         import contextlib
 
         import jax
