@@ -38,7 +38,7 @@ def build_data():
     return topo, cohort
 
 
-def bench_jax(topo, cohort, batch=BATCH):
+def bench_jax(topo, cohort, batch=BATCH, **tcfg_overrides):
     import jax
     import jax.numpy as jnp
 
@@ -50,7 +50,8 @@ def bench_jax(topo, cohort, batch=BATCH):
 
     use_pallas = os.environ.get("IGGCN_BENCH_PALLAS", "0") == "1"
     mcfg = ModelConfig(num_layers=2, hidden=16, use_pallas_gcn=use_pallas)
-    tcfg = TrainConfig(epochs=EPOCHS_TIMED + 1, batch_size=batch)
+    tcfg = TrainConfig(epochs=EPOCHS_TIMED + 1, batch_size=batch,
+                       **tcfg_overrides)
     model = FusedSGCN(cfg=mcfg, topo=topo)
     arrays = cohort_batch_arrays(cohort)
     data = to_device(pad_to_batches(arrays, batch))
@@ -90,11 +91,15 @@ def bench_jax(topo, cohort, batch=BATCH):
     # warmup / compile
     state, loss_sum = run_epochs(state, data, perms, rng)
     _ = float(loss_sum)
-    t0 = time.perf_counter()
-    state, loss_sum = run_epochs(state, data, perms, erng)
-    final_loss = float(loss_sum)        # forces the full chain
-    dt = time.perf_counter() - t0
-    gps = EPOCHS_TIMED * n / dt
+    # best of 2 timed dispatches: wall time over the tunnel varies ~5%
+    # run-to-run, and the fixed dispatch+sync overhead is part of both
+    best_dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        state, loss_sum = run_epochs(state, data, perms, erng)
+        final_loss = float(loss_sum)    # forces the full chain
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    gps = EPOCHS_TIMED * n / best_dt
     return gps, final_loss / n
 
 

@@ -63,6 +63,11 @@ def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int = 0):
     torch.optim.Adam's weight_decay is COUPLED L2 (decay added to the
     gradients before the Adam transform), not AdamW's decoupled decay —
     reproduced by chaining add_decayed_weights in front of scale_by_adam.
+
+    Measured negative (round 2): wrapping in optax.flatten (single-vector
+    Adam, ~70 leaves collapsed) was equal-or-slower at every batch size on
+    TPU — XLA already fuses the per-leaf scalar chains, and the ravel/unravel
+    copies cost more than they save. Kept per-leaf.
     """
     if tcfg.weight_decay:
         return optax.chain(optax.add_decayed_weights(tcfg.weight_decay),
