@@ -107,15 +107,27 @@ def grad_cam(model, variables, x, adj, *, class_index: Optional[int] = None,
 def export_grad_cam(params: Dict[str, Any], batch_stats: Dict[str, Any],
                     x: np.ndarray, adj: np.ndarray, out_dir: str,
                     prefix: str = "ckpt", *, use_gat: Optional[bool] = None,
-                    num_layers: int = 2, hidden: int = 16,
+                    num_layers: Optional[int] = None,
+                    hidden: Optional[int] = None,
                     class_index: Optional[int] = None) -> np.ndarray:
     """Build an SGCNImage matching the checkpoint and dump saliency npys.
-    `use_gat=None` autodetects the conv family from the checkpoint's param
-    keys (gat_w_0 vs conv_w_0)."""
+    `use_gat`/`num_layers`/`hidden` default to autodetection from the
+    checkpoint's param keys and weight shapes (gat_w_i / conv_w_i)."""
     from iggcn_tpu.models.sgcn_image import SGCNImage
 
     if use_gat is None:
         use_gat = any(k.startswith("gat_") for k in params)
+    stem = "gat_w_" if use_gat else "conv_w_"
+    conv_keys = [k for k in params if k.startswith(stem)]
+    if not conv_keys:
+        raise ValueError(
+            "checkpoint has no SGCN image-family conv parameters "
+            f"(no '{stem}*' keys); grad-CAM targets the SGCN image models "
+            "(parity kernel/sgcn.py:111-148)")
+    if num_layers is None:
+        num_layers = len(conv_keys)
+    if hidden is None:
+        hidden = int(np.asarray(params[stem + "0"]).shape[1])
     model = SGCNImage(num_layers=num_layers, hidden=hidden,
                       rois=x.shape[1], feat_dim=x.shape[2], use_gat=use_gat)
     variables = {"params": params}
@@ -138,8 +150,10 @@ def main(argv=None):
     p.add_argument("--adj_npy", default=None,
                    help="(S, N, N) adjacency npy; with --x_npy on an SGCN "
                         "image checkpoint, also exports grad-CAM saliency")
-    p.add_argument("--gradcam_layers", type=int, default=2)
-    p.add_argument("--gradcam_hidden", type=int, default=16)
+    p.add_argument("--gradcam_layers", type=int, default=None,
+                   help="override layer count (default: infer from ckpt)")
+    p.add_argument("--gradcam_hidden", type=int, default=None,
+                   help="override hidden width (default: infer from ckpt)")
     p.add_argument("--gradcam_class", type=int, default=None)
     args = p.parse_args(argv)
     with open(args.checkpoint, "rb") as fh:
@@ -153,12 +167,20 @@ def main(argv=None):
                                        args.out, args.prefix)
         print(f"edge probabilities {ep.shape} exported")
     if args.x_npy is not None and args.adj_npy is not None:
-        cam = export_grad_cam(
-            params, payload.get("batch_stats") or {}, np.load(args.x_npy),
-            np.load(args.adj_npy), args.out, args.prefix,
-            num_layers=args.gradcam_layers, hidden=args.gradcam_hidden,
-            class_index=args.gradcam_class)
-        print(f"grad-CAM saliency {cam.shape} exported")
+        if "go_network" in params or "mha_in_proj_weight" in params:
+            # fused (imaging x genetics) checkpoint: the reference's grad-CAM
+            # hooks exist only on the SGCN image family (kernel/sgcn.py:111),
+            # and a fused head cannot be driven through SGCNImage
+            print("grad-CAM skipped: fused-model checkpoint (importances and "
+                  "edge probabilities above are the interpretability "
+                  "artifacts for this family)")
+        else:
+            cam = export_grad_cam(
+                params, payload.get("batch_stats") or {}, np.load(args.x_npy),
+                np.load(args.adj_npy), args.out, args.prefix,
+                num_layers=args.gradcam_layers, hidden=args.gradcam_hidden,
+                class_index=args.gradcam_class)
+            print(f"grad-CAM saliency {cam.shape} exported")
 
 
 if __name__ == "__main__":

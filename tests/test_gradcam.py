@@ -71,3 +71,47 @@ def test_export_writes_npy(tmp_path, data):
                           "t", num_layers=2, hidden=16)
     saved = np.load(tmp_path / "grad_cam_t.npy")
     np.testing.assert_array_equal(saved, cam)
+
+
+def test_export_infers_dims_from_checkpoint(tmp_path, data):
+    """Regression: a non-default-width checkpoint must not need explicit
+    --gradcam_layers/--gradcam_hidden (a hidden=5 checkpoint used to crash
+    against the hidden=16 default with a ScopeParamShapeError)."""
+    from iggcn_tpu.tools.explain import export_grad_cam
+    x, adj = data
+    model = SGCNImage(num_layers=3, hidden=5, rois=20, num_classes=2)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(4), jnp.asarray(x),
+                                    jnp.asarray(adj))
+    cam = export_grad_cam(variables["params"], {}, x, adj, str(tmp_path), "i")
+    assert cam.shape == (6, 20)
+
+
+def test_cli_skips_gradcam_on_fused_checkpoint(tmp_path, data, capsys):
+    """A fused-model checkpoint exports importances/edge probabilities but
+    must skip grad-CAM with a message instead of crashing."""
+    from iggcn_tpu.config import ModelConfig
+    from iggcn_tpu.data.go_graph import synthetic_topology
+    from iggcn_tpu.models.fused_sgcn import FusedSGCN
+    from iggcn_tpu.tools import explain
+    from iggcn_tpu.train.checkpoint import save_checkpoint
+
+    x, adj = data
+    topo = synthetic_topology(np.random.default_rng(5))
+    mcfg = ModelConfig(num_layers=2, hidden=5, rois=20, l_dim=8,
+                       hidden_linear=8)
+    model = FusedSGCN(cfg=mcfg, topo=topo)
+    snps = np.random.default_rng(6).random((6, 54)).astype(np.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(5), jnp.asarray(x),
+                                    jnp.asarray(adj), jnp.asarray(snps))
+    ckpt = tmp_path / "fused.msgpack"
+    save_checkpoint(str(ckpt), variables["params"],
+                    variables.get("batch_stats", {}))
+    np.save(tmp_path / "x.npy", x)
+    np.save(tmp_path / "adj.npy", adj)
+    explain.main([str(ckpt), "--out", str(tmp_path / "out"),
+                  "--x_npy", str(tmp_path / "x.npy"),
+                  "--adj_npy", str(tmp_path / "adj.npy")])
+    assert "grad-CAM skipped" in capsys.readouterr().out
+    assert (tmp_path / "out" / "node_importance_ckpt.npy").exists()
+    assert (tmp_path / "out" / "edge_probability_ckpt.npy").exists()
+    assert not (tmp_path / "out" / "grad_cam_ckpt.npy").exists()
