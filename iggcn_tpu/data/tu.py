@@ -138,11 +138,19 @@ def read_tu_dir(root: str, name: str) -> GraphDataset:
         if feats.shape[0] != num_nodes:
             raise ValueError("node_attributes row count mismatch")
     if os.path.exists(path("node_labels")):
+        # one-hot each label column separately and concatenate
+        # (PyG read_tu_data parity for multi-column node_labels files)
         nl = np.loadtxt(path("node_labels"), dtype=np.int64,
-                        delimiter=",").reshape(-1)
-        nl = nl - nl.min()
-        one_hot = np.zeros((num_nodes, int(nl.max()) + 1), np.float32)
-        one_hot[np.arange(num_nodes), nl] = 1.0
+                        delimiter=",", ndmin=2)
+        if nl.shape[0] != num_nodes:
+            raise ValueError("node_labels row count mismatch")
+        hots = []
+        for c in range(nl.shape[1]):
+            col = nl[:, c] - nl[:, c].min()
+            oh = np.zeros((num_nodes, int(col.max()) + 1), np.float32)
+            oh[np.arange(num_nodes), col] = 1.0
+            hots.append(oh)
+        one_hot = np.concatenate(hots, axis=1)
         feats = (one_hot if feats is None
                  else np.concatenate([feats, one_hot], axis=1))
 

@@ -23,8 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from iggcn_tpu.models.baselines import _GINMLP, _glorot
-from iggcn_tpu.models.nn_compat import pyg_glorot_att
-from iggcn_tpu.models.nn_compat import TorchLinear, dropout
+from iggcn_tpu.models.nn_compat import TorchLinear, dropout, pyg_glorot_att
 from iggcn_tpu.ops import pool as P
 from iggcn_tpu.ops.gat import GATParams, gat_conv
 from iggcn_tpu.ops.gcn import gcn_conv, gcn_propagation_matrix

@@ -25,6 +25,10 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(
+            f"requested a {n_devices}-device mesh but only "
+            f"{len(devices)} device(s) are visible")
     return Mesh(np.array(devices[:n_devices]), (axis_name,))
 
 

@@ -25,13 +25,17 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 
-def load_params(path: str) -> Dict[str, Any]:
-    """Template-free restore of a checkpoint written by save_checkpoint."""
+def load_payload(path: str) -> Dict[str, Any]:
+    """Template-free restore of a checkpoint written by save_checkpoint;
+    returns the full payload ({"params": ..., "batch_stats": ...})."""
     from flax import serialization
 
     with open(path, "rb") as fh:
-        payload = serialization.msgpack_restore(fh.read())
-    return payload["params"]
+        return serialization.msgpack_restore(fh.read())
+
+
+def load_params(path: str) -> Dict[str, Any]:
+    return load_payload(path)["params"]
 
 
 def export_importances(params: Dict[str, Any], out_dir: str,
@@ -53,12 +57,14 @@ def export_edge_probabilities(params: Dict[str, Any], x: np.ndarray,
                               ) -> np.ndarray:
     """Per-subject dense edge scores sigmoid([x_i||x_j] @ prob_bias)
     (parity `kernel/sgcn_img_snp.py:139-145`)."""
+    import jax
     import jax.numpy as jnp
 
     from iggcn_tpu.ops.masking import edge_probability_dense
 
-    xm = jnp.asarray(x) * jnp.asarray(params["prob"])
-    ep = np.asarray(edge_probability_dense(xm, jnp.asarray(params["prob_bias"])))
+    fn = jax.jit(lambda xa, pr, pb: edge_probability_dense(xa * pr, pb))
+    ep = np.asarray(fn(jnp.asarray(x), jnp.asarray(params["prob"]),
+                       jnp.asarray(params["prob_bias"])))
     np.save(os.path.join(out_dir, f"edge_probability_{prefix}.npy"), ep)
     return ep
 
@@ -83,24 +89,30 @@ def grad_cam(model, variables, x, adj, *, class_index: Optional[int] = None,
     import jax.numpy as jnp
 
     cls = type(model)
-    prefix, acts = model.apply(variables, jnp.asarray(x), jnp.asarray(adj),
-                               is_explain=is_explain, method=cls.trunk)
-    log_probs = model.apply(variables, prefix, acts, method=cls.head)
-    if class_index is None:
-        target = jnp.argmax(log_probs, axis=-1)
-    else:
-        target = jnp.full((x.shape[0],), class_index, jnp.int32)
 
-    def score(a):
-        lp = model.apply(variables, prefix, a, method=cls.head)
-        return jnp.sum(jnp.take_along_axis(lp, target[:, None], axis=-1))
+    # one jitted program: eager ops are pathologically slow on a remote
+    # backend (each op is a round-trip over the axon tunnel)
+    @jax.jit
+    def compute(variables, x, adj):
+        prefix, acts = model.apply(variables, x, adj,
+                                   is_explain=is_explain, method=cls.trunk)
+        log_probs = model.apply(variables, prefix, acts, method=cls.head)
+        if class_index is None:
+            target = jnp.argmax(log_probs, axis=-1)
+        else:
+            target = jnp.full((x.shape[0],), class_index, jnp.int32)
 
-    grads = jax.grad(score)(acts)
-    if pooled:
-        alpha = jnp.mean(grads, axis=1, keepdims=True)     # (B, 1, C)
-        cam = jax.nn.relu(jnp.sum(alpha * acts, axis=-1))  # (B, N)
-    else:
-        cam = jax.nn.relu(jnp.sum(grads * acts, axis=-1))
+        def score(a):
+            lp = model.apply(variables, prefix, a, method=cls.head)
+            return jnp.sum(jnp.take_along_axis(lp, target[:, None], axis=-1))
+
+        grads = jax.grad(score)(acts)
+        if pooled:
+            alpha = jnp.mean(grads, axis=1, keepdims=True)     # (B, 1, C)
+            return jax.nn.relu(jnp.sum(alpha * acts, axis=-1))  # (B, N)
+        return jax.nn.relu(jnp.sum(grads * acts, axis=-1))
+
+    cam = compute(variables, jnp.asarray(x), jnp.asarray(adj))
     return np.asarray(cam, np.float32)
 
 
@@ -110,26 +122,37 @@ def export_grad_cam(params: Dict[str, Any], batch_stats: Dict[str, Any],
                     num_layers: Optional[int] = None,
                     hidden: Optional[int] = None,
                     class_index: Optional[int] = None) -> np.ndarray:
-    """Build an SGCNImage matching the checkpoint and dump saliency npys.
-    `use_gat`/`num_layers`/`hidden` default to autodetection from the
-    checkpoint's param keys and weight shapes (gat_w_i / conv_w_i)."""
-    from iggcn_tpu.models.sgcn_image import SGCNImage
+    """Build the SGCN image-family model matching the checkpoint and dump
+    saliency npys. `use_gat`/`num_layers`/`hidden` default to autodetection
+    from the checkpoint's param keys and weight shapes (gat_w_i / conv_w_i /
+    SGCNOri's conv1_w); the class count always follows the head kernel."""
+    from iggcn_tpu.models.sgcn_image import SGCNImage, SGCNOri
 
-    if use_gat is None:
-        use_gat = any(k.startswith("gat_") for k in params)
-    stem = "gat_w_" if use_gat else "conv_w_"
-    conv_keys = [k for k in params if k.startswith(stem)]
-    if not conv_keys:
-        raise ValueError(
-            "checkpoint has no SGCN image-family conv parameters "
-            f"(no '{stem}*' keys); grad-CAM targets the SGCN image models "
-            "(parity kernel/sgcn.py:111-148)")
-    if num_layers is None:
-        num_layers = len(conv_keys)
-    if hidden is None:
-        hidden = int(np.asarray(params[stem + "0"]).shape[1])
-    model = SGCNImage(num_layers=num_layers, hidden=hidden,
-                      rois=x.shape[1], feat_dim=x.shape[2], use_gat=use_gat)
+    if "conv1_w" in params and "fc3" in params:
+        # fixed SGCN_Ori architecture (parity kernel/sgcn.py:11-151)
+        model = SGCNOri(
+            h0=x.shape[2], rois=x.shape[1],
+            h1=int(np.asarray(params["conv1_w"]).shape[1]),
+            h3=int(np.asarray(params["conv3_w"]).shape[1]),
+            num_classes=int(np.asarray(params["fc3"]["kernel"]).shape[1]))
+    else:
+        if use_gat is None:
+            use_gat = any(k.startswith("gat_") for k in params)
+        stem = "gat_w_" if use_gat else "conv_w_"
+        conv_keys = [k for k in params if k.startswith(stem)]
+        if not conv_keys:
+            raise ValueError(
+                "checkpoint has no SGCN image-family conv parameters "
+                f"(no '{stem}*' keys); grad-CAM targets the SGCN image "
+                "models (parity kernel/sgcn.py:111-148)")
+        if num_layers is None:
+            num_layers = len(conv_keys)
+        if hidden is None:
+            hidden = int(np.asarray(params[stem + "0"]).shape[1])
+        model = SGCNImage(
+            num_layers=num_layers, hidden=hidden, rois=x.shape[1],
+            feat_dim=x.shape[2], use_gat=use_gat,
+            num_classes=int(np.asarray(params["lin2"]["kernel"]).shape[1]))
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
@@ -156,9 +179,7 @@ def main(argv=None):
                    help="override hidden width (default: infer from ckpt)")
     p.add_argument("--gradcam_class", type=int, default=None)
     args = p.parse_args(argv)
-    with open(args.checkpoint, "rb") as fh:
-        from flax import serialization
-        payload = serialization.msgpack_restore(fh.read())
+    payload = load_payload(args.checkpoint)
     params = payload["params"]
     out = export_importances(params, args.out, args.prefix)
     print(f"exported {sorted(out)} to {args.out}")

@@ -80,7 +80,8 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                      verbose: bool = True) -> CVResult:
     """Run the full CV experiment. `tcfg.no_val` selects the without-val
     variant; `model_kind` selects the model family and its objective
-    (sgcn_imgsnp | gcn_imgsnp | guide_imgsnp | clusterlabel | sgcn_image).
+    (sgcn_imgsnp | gcn_imgsnp | guide_imgsnp | clusterlabel | sgcn_image |
+    sgcn_ori).
 
     `external_test`: held-out generalization cohort (e.g. a held-out ADNI
     acquisition type via `data.adni.separate_data_adnitype`) used as the
@@ -103,6 +104,12 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                           num_classes=mcfg.num_classes,
                           hidden_linear=mcfg.hidden_linear,
                           use_gat=mcfg.use_gat)
+    elif model_kind == "sgcn_ori":
+        # fixed conv1->conv3 architecture (parity kernel/sgcn.py:11-151);
+        # num_layers/hidden are architecture constants there, not flags
+        from iggcn_tpu.models.sgcn_image import SGCNOri
+        model = SGCNOri(h0=mcfg.feat_dim, rois=mcfg.rois,
+                        num_classes=mcfg.num_classes)
     else:
         raise ValueError(f"unknown model_kind {model_kind}")
     objective = OBJECTIVES[model_kind]
@@ -123,7 +130,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
         init_rng, rng = jax.random.split(rng)
         dummy = (jnp.zeros((b, mcfg.rois, mcfg.feat_dim)),
                  jnp.zeros((b, mcfg.rois, mcfg.rois)))
-        if model_kind != "sgcn_image":
+        if model_kind not in ("sgcn_image", "sgcn_ori"):
             dummy = dummy + (jnp.zeros((b, mcfg.num_snps)),)
         variables = jax.jit(model.init)(init_rng, *dummy)
         state = TrainState.create(variables, optimizer, steps_per_epoch)

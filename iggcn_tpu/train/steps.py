@@ -417,6 +417,7 @@ OBJECTIVES = {
     "guide_imgsnp": guide_objective,
     "clusterlabel": clusterlabel_objective,
     "sgcn_image": sgcn_image_objective,
+    "sgcn_ori": sgcn_image_objective,
 }
 
 

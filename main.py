@@ -118,7 +118,7 @@ FUSION_MODELS = {
     "SGCN_GCN_CLUSTERLABEL": "clusterlabel",
     "SGCN_GCN": "sgcn_image",
     "SGCN_GAT": "sgcn_image",
-    "SGCN_Ori": "sgcn_image",
+    "SGCN_Ori": "sgcn_ori",
 }
 ZOO_MODELS = ("GCN", "GAT", "GIN", "GIN0", "GraphSAGE",
               "GraphSAGEWithoutJK", "TopK", "DiffPool", "SortPool",

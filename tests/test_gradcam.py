@@ -115,3 +115,24 @@ def test_cli_skips_gradcam_on_fused_checkpoint(tmp_path, data, capsys):
     assert (tmp_path / "out" / "node_importance_ckpt.npy").exists()
     assert (tmp_path / "out" / "edge_probability_ckpt.npy").exists()
     assert not (tmp_path / "out" / "grad_cam_ckpt.npy").exists()
+
+
+def test_export_infers_num_classes_and_ori_arch(tmp_path, data):
+    """A 3-class SGCNImage checkpoint (CLI default --disease_id 3) and an
+    SGCNOri checkpoint must both export without explicit dims: num_classes
+    comes from the head kernel, the Ori architecture from conv1_w/fc3."""
+    from iggcn_tpu.tools.explain import export_grad_cam
+    x, adj = data
+    m3 = SGCNImage(num_layers=2, hidden=7, rois=20, num_classes=3)
+    v3 = jax.jit(m3.init)(jax.random.PRNGKey(6), jnp.asarray(x),
+                          jnp.asarray(adj))
+    cam = export_grad_cam(v3["params"], {}, x, adj, str(tmp_path), "c3")
+    assert cam.shape == (6, 20)
+
+    ori = SGCNOri(rois=20, num_classes=3, h1=16, h3=4)
+    vo = jax.jit(ori.init)(jax.random.PRNGKey(7), jnp.asarray(x),
+                           jnp.asarray(adj))
+    cam = export_grad_cam(vo["params"], vo.get("batch_stats", {}), x, adj,
+                          str(tmp_path), "ori")
+    assert cam.shape == (6, 20)
+    assert (tmp_path / "grad_cam_ori.npy").exists()

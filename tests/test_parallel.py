@@ -105,3 +105,12 @@ def test_fold_mesh_composes_fold_and_data_axes():
     assert mesh8.shape["fold"] == 8 and mesh8.shape["data"] == 1
     mesh3 = fold_mesh(3)   # 3 folds, 8 devices -> fold=3, data=2 (6 used)
     assert mesh3.shape["fold"] == 3 and mesh3.shape["data"] == 2
+
+
+def test_make_mesh_rejects_oversubscription():
+    """Requesting more devices than visible must fail loudly — a silently
+    truncated mesh would falsely 'verify' multichip execution (the round-1
+    dryrun failure mode)."""
+    import pytest
+    with pytest.raises(ValueError, match="device"):
+        make_mesh(10_000)

@@ -55,3 +55,19 @@ def test_sgcn_image_cv_external_test(topo):
                            model_kind="sgcn_image", external_test=test,
                            verbose=False)
     assert np.isfinite(res.mean_test_loss)
+
+
+def test_sgcn_ori_cv_runs(topo):
+    """`--model SGCN_Ori` routes to the real fixed conv1->conv3 SGCNOri
+    architecture (parity kernel/sgcn.py:11-151), not the JK-concat SGCNImage;
+    its checkpoint must carry the Ori param set incl. BN running stats."""
+    import main as cli
+    assert cli.FUSION_MODELS["SGCN_Ori"] == "sgcn_ori"
+    cohort = synthetic_cohort(np.random.default_rng(6), num_subjects=48)
+    mcfg = ModelConfig(num_layers=2, hidden=4, hidden_linear=8)
+    tcfg = TrainConfig(epochs=2, batch_size=8, folds=3, seed=3,
+                       loss=LossWeights(disease=1.0))
+    res = cross_validation(cohort, topo, mcfg, tcfg, res_dir=None,
+                           model_kind="sgcn_ori", verbose=False)
+    assert np.isfinite(res.mean_test_loss)
+    assert res.score_result.shape == (3, 2, 5)

@@ -104,3 +104,35 @@ def test_tu_through_generic_cv(tutest):
                                     batch_size=4, needs_mask=True,
                                     needs_assign=True)
     assert np.isfinite(nres.mean_loss)
+
+
+def test_multicolumn_node_labels(tmp_path):
+    """Multi-column node_labels files one-hot each column separately and
+    concatenate (PyG read_tu_data parity); used to crash with an IndexError."""
+    src = os.path.join(FIXTURES, "TUTEST")
+    dst = tmp_path / "MCTEST"
+    dst.mkdir()
+    for suffix in ("A", "graph_indicator", "graph_labels"):
+        data = open(os.path.join(src, f"TUTEST_{suffix}.txt")).read()
+        (dst / f"MCTEST_{suffix}.txt").write_text(data)
+    col0 = np.loadtxt(os.path.join(src, "TUTEST_node_labels.txt"),
+                      dtype=np.int64).reshape(-1)
+    rng = np.random.default_rng(0)
+    col1 = rng.integers(0, 3, size=col0.shape[0])
+    (dst / "MCTEST_node_labels.txt").write_text(
+        "\n".join(f"{a}, {b}" for a, b in zip(col0, col1)) + "\n")
+    ds = read_tu_dir(str(tmp_path), "MCTEST")
+    w0 = int(col0.max() - col0.min()) + 1
+    w1 = int(col1.max() - col1.min()) + 1
+    assert ds.num_features == w0 + w1
+    # each node's row is the concat of the two per-column one-hots
+    node = 0
+    for g in range(len(ds)):
+        n = int(ds.mask[g].sum())
+        for i in range(n):
+            row = ds.x[g, i]
+            assert row[:w0].argmax() == col0[node] - col0.min()
+            assert row[w0:].argmax() == col1[node] - col1.min()
+            assert row.sum() == 2.0
+            node += 1
+    assert node == col0.shape[0]
