@@ -20,15 +20,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from iggcn_tpu.models.nn_compat import (BatchNorm1d, TorchLinear, dropout,
-                                        pyg_glorot_att)
+                                        pyg_glorot, pyg_glorot_att)
 from iggcn_tpu.ops import pool as P
 from iggcn_tpu.ops.gat import GATParams, gat_conv
 from iggcn_tpu.ops.gcn import gcn_conv, gcn_propagation_matrix
 
 
-def _glorot(key, shape, dtype=jnp.float32):
-    bound = jnp.sqrt(6.0 / (shape[0] + shape[1]))
-    return jax.random.uniform(key, shape, dtype, -bound, bound)
+# canonical init lives in nn_compat; alias keeps the many call sites short
+_glorot = pyg_glorot
 
 
 def _ones_mask(x):

@@ -29,23 +29,16 @@ from flax import linen as nn
 from iggcn_tpu.config import ModelConfig
 from iggcn_tpu.models.go_network import GeneOntologyNetwork
 from iggcn_tpu.models.nn_compat import (TorchLinear, dropout,
+                                        kaiming_uniform_a5, pyg_glorot,
                                         pyg_glorot_att, torch_linear_init)
 from iggcn_tpu.ops.attention import MHAParams, multihead_cross_attention
 from iggcn_tpu.ops.gcn import gcn_conv, gcn_propagation_matrix
 from iggcn_tpu.ops.masking import importance_masks
 
 
-def _kaiming_uniform_a5(key, shape, dtype=jnp.float32):
-    """torch init.kaiming_uniform_(a=sqrt(5)) on a 2-D tensor: U(-b, b) with
-    b = 1/sqrt(fan_in), fan_in = shape[1] (torch dim-1 convention)."""
-    bound = 1.0 / jnp.sqrt(jnp.maximum(shape[1], 1))
-    return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-
-def _glorot_uniform(key, shape, dtype=jnp.float32):
-    """PyG GCNConv weight init (glorot)."""
-    bound = jnp.sqrt(6.0 / (shape[0] + shape[1]))
-    return jax.random.uniform(key, shape, dtype, -bound, bound)
+# canonical inits live in nn_compat; aliases keep the param lines short
+_kaiming_uniform_a5 = kaiming_uniform_a5
+_glorot_uniform = pyg_glorot
 
 
 class FusedOutputs(NamedTuple):

@@ -25,6 +25,20 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def pyg_glorot(key, shape, dtype=jnp.float32):
+    """PyG glorot init (GCNConv/GATConv/GraphConv weights):
+    U(+-sqrt(6 / (fan_in + fan_out)))."""
+    bound = jnp.sqrt(6.0 / (shape[0] + shape[1]))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def kaiming_uniform_a5(key, shape, dtype=jnp.float32):
+    """torch init.kaiming_uniform_(a=sqrt(5)) on a 2-D tensor: U(-b, b) with
+    b = 1/sqrt(fan_in), fan_in = shape[1] (torch dim-1 convention)."""
+    bound = 1.0 / jnp.sqrt(jnp.maximum(shape[1], 1))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
 def torch_linear_init(fan_in: int) -> Callable:
     bound = 1.0 / jnp.sqrt(jnp.maximum(fan_in, 1))
 

@@ -23,21 +23,17 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from iggcn_tpu.models.nn_compat import (BatchNorm1d, TorchLinear,
-                                        dropout, pyg_glorot_att)
+from iggcn_tpu.models.nn_compat import (BatchNorm1d, TorchLinear, dropout,
+                                        kaiming_uniform_a5, pyg_glorot,
+                                        pyg_glorot_att)
 from iggcn_tpu.ops.gat import GATParams, gat_conv
 from iggcn_tpu.ops.gcn import gcn_conv, gcn_propagation_matrix
 from iggcn_tpu.ops.masking import importance_masks
 
 
-def _glorot(key, shape, dtype=jnp.float32):
-    bound = jnp.sqrt(6.0 / (shape[0] + shape[1]))
-    return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-
-def _kaiming_a5(key, shape, dtype=jnp.float32):
-    bound = 1.0 / jnp.sqrt(jnp.maximum(shape[1], 1))
-    return jax.random.uniform(key, shape, dtype, -bound, bound)
+# canonical inits live in nn_compat; aliases keep the param lines short
+_glorot = pyg_glorot
+_kaiming_a5 = kaiming_uniform_a5
 
 
 class SGCNImage(nn.Module):
@@ -115,8 +111,9 @@ class SGCNImage(nn.Module):
             acts = gcn_conv(h, prop, self.conv_w[-1], self.conv_b[-1])
         return tuple(feats), acts
 
-    def head(self, prefix_feats, acts: jax.Array, *,
-             train: bool = False) -> jax.Array:
+    def head(self, prefix_feats, acts: jax.Array, *, train: bool = False,
+             sample_weight: Optional[jax.Array] = None) -> jax.Array:
+        del sample_weight  # no batch statistics in this family
         b = acts.shape[0]
         feats = list(prefix_feats) + [nn.relu(acts)]
         z = jnp.concatenate(feats, axis=-1).reshape(b, -1)
@@ -126,9 +123,11 @@ class SGCNImage(nn.Module):
         return jax.nn.log_softmax(self.lin2(z), axis=-1)
 
     def __call__(self, x: jax.Array, adj: jax.Array, *,
-                 is_explain: bool = False, train: bool = False) -> jax.Array:
+                 is_explain: bool = False, train: bool = False,
+                 sample_weight: Optional[jax.Array] = None) -> jax.Array:
         prefix_feats, acts = self.trunk(x, adj, is_explain=is_explain)
-        return self.head(prefix_feats, acts, train=train)
+        return self.head(prefix_feats, acts, train=train,
+                         sample_weight=sample_weight)
 
 
 class SGCNOri(nn.Module):
@@ -174,22 +173,30 @@ class SGCNOri(nn.Module):
         acts = gcn_conv(h1, prop, self.conv3_w, self.conv3_b)
         return (h1,), acts
 
-    def head(self, prefix_feats, acts: jax.Array, *,
-             train: bool = False) -> jax.Array:
+    def head(self, prefix_feats, acts: jax.Array, *, train: bool = False,
+             sample_weight: Optional[jax.Array] = None) -> jax.Array:
+        """`sample_weight`: (B,) 0/1 padding mask — bn1/bn2 batch statistics
+        cover real rows only so padded dense batches bit-match the
+        reference's ragged final batch (the framework invariant,
+        train/steps.py:11-14)."""
         (h1,) = prefix_feats
         b = acts.shape[0]
         det = not train
         h3 = nn.relu(acts)
         z = jnp.concatenate([h1.reshape(b, -1), h3.reshape(b, -1)], axis=-1)
-        z = self.bn1(nn.relu(self.fc1(z)), use_running_average=det)
+        z = self.bn1(nn.relu(self.fc1(z)), use_running_average=det,
+                     weight=sample_weight)
         if train:
             z = dropout(self.make_rng("dropout"), z, 0.5)
-        z = self.bn2(nn.relu(self.fc2(z)), use_running_average=det)
+        z = self.bn2(nn.relu(self.fc2(z)), use_running_average=det,
+                     weight=sample_weight)
         if train:
             z = dropout(self.make_rng("dropout"), z, 0.7)
         return jax.nn.log_softmax(self.fc3(z), axis=-1)
 
     def __call__(self, x: jax.Array, adj: jax.Array, *,
-                 is_explain: bool = False, train: bool = False) -> jax.Array:
+                 is_explain: bool = False, train: bool = False,
+                 sample_weight: Optional[jax.Array] = None) -> jax.Array:
         prefix_feats, acts = self.trunk(x, adj, is_explain=is_explain)
-        return self.head(prefix_feats, acts, train=train)
+        return self.head(prefix_feats, acts, train=train,
+                         sample_weight=sample_weight)

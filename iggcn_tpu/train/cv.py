@@ -55,6 +55,53 @@ class CVResult:
     regression_summary: Dict[str, Dict[str, float]]
 
 
+def _build_fused(mcfg, topo):
+    return FusedSGCN(cfg=mcfg, topo=topo)
+
+
+def _build_guide(mcfg, topo):
+    from iggcn_tpu.models.guide import GuideImgSnp
+    return GuideImgSnp(cfg=mcfg, topo=topo)
+
+
+def _build_clusterlabel(mcfg, topo):
+    from iggcn_tpu.models.clusterlabel import ClusterLabelSGCN
+    return ClusterLabelSGCN(cfg=mcfg, topo=topo)
+
+
+def _build_sgcn_image(mcfg, topo):
+    from iggcn_tpu.models.sgcn_image import SGCNImage
+    return SGCNImage(num_layers=mcfg.num_layers, hidden=mcfg.hidden,
+                     rois=mcfg.rois, feat_dim=mcfg.feat_dim,
+                     num_classes=mcfg.num_classes,
+                     hidden_linear=mcfg.hidden_linear,
+                     use_gat=mcfg.use_gat)
+
+
+def _build_sgcn_ori(mcfg, topo):
+    # fixed conv1->conv3 architecture (parity kernel/sgcn.py:11-151);
+    # num_layers/hidden are architecture constants there, not flags
+    from iggcn_tpu.models.sgcn_image import SGCNOri
+    return SGCNOri(h0=mcfg.feat_dim, rois=mcfg.rois,
+                   num_classes=mcfg.num_classes)
+
+
+# single registry tying each model kind to its builder and init signature;
+# the objective comes from steps.OBJECTIVES under the same key (checked below
+# so the two tables cannot drift apart)
+MODEL_FAMILIES = {
+    # kind: (build(mcfg, topo), takes_snps)
+    "sgcn_imgsnp": (_build_fused, True),
+    "gcn_imgsnp": (_build_fused, True),
+    "guide_imgsnp": (_build_guide, True),
+    "clusterlabel": (_build_clusterlabel, True),
+    "sgcn_image": (_build_sgcn_image, False),
+    "sgcn_ori": (_build_sgcn_ori, False),
+}
+assert set(MODEL_FAMILIES) == set(OBJECTIVES), \
+    "MODEL_FAMILIES and steps.OBJECTIVES must list the same model kinds"
+
+
 def _epoch_fns(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,
                objective=None):
     """Jitted per-epoch train/eval for the python-epoch debug path — thin
@@ -89,29 +136,11 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     `kernel/train_eval_sgcn.py:138-157` (`isTestAdnitype`,
     `isShowValResult=False`)."""
     use_val = not tcfg.no_val
-    if model_kind in ("sgcn_imgsnp", "gcn_imgsnp"):
-        model = FusedSGCN(cfg=mcfg, topo=topo)
-    elif model_kind == "guide_imgsnp":
-        from iggcn_tpu.models.guide import GuideImgSnp
-        model = GuideImgSnp(cfg=mcfg, topo=topo)
-    elif model_kind == "clusterlabel":
-        from iggcn_tpu.models.clusterlabel import ClusterLabelSGCN
-        model = ClusterLabelSGCN(cfg=mcfg, topo=topo)
-    elif model_kind == "sgcn_image":
-        from iggcn_tpu.models.sgcn_image import SGCNImage
-        model = SGCNImage(num_layers=mcfg.num_layers, hidden=mcfg.hidden,
-                          rois=mcfg.rois, feat_dim=mcfg.feat_dim,
-                          num_classes=mcfg.num_classes,
-                          hidden_linear=mcfg.hidden_linear,
-                          use_gat=mcfg.use_gat)
-    elif model_kind == "sgcn_ori":
-        # fixed conv1->conv3 architecture (parity kernel/sgcn.py:11-151);
-        # num_layers/hidden are architecture constants there, not flags
-        from iggcn_tpu.models.sgcn_image import SGCNOri
-        model = SGCNOri(h0=mcfg.feat_dim, rois=mcfg.rois,
-                        num_classes=mcfg.num_classes)
-    else:
-        raise ValueError(f"unknown model_kind {model_kind}")
+    if model_kind not in MODEL_FAMILIES:
+        raise ValueError(f"unknown model_kind {model_kind}; "
+                         f"one of {sorted(MODEL_FAMILIES)}")
+    build, takes_snps = MODEL_FAMILIES[model_kind]
+    model = build(mcfg, topo)
     objective = OBJECTIVES[model_kind]
     b = tcfg.batch_size
     splits = k_fold(cohort.y, tcfg.folds, tcfg.seed)
@@ -130,7 +159,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
         init_rng, rng = jax.random.split(rng)
         dummy = (jnp.zeros((b, mcfg.rois, mcfg.feat_dim)),
                  jnp.zeros((b, mcfg.rois, mcfg.rois)))
-        if model_kind not in ("sgcn_image", "sgcn_ori"):
+        if takes_snps:
             dummy = dummy + (jnp.zeros((b, mcfg.num_snps)),)
         variables = jax.jit(model.init)(init_rng, *dummy)
         state = TrainState.create(variables, optimizer, steps_per_epoch)

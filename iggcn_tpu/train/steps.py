@@ -251,11 +251,13 @@ def sgcn_image_objective(model, params, batch_stats, batch: Batch,
     if train:
         r1, r2 = jax.random.split(rng)
         lp, mut1 = model.apply(variables, x, adj, train=True,
+                               sample_weight=w,
                                mutable=["batch_stats"], rngs={"dropout": r1})
         variables = {"params": params,
                      "batch_stats": mut1.get("batch_stats", {})}
         lp_m, mut2 = model.apply(variables, x, adj, is_explain=True,
-                                 train=True, mutable=["batch_stats"],
+                                 train=True, sample_weight=w,
+                                 mutable=["batch_stats"],
                                  rngs={"dropout": r2})
         new_stats = mut2.get("batch_stats", {})
     else:

@@ -87,3 +87,35 @@ def test_snps_go_bn_stats_ignore_padding_rows():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=1e-5, atol=1e-6),
         mut_real["batch_stats"], mut_pad["batch_stats"])
+
+
+def test_sgcn_ori_bn_stats_ignore_padding_rows():
+    """SGCNOri (the one BN-bearing image-only model) must honor the mask:
+    its objective trains on padded batches whose extra rows duplicate row 0
+    with w=0 (cv.py padded_idx) — bn1/bn2 statistics must not see them."""
+    from iggcn_tpu.models.sgcn_image import SGCNOri
+
+    x, adj, _ = _toy(3, n=10, f=3, seed=4)
+    model = SGCNOri(rois=10, num_classes=2)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, adj)
+
+    _, mut_real = model.apply(variables, x, adj, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(1)},
+                              mutable=["batch_stats"])
+    xp = jnp.concatenate([x, x[:1]])
+    ap = jnp.concatenate([adj, adj[:1]])
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    _, mut_pad = model.apply(variables, xp, ap, train=True, sample_weight=w,
+                             rngs={"dropout": jax.random.PRNGKey(1)},
+                             mutable=["batch_stats"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        mut_real["batch_stats"], mut_pad["batch_stats"])
+    # without the weight the duplicate row DOES shift the stats (the bug)
+    _, mut_bug = model.apply(variables, xp, ap, train=True,
+                             rngs={"dropout": jax.random.PRNGKey(1)},
+                             mutable=["batch_stats"])
+    bug_mean = np.asarray(mut_bug["batch_stats"]["bn1"]["mean"])
+    real_mean = np.asarray(mut_real["batch_stats"]["bn1"]["mean"])
+    assert not np.allclose(bug_mean, real_mean, rtol=1e-6)
