@@ -202,10 +202,11 @@ def main():
     try:
         # the oracle also gets its best batch (it prefers small ones: the
         # dense (B, n, n) GO tensors crush the CPU at large B) so the ratio
-        # compares best-effort against best-effort
+        # compares best-effort against best-effort — including batches
+        # BELOW the reference default, where the CPU oracle may peak
         torch_gps = max(
-            bench_torch(topo, cohort, budget_s=15.0, batch=b)
-            for b in {BATCH, best_batch})
+            bench_torch(topo, cohort, budget_s=8.0, batch=b)
+            for b in {8, 16, BATCH, best_batch})
     except Exception as e:  # pragma: no cover
         print(f"[bench] torch baseline failed ({e}); using fallback",
               file=sys.stderr)

@@ -106,6 +106,18 @@ def _remap_labels(labels: np.ndarray, disease_id: int
     return sel, y.astype(np.int64)
 
 
+def permute_regression_targets(cohort: AdniCohort, seed: int) -> AdniCohort:
+    """Permutation-test null: shuffle the subject->regression-target pairing
+    (parity `sgcn_data.py:205-208`, which permutes `scores_regr` and the raw
+    demographics rows before subject selection). Applied by `load_adni874`
+    on the real cohort and by the CLI on the synthetic one."""
+    rng = np.random.RandomState(seed)
+    return dataclasses.replace(
+        cohort,
+        clini_score=rng.permutation(cohort.clini_score),
+        demographics=rng.permutation(cohort.demographics))
+
+
 def separate_data_adnitype(cohort: AdniCohort, disease_id: int,
                            adnitype_id: int = 0
                            ) -> Tuple[AdniCohort, AdniCohort]:

@@ -58,10 +58,21 @@ def run_image_clustering(features: np.ndarray, *, k: int = 2,
     init='pca', method='exact', random_state=1000) then
     KMeans(k, 'k-means++', random_state=1000). Returns (tsne_2d, labels).
     """
+    import hashlib
+
     from sklearn.cluster import KMeans
     from sklearn.manifold import TSNE
 
-    if tsne_cache is not None and os.path.exists(tsne_cache):
+    # the cache is only valid for THIS feature matrix + parameters; a
+    # path-only check would silently reuse an embedding of different data
+    # (e.g. after switching mode='multimodal' -> 'pet')
+    fp = hashlib.sha1(np.ascontiguousarray(features).tobytes()
+                      + f"|{perplexity}|{seed}".encode()).hexdigest()
+    meta_path = (tsne_cache + ".meta.txt") if tsne_cache is not None else None
+    cache_ok = (tsne_cache is not None and os.path.exists(tsne_cache)
+                and meta_path is not None and os.path.exists(meta_path)
+                and open(meta_path).read().strip() == fp)
+    if cache_ok:
         tsne_results = np.load(tsne_cache)
     else:
         perplexity = min(perplexity, max(2.0, features.shape[0] / 4))
@@ -70,6 +81,8 @@ def run_image_clustering(features: np.ndarray, *, k: int = 2,
         tsne_results = tsne.fit_transform(features)
         if tsne_cache is not None:
             np.save(tsne_cache, tsne_results)
+            with open(meta_path, "w") as fh:
+                fh.write(fp)
     km = KMeans(n_clusters=k, init="k-means++", n_init=10,
                 random_state=seed).fit(tsne_results)
     return tsne_results, km.predict(tsne_results).astype(np.int64)

@@ -58,8 +58,8 @@ def get_clipped_matrix(a: np.ndarray, eps: float = 1e-4) -> np.ndarray:
 
 def preprocess_diffusion(adjs: np.ndarray, *, is_ppr: bool = True,
                          is_topk: bool = True, top_k: int = 3,
-                         alpha: float = 0.05, heat_t: float = 5.0
-                         ) -> np.ndarray:
+                         alpha: float = 0.05, heat_t: float = 5.0,
+                         backend: str = "auto") -> np.ndarray:
     """Diffuse + sparsify a stack of adjacencies (B, N, N).
 
     Parity: `preprocess_diffusion_imgs_snps` (`util_gdc.py:71-101`) applied
@@ -68,9 +68,22 @@ def preprocess_diffusion(adjs: np.ndarray, *, is_ppr: bool = True,
     (`util_gdc.py:80-83` `else: A_res = get_heat_matrix(A_diff)`) instead of
     the eps-clip sparsifier it defines but never calls — reproduced
     bug-for-bug (`get_clipped_matrix` is likewise provided but unused).
-    Prefers the native C++ kernel when available, else NumPy.
+
+    `backend`: 'auto' prefers the native C++ kernel, falling back to NumPy;
+    'device' runs the whole cohort as ONE batched accelerator solve
+    (`ppr_topk_batch_jax`; fp32, ties kept rather than argsort-broken — see
+    its docstring); 'numpy' forces the pure host loop.
     """
-    if gdc_native is not None and is_ppr and is_topk:
+    if backend not in ("auto", "device", "numpy"):
+        raise ValueError(f"unknown diffusion backend {backend!r}")
+    if backend == "device":
+        if not (is_ppr and is_topk):
+            raise ValueError("backend='device' implements the PPR+top-k "
+                             "path only")
+        return np.asarray(
+            ppr_topk_batch_jax(jnp.asarray(adjs, jnp.float32), alpha, top_k),
+            dtype=np.float64)
+    if backend == "auto" and gdc_native is not None and is_ppr and is_topk:
         return gdc_native.ppr_topk_batch(
             np.ascontiguousarray(adjs, dtype=np.float64), float(alpha),
             int(top_k))

@@ -5,9 +5,9 @@ so the capability-matched TPU scaling story is:
   * `data` axis: graphs within a batch are sharded across chips; parameters
     and optimizer state are replicated; XLA inserts the gradient all-reduce
     over ICI (no custom comm layer, cf. scaling-book recipe).
-  * fold-level parallelism (k folds are embarrassingly parallel) can ride the
-    same mesh by running folds in sequence per chip group — exposed via
-    `fold_device_groups`.
+  * fold-level parallelism (k folds are embarrassingly parallel) lives in
+    `train/fold_parallel.py` (`fold_mesh` + `run_folds_parallel`), which can
+    compose a 2-D (fold, data) mesh with this module's shardings.
 
 All sharding is declarative: `jax.jit` with NamedSharding in/out specs; the
 same train-step code runs single-chip when the mesh has one device.

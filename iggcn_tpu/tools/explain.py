@@ -89,6 +89,12 @@ def grad_cam(model, variables, x, adj, *, class_index: Optional[int] = None,
     import jax.numpy as jnp
 
     cls = type(model)
+    n_classes = getattr(model, "num_classes", None)
+    if (class_index is not None and n_classes is not None
+            and not 0 <= class_index < n_classes):
+        # take_along_axis would silently clamp to the last class under jit
+        raise ValueError(f"class_index {class_index} out of range for a "
+                         f"{n_classes}-class model")
 
     # one jitted program: eager ops are pathologically slow on a remote
     # backend (each op is a round-trip over the axon tunnel)
@@ -184,9 +190,15 @@ def main(argv=None):
     out = export_importances(params, args.out, args.prefix)
     print(f"exported {sorted(out)} to {args.out}")
     if args.x_npy is not None:
-        ep = export_edge_probabilities(params, np.load(args.x_npy),
-                                       args.out, args.prefix)
-        print(f"edge probabilities {ep.shape} exported")
+        if "prob" in params and "prob_bias" in params:
+            ep = export_edge_probabilities(params, np.load(args.x_npy),
+                                           args.out, args.prefix)
+            print(f"edge probabilities {ep.shape} exported")
+        else:
+            # e.g. a GUIDE_IMGSNP checkpoint: its importances are the
+            # Gumbel mask logits (bias_n), not the SGCN edge scorer
+            print("edge probabilities skipped: checkpoint has no "
+                  "prob/prob_bias importance parameters")
     if args.x_npy is not None and args.adj_npy is not None:
         if "go_network" in params or "mha_in_proj_weight" in params:
             # fused (imaging x genetics) checkpoint: the reference's grad-CAM

@@ -159,7 +159,12 @@ def nll_loss(log_probs: jax.Array, labels: jax.Array,
 
 def mse_loss(pred: jax.Array, target: jax.Array,
              sample_weight: Optional[jax.Array] = None) -> jax.Array:
-    """F.mse_loss parity (mean over all elements of the flattened views)."""
+    """F.mse_loss parity (mean over all elements of the flattened views).
+    Shapes must match exactly — a (B, 3) vs (B, 1) pair would broadcast
+    into a silently wrong objective (all heads fitting one scalar)."""
+    if pred.shape != target.shape:
+        raise ValueError(f"mse_loss shape mismatch: pred {pred.shape} vs "
+                         f"target {target.shape}")
     return weighted_mean(jnp.square(pred - target), sample_weight)
 
 

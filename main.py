@@ -191,6 +191,14 @@ def main(argv=None):
     if args.fold_parallel and args.no_fold_scan:
         parser.error("--fold_parallel requires the whole-fold scan; drop "
                      "--no_fold_scan")
+    if args.clinical_score_index != -1:
+        # a single selected clinical score means ONE regression target; a
+        # 3-wide head against a (B, 1) target would broadcast silently in
+        # the MSE and leave two heads unevaluated
+        if args.num_regr not in (1, 3):
+            parser.error("--clinical_score_index selects a single score; "
+                         "--num_regr must be 1 (or left at the default)")
+        args.num_regr = 1
 
     from iggcn_tpu.config import DataConfig, LossWeights, ModelConfig, TrainConfig
     from iggcn_tpu.data import adni, go_graph
@@ -233,6 +241,12 @@ def main(argv=None):
                 rng, num_subjects=args.synthetic_subjects, rois=rois,
                 feat_dim=feat, num_classes=dcfg.num_classes,
                 num_regr=args.num_regr, top_k=args.top_k)
+            if dcfg.is_permut_test:
+                # the real loader shuffles inside load_adni874; the synthetic
+                # null must shuffle too or every permutation run would train
+                # on the true subject->score pairing
+                cohort = adni.permute_regression_targets(
+                    cohort, dcfg.seed4permut_test)
             topo = go_graph.synthetic_topology(rng)
         else:
             cohort = adni.load_adni874(dcfg)

@@ -49,3 +49,21 @@ def test_artifact_files(tmp_path):
     np.testing.assert_array_equal(saved, labels)
     wss = calculate_wss(np.load(tmp_path / "tsne_results.npy"), kmax=3)
     assert len(wss) == 3 and wss[0] >= wss[1] >= wss[2]
+
+
+def test_tsne_cache_invalidates_on_new_features(tmp_path):
+    """The t-SNE cache is keyed to the feature matrix: rerunning with
+    DIFFERENT features must recompute instead of silently clustering the
+    stale embedding (path-only caching did exactly that)."""
+    rng = np.random.default_rng(2)
+    cache = str(tmp_path / "tsne_results.npy")
+    f1 = rng.normal(size=(20, 6)).astype(np.float64)
+    t1, _ = run_image_clustering(f1, k=2, seed=1000, tsne_cache=cache)
+    # same features -> cache hit, identical embedding
+    t1b, _ = run_image_clustering(f1, k=2, seed=1000, tsne_cache=cache)
+    np.testing.assert_array_equal(t1, t1b)
+    # new features -> recompute (embedding changes, cache file updated)
+    f2 = rng.normal(size=(20, 6)).astype(np.float64) + 5.0
+    t2, _ = run_image_clustering(f2, k=2, seed=1000, tsne_cache=cache)
+    assert not np.allclose(t1, t2)
+    np.testing.assert_array_equal(np.load(cache), t2)

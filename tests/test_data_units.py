@@ -137,3 +137,44 @@ def test_graph_visualization(tmp_path):
     out = tmp_path / "dag.png"
     gv.visualize(str(out))
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_permute_regression_targets():
+    """Permutation-test null on a cohort: subject->score pairing shuffles
+    deterministically (parity sgcn_data.py:205-208), everything else is
+    untouched — this must also cover the synthetic CLI path."""
+    from iggcn_tpu.data.adni import permute_regression_targets, synthetic_cohort
+
+    cohort = synthetic_cohort(np.random.default_rng(0), num_subjects=32)
+    p1 = permute_regression_targets(cohort, seed=3)
+    p2 = permute_regression_targets(cohort, seed=3)
+    np.testing.assert_array_equal(p1.clini_score, p2.clini_score)
+    assert not np.array_equal(p1.clini_score, cohort.clini_score)
+    np.testing.assert_array_equal(np.sort(p1.clini_score, axis=0),
+                                  np.sort(cohort.clini_score, axis=0))
+    np.testing.assert_array_equal(p1.x, cohort.x)
+    np.testing.assert_array_equal(p1.y, cohort.y)
+    # demographics rows are permuted too (they feed the imputation path),
+    # drawn from the same RandomState sequence as the reference
+    assert not np.array_equal(p1.demographics, cohort.demographics,
+                              equal_nan=True)
+
+
+def test_mse_loss_rejects_shape_mismatch():
+    from iggcn_tpu.train.losses import mse_loss
+
+    ok = mse_loss(jnp.ones((4, 3)), jnp.zeros((4, 3)))
+    assert float(ok) == 1.0
+    with pytest.raises(ValueError, match="shape mismatch"):
+        mse_loss(jnp.ones((4, 3)), jnp.zeros((4, 1)))
+
+
+def test_cli_single_score_coerces_num_regr(capsys):
+    """--clinical_score_index with an explicit 3-wide head is a parser
+    error; with the default it silently coerces to a single head."""
+    import main as cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["--clinical_score_index", "5", "--num_regr", "2",
+                  "--synthetic"])
+    assert "num_regr" in capsys.readouterr().err

@@ -62,3 +62,20 @@ def test_preprocess_diffusion_prefers_native():
     finally:
         diffusion.gdc_native = saved
     np.testing.assert_allclose(via_dispatch, via_numpy, atol=1e-12)
+
+
+def test_device_backend_matches_numpy():
+    """backend='device' (one batched on-device solve) matches the host paths
+    up to fp32 round-off on tie-free inputs, with the same per-column
+    structure; non-PPR modes and bogus backends are rejected."""
+    rng = np.random.default_rng(4)
+    adjs = np.abs(rng.normal(size=(4, 30, 30))) + 0.1
+    dev = diffusion.preprocess_diffusion(adjs, top_k=3, backend="device")
+    ref = _numpy_ref(adjs, 0.05, 3)
+    np.testing.assert_allclose(dev, ref, atol=2e-5)
+    assert ((dev > 0) == (ref > 0)).all()
+    np.testing.assert_allclose(dev.sum(axis=1), 1.0, atol=1e-5)
+    with pytest.raises(ValueError):
+        diffusion.preprocess_diffusion(adjs, is_topk=False, backend="device")
+    with pytest.raises(ValueError):
+        diffusion.preprocess_diffusion(adjs, backend="gpu")
