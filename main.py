@@ -103,6 +103,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="./data/go_root_connection.txt")
     p.add_argument("--snps_to_gene_path", type=str,
                    default="./data/snps_to_gene.txt")
+    p.add_argument("--snps_csv_root", type=str, default="./data/snps/data",
+                   help="root of the standalone SNP csv cohorts "
+                        "(<root>/data_{AH,MH,AM}/{snp,dia}.csv) for the "
+                        "SNP-only trainers; falls back to the imaging "
+                        "cohort's SNP matrix when absent")
     return p
 
 
@@ -323,8 +328,17 @@ def main(argv=None):
             parser.error("SNP trainers are binary classifiers (BCE); use "
                          "--disease_id 0|1|2")
         kind = "mlp" if args.model == "MLP_Model" else "go"
+        try:
+            # the reference SNP trainers read their own standalone csv
+            # cohort (snps_graph.py:295-331), not the imaging .mat cohort
+            from iggcn_tpu.data.snps import load_snps_csv
+            snps_x, snps_y = load_snps_csv(args.snps_csv_root,
+                                           args.disease_id)
+            print(f"[data] SNP csv cohort: {snps_x.shape[0]} subjects")
+        except FileNotFoundError:
+            snps_x, snps_y = cohort.snps, cohort.y.astype(np.float32)
         res = cross_validation_snps(
-            cohort.snps, cohort.y.astype(np.float32), topo,
+            snps_x, snps_y, topo,
             folds=args.fold, epochs=args.epochs,
             batch_size=args.batch_size, lr=args.lr, seed=args.seed,
             model_kind=kind, verbose=True)

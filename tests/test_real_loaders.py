@@ -139,3 +139,38 @@ def test_load_adni_csv(tmp_path):
     assert cohort.snps.min() >= 0 and cohort.snps.max() <= 1
     assert set(cohort.y.tolist()) == {0, 1}
     assert cohort.num_classes == 2
+
+
+def test_load_snps_csv(tmp_path):
+    """Standalone SNP csv cohort (parity snps_graph.py:295-331 SnpsDataset):
+    header row skipped, /10 scaling, disease-id folder mapping."""
+    import pytest
+
+    from iggcn_tpu.data.snps import load_snps_csv
+
+    base = tmp_path / "data_AH"
+    base.mkdir()
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 3, size=(12, 5)).astype(float)
+    lab = rng.integers(0, 2, size=12).astype(float)
+    header = ",".join(f"rs{i}" for i in range(5))
+    (base / "snp.csv").write_text(
+        header + "\n" + "\n".join(",".join(map(str, r)) for r in raw) + "\n")
+    (base / "dia.csv").write_text(
+        "dia\n" + "\n".join(str(v) for v in lab) + "\n")
+    x, y = load_snps_csv(str(tmp_path), disease_id=0)
+    assert x.shape == (12, 5) and y.shape == (12,)
+    np.testing.assert_allclose(x, raw / 10.0, rtol=1e-6)
+    np.testing.assert_array_equal(y, lab)
+    with pytest.raises(FileNotFoundError):
+        load_snps_csv(str(tmp_path), disease_id=1)  # data_MH absent
+
+    # end-to-end through the SNP trainer (the CLI route's consumer)
+    from iggcn_tpu.data.go_graph import synthetic_topology
+    from iggcn_tpu.train.snps_trainer import cross_validation_snps
+    topo = synthetic_topology(np.random.default_rng(1))
+    # trainer expects the reference's 54-SNP width for the GO incidence
+    x54 = np.tile(x, (1, 11))[:, :54].astype(np.float32)
+    res = cross_validation_snps(x54, y, topo, folds=3, epochs=1,
+                                batch_size=4, model_kind="go")
+    assert np.isfinite(res.mean_loss)
