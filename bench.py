@@ -171,7 +171,8 @@ def bench_torch(topo, cohort, budget_s=30.0, batch=BATCH):
         opt.step()
         return hi - lo
 
-    done = 0
+    step(0, min(batch, n))   # warmup outside the timed window (allocator,
+    done = 0                 # thread-pool spinup) — keeps the ratio honest
     t0 = time.perf_counter()
     lo = 0
     while time.perf_counter() - t0 < budget_s:
