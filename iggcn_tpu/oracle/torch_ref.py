@@ -9,7 +9,7 @@ parity checks (eval mode, deterministic).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict
 
 import numpy as np
 import torch
@@ -93,7 +93,7 @@ class TorchGoNetwork(nn.Module):
             v_s = torch.sigmoid(x_s @ self.w_att_s[jj])
             out = torch.einsum("brc,bcf->brf", a_hat, x_in) + x_s * v_s
             out = self.g_b[jj](out.permute(0, 2, 1)).permute(0, 2, 1)
-            out = F.dropout2d(F.relu(out), self.drop_gcn, self.training)
+            out = F.dropout1d(F.relu(out), self.drop_gcn, self.training)
             x = out[:, self.pool[jj]:, :]
 
         atten_out = F.relu(self.bn_atten(x @ self.conc_for_attention))
@@ -115,7 +115,7 @@ class TorchGoNetwork(nn.Module):
             x_self = F.pad(x_s_out, (0, 0, grow, 0))
             out = x_outgoing + x_self
             out = self.g_b_d[jj](out.permute(0, 2, 1)).permute(0, 2, 1)
-            x = F.dropout2d(F.relu(out), self.drop_gcn, self.training)
+            x = F.dropout1d(F.relu(out), self.drop_gcn, self.training)
 
         out_d = F.dropout(F.relu(self.bn_b_d((x @ self.conc_d)[..., 0])),
                           self.drop_readout, self.training)

@@ -29,6 +29,21 @@ from iggcn_tpu.data.adni import synthetic_cohort  # noqa: E402
 from iggcn_tpu.data.go_graph import synthetic_topology  # noqa: E402
 
 
+def device_batch(cohort, n=8):
+    """First-n-subject device batch dict in the train-step schema, built from
+    the canonical `data.batching.cohort_batch_arrays` (one source of truth
+    for the batch keys instead of per-test hand-built dicts)."""
+    import jax.numpy as jnp
+
+    from iggcn_tpu.data.batching import cohort_batch_arrays
+
+    arrays = cohort_batch_arrays(cohort)
+    arrays.pop("sbj_id")                    # not consumed by train steps
+    out = {k: jnp.asarray(v[:n]) for k, v in arrays.items()}
+    out["w"] = jnp.ones((n,), jnp.float32)
+    return out
+
+
 @pytest.fixture(scope="session")
 def topo():
     return synthetic_topology(np.random.default_rng(0))

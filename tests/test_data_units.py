@@ -169,12 +169,28 @@ def test_mse_loss_rejects_shape_mismatch():
         mse_loss(jnp.ones((4, 3)), jnp.zeros((4, 1)))
 
 
-def test_cli_single_score_coerces_num_regr(capsys):
-    """--clinical_score_index with an explicit 3-wide head is a parser
-    error; with the default it silently coerces to a single head."""
+def test_cli_single_score_coerces_num_regr(capsys, monkeypatch, tmp_path):
+    """--clinical_score_index with an explicit conflicting head width is a
+    parser error; with the default it coerces the model to a single head."""
     import main as cli
 
     with pytest.raises(SystemExit):
         cli.main(["--clinical_score_index", "5", "--num_regr", "2",
                   "--synthetic"])
     assert "num_regr" in capsys.readouterr().err
+
+    # the coercion itself: capture the ModelConfig the CLI hands the trainer
+    import iggcn_tpu.train.cv as cvmod
+    captured = {}
+
+    def fake_cv(cohort, topo, mcfg, tcfg, **kw):
+        captured["num_regr"] = mcfg.num_regr
+        raise SystemExit(0)
+
+    monkeypatch.setattr(cvmod, "cross_validation", fake_cv)
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit):
+        cli.main(["--clinical_score_index", "5", "--synthetic",
+                  "--synthetic_subjects", "24", "--epochs", "1",
+                  "--fold", "3", "--save_appendix", "_coerce"])
+    assert captured["num_regr"] == 1

@@ -28,7 +28,8 @@ def test_lr_at_step_matches_host_per_fold():
                                    tcfg.lr_decay_step_size, epoch)
             got = float(lr_at_step(tcfg, jnp.asarray(step, jnp.int32),
                                    jnp.asarray(spe, jnp.int32)))
-            np.testing.assert_allclose(got, expected, rtol=1e-6), (spe, step)
+            np.testing.assert_allclose(got, expected, rtol=1e-6,
+                                       err_msg=f"spe={spe} step={step}")
 
 
 def test_lr_at_step_vectorizes_over_folds():

@@ -138,8 +138,6 @@ def test_nested_dataset_node_labels():
         assert nested.z.shape[2] == zdim
     model = NestedGNN(conv="gcn", num_layers=1, hidden=4, num_classes=2,
                       num_subgraphs=nested.num_subgraphs, use_z=True)
-    import jax
-    import jax.numpy as jnp
     batch = (jnp.asarray(nested.x[:2]), jnp.asarray(nested.adj[:2]),
              jnp.asarray(nested.mask[:2]), jnp.asarray(nested.assign[:2]))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), *batch,

@@ -15,16 +15,8 @@ def _setup(cohort, topo, b=16):
     mcfg = ModelConfig(num_layers=2, hidden=8, hidden_linear=16, l_dim=8)
     tcfg = TrainConfig(epochs=1, batch_size=b)
     model = FusedSGCN(cfg=mcfg, topo=topo)
-    batch = {
-        "x": jnp.asarray(cohort.x[:b]),
-        "adj": jnp.asarray(cohort.adj[:b]),
-        "snps": jnp.asarray(cohort.snps[:b]),
-        "y": jnp.asarray(cohort.y[:b].astype(np.int32)),
-        "clini": jnp.asarray(cohort.clini_score[:b]),
-        "clust_y": jnp.asarray(cohort.clust_y[:b].astype(np.int32)),
-        "tsne": jnp.asarray(cohort.tsne_fdim[:b]),
-        "w": jnp.ones((b,), jnp.float32),
-    }
+    from tests.conftest import device_batch
+    batch = device_batch(cohort, b)
     optimizer = make_optimizer(tcfg, 1)
     train_step = make_train_step(model, mcfg, tcfg, optimizer)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch["x"],

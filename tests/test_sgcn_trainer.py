@@ -32,7 +32,7 @@ def test_separate_requires_fields():
         separate_data_adnitype(cohort, 0)
 
 
-@pytest.mark.parametrize("use_scan", [True])
+@pytest.mark.parametrize("use_scan", [True, False])
 def test_sgcn_image_cv_runs(topo, use_scan):
     cohort = synthetic_cohort(np.random.default_rng(5), num_subjects=48)
     mcfg = ModelConfig(num_layers=2, hidden=4, hidden_linear=8)

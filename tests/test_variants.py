@@ -14,17 +14,7 @@ from iggcn_tpu.train.steps import (clusterlabel_objective, guide_objective,
                                    gcn_fusion_objective)
 
 
-def _batch(cohort, n=8):
-    return {
-        "x": jnp.asarray(cohort.x[:n]),
-        "adj": jnp.asarray(cohort.adj[:n]),
-        "snps": jnp.asarray(cohort.snps[:n]),
-        "y": jnp.asarray(cohort.y[:n].astype(np.int32)),
-        "clini": jnp.asarray(cohort.clini_score[:n]),
-        "clust_y": jnp.asarray(cohort.clust_y[:n].astype(np.int32)),
-        "tsne": jnp.asarray(cohort.tsne_fdim[:n]),
-        "w": jnp.ones((n,), jnp.float32),
-    }
+from tests.conftest import device_batch as _batch  # shared batch schema
 
 
 def _grad_check(model, objective, batch, mcfg, tcfg, rngs=("dropout",)):
@@ -108,13 +98,6 @@ def test_no_cross_attention_path(cohort, topo):
     """isCrossAtten=False is broken upstream (shape mismatch at
     `sgcn_img_snp.py:243,287` and unreachable from its CLI); rebuilt as
     concat fusion — must run and produce finite outputs."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from iggcn_tpu.config import ModelConfig
-    from iggcn_tpu.models.fused_sgcn import FusedSGCN
-
     cfg = ModelConfig(num_layers=2, hidden=8, hidden_linear=16, l_dim=8,
                       is_cross_atten=False)
     model = FusedSGCN(cfg=cfg, topo=topo)
