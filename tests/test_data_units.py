@@ -194,3 +194,38 @@ def test_cli_single_score_coerces_num_regr(capsys, monkeypatch, tmp_path):
                   "--synthetic_subjects", "24", "--epochs", "1",
                   "--fold", "3", "--save_appendix", "_coerce"])
     assert captured["num_regr"] == 1
+
+
+def test_metrics_match_sklearn():
+    """Hand-rolled metrics (midrank AUC, weighted F1, sens/spec, Pearson/R2/
+    RMSE) == sklearn/scipy on random data incl. ties (parity
+    kernel/train_eval_sgcn_img_snps.py:602-670's sklearn calls)."""
+    from sklearn.metrics import f1_score, r2_score as sk_r2, roc_auc_score
+
+    from iggcn_tpu.train import metrics as M
+
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 2, size=200)
+    scores = np.round(rng.random(200), 2)   # rounding forces tied scores
+    np.testing.assert_allclose(M.roc_auc_binary(y, scores),
+                               roc_auc_score(y, scores), rtol=1e-12)
+
+    pred = rng.integers(0, 2, size=200)
+    np.testing.assert_allclose(M.f1_weighted(y, pred),
+                               f1_score(y, pred, average="weighted"),
+                               rtol=1e-12)
+    sen, spe = M.sensitivity_specificity(y, pred)
+    tp = ((y == 1) & (pred == 1)).sum()
+    fn = ((y == 1) & (pred == 0)).sum()
+    tn = ((y == 0) & (pred == 0)).sum()
+    fp = ((y == 0) & (pred == 1)).sum()
+    np.testing.assert_allclose(sen, tp / (tp + fn))
+    np.testing.assert_allclose(spe, tn / (tn + fp))
+
+    a = rng.normal(size=50)
+    b = 0.6 * a + rng.normal(size=50)
+    np.testing.assert_allclose(M.pearson_r(a, b), np.corrcoef(a, b)[0, 1],
+                               rtol=1e-10)
+    np.testing.assert_allclose(M.r2_score(a, b), sk_r2(a, b), rtol=1e-10)
+    np.testing.assert_allclose(M.rmse(a, b), np.sqrt(((a - b) ** 2).mean()),
+                               rtol=1e-12)
