@@ -34,8 +34,9 @@ def fold_mesh(num_folds: int, axis_name: str = "fold",
     """2-D (fold, data) mesh: the fold axis gets the largest divisor of
     `num_folds` that fits the device count (sharding a leading axis requires
     divisibility); devices left over extend a second `data` axis that shards
-    each fold's SAMPLE axis — so k folds on n > k chips use all n
-    (fold-parallel x data-parallel SPMD composition)."""
+    each fold's SAMPLE axis — k folds on n = m*k chips use all n
+    (fold-parallel x data-parallel SPMD composition). When k does not divide
+    n the remainder idles (e.g. 5 folds on 8 chips run on 5)."""
     n_dev = jax.device_count()
     fold_size = 1
     for d in range(min(num_folds, n_dev), 0, -1):
