@@ -14,4 +14,4 @@ Design principles (TPU-first, not a port):
     (ICI collectives inserted by XLA), plus embarrassingly-parallel folds.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
