@@ -113,12 +113,13 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
             out, mut = _model_forward(model, vs, batch, True, rng,
                                       needs_mask, needs_assign, adj_only,
                                       has_stats, takes_weight)
+            # DiffPool always returns (logp, link, ent); aux_loss only
+            # decides whether the aux terms enter the objective (the
+            # reference DISCARDS them, kernel/diff_pool.py:95,168)
+            logp = out[0] if isinstance(out, tuple) else out
+            loss = nll_loss(logp, batch["y"], batch["w"])
             if aux_loss:
-                logp, link, ent = out
-                loss = nll_loss(logp, batch["y"], batch["w"]) + link + ent
-            else:
-                logp = out
-                loss = nll_loss(logp, batch["y"], batch["w"])
+                loss = loss + out[1] + out[2]
             return loss, mut
 
         (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -137,7 +138,7 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
         out, _ = _model_forward(model, variables, batch, False, None,
                                 needs_mask, needs_assign, adj_only, False,
                                 takes_weight)
-        logp = out[0] if aux_loss else out
+        logp = out[0] if isinstance(out, tuple) else out
         loss = nll_loss(logp, batch["y"], batch["w"])
         pred = jnp.argmax(logp, -1)
         correct = jnp.sum((pred == batch["y"]) * batch["w"])

@@ -69,3 +69,15 @@ def test_snp_trainer_requires_binary(tmp_path, monkeypatch, capsys):
         cli.main(["--model", "MLP_Model", "--synthetic", "--disease_id",
                   "3", "--epochs", "1", "--save_appendix", "_b"])
     assert "binary" in capsys.readouterr().err
+
+
+def test_cli_diffpool_tu_end_to_end(tmp_path, monkeypatch):
+    """Regression: DiffPool always returns (logp, link, ent); the CLI route
+    passes aux_loss=False (the reference discards the aux terms), which used
+    to feed the whole tuple into nll_loss and crash."""
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--model", "DiffPool", "--data", "TUTEST",
+              "--tu_root", FIXTURES, "--epochs", "1", "--fold", "3",
+              "--batch_size", "4", "--save_appendix", "_dp"])
+    log = (tmp_path / "results" / "ADNI_dp" / "log.txt").read_text()
+    assert "Result -" in log
