@@ -69,9 +69,11 @@ def run_image_clustering(features: np.ndarray, *, k: int = 2,
     fp = hashlib.sha1(np.ascontiguousarray(features).tobytes()
                       + f"|{perplexity}|{seed}".encode()).hexdigest()
     meta_path = (tsne_cache + ".meta.txt") if tsne_cache is not None else None
-    cache_ok = (tsne_cache is not None and os.path.exists(tsne_cache)
-                and meta_path is not None and os.path.exists(meta_path)
-                and open(meta_path).read().strip() == fp)
+    cache_ok = False
+    if (tsne_cache is not None and os.path.exists(tsne_cache)
+            and meta_path is not None and os.path.exists(meta_path)):
+        with open(meta_path) as fh:
+            cache_ok = fh.read().strip() == fp
     if cache_ok:
         tsne_results = np.load(tsne_cache)
     else:

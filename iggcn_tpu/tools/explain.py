@@ -135,7 +135,13 @@ def export_grad_cam(params: Dict[str, Any], batch_stats: Dict[str, Any],
     from iggcn_tpu.models.sgcn_image import SGCNImage, SGCNOri
 
     if "conv1_w" in params and "fc3" in params:
-        # fixed SGCN_Ori architecture (parity kernel/sgcn.py:11-151)
+        # fixed SGCN_Ori architecture (parity kernel/sgcn.py:11-151);
+        # its dims come from the weights, so explicit SGCNImage-family
+        # overrides cannot apply — reject rather than silently ignore
+        if num_layers is not None or hidden is not None or use_gat:
+            raise ValueError(
+                "checkpoint is an SGCN_Ori (fixed conv1->conv3) model; "
+                "--gradcam_layers/--gradcam_hidden/use_gat do not apply")
         model = SGCNOri(
             h0=x.shape[2], rois=x.shape[1],
             h1=int(np.asarray(params["conv1_w"]).shape[1]),

@@ -98,8 +98,9 @@ MODEL_FAMILIES = {
     "sgcn_image": (_build_sgcn_image, False),
     "sgcn_ori": (_build_sgcn_ori, False),
 }
-assert set(MODEL_FAMILIES) == set(OBJECTIVES), \
-    "MODEL_FAMILIES and steps.OBJECTIVES must list the same model kinds"
+if set(MODEL_FAMILIES) != set(OBJECTIVES):  # not assert: survives python -O
+    raise RuntimeError(
+        "MODEL_FAMILIES and steps.OBJECTIVES must list the same model kinds")
 
 
 def _epoch_fns(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,

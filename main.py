@@ -319,23 +319,37 @@ def main(argv=None):
         logger(log)
         return
 
-    cohort, topo = load_cohort()
-
     # ---- SNP-only trainers ---------------------------------------------
+    # (before load_cohort: when the standalone csv cohort is used, the
+    # expensive imaging .mat load + per-subject diffusion is skipped)
     if args.model in SNP_MODELS:
         from iggcn_tpu.train.snps_trainer import cross_validation_snps
         if dcfg.num_classes != 2:
             parser.error("SNP trainers are binary classifiers (BCE); use "
                          "--disease_id 0|1|2")
         kind = "mlp" if args.model == "MLP_Model" else "go"
-        try:
+        snps_csv = None
+        if not args.synthetic:
             # the reference SNP trainers read their own standalone csv
-            # cohort (snps_graph.py:295-331), not the imaging .mat cohort
-            from iggcn_tpu.data.snps import load_snps_csv
-            snps_x, snps_y = load_snps_csv(args.snps_csv_root,
-                                           args.disease_id)
-            print(f"[data] SNP csv cohort: {snps_x.shape[0]} subjects")
-        except FileNotFoundError:
+            # cohort (snps_graph.py:295-331), not the imaging .mat cohort;
+            # an explicit --synthetic must NOT be overridden by on-disk csvs
+            try:
+                from iggcn_tpu.data.snps import load_snps_csv
+                snps_csv = load_snps_csv(args.snps_csv_root, args.disease_id)
+                print(f"[data] SNP csv cohort: {snps_csv[0].shape[0]} "
+                      "subjects")
+            except FileNotFoundError:
+                pass
+        if snps_csv is not None:
+            snps_x, snps_y = snps_csv
+            if args.synthetic or not os.path.exists(args.json_path):
+                topo = go_graph.synthetic_topology(rng)
+            else:
+                topo = go_graph.parse_go_json(dcfg.json_path,
+                                              dcfg.go_connection_path,
+                                              dcfg.snps_to_gene_path)
+        else:
+            cohort, topo = load_cohort()
             snps_x, snps_y = cohort.snps, cohort.y.astype(np.float32)
         res = cross_validation_snps(
             snps_x, snps_y, topo,
@@ -346,6 +360,15 @@ def main(argv=None):
         print(log)
         logger(log)
         return
+
+    cohort, topo = load_cohort()
+
+    if args.search and FUSION_MODELS[args.model] == "sgcn_ori":
+        # SGCN_Ori is a fixed architecture (conv1->conv3); the (layers,
+        # hidden) grid would train 5 byte-identical models
+        print("[search] SGCN_Ori has a fixed architecture; running one "
+              "configuration instead of the grid")
+        combos = combos[:1]
 
     best = (float("inf"), 0.0, 0.0)
     best_hyper = combos[0]

@@ -81,3 +81,71 @@ def test_cli_diffpool_tu_end_to_end(tmp_path, monkeypatch):
               "--batch_size", "4", "--save_appendix", "_dp"])
     log = (tmp_path / "results" / "ADNI_dp" / "log.txt").read_text()
     assert "Result -" in log
+
+
+def test_cli_snp_synthetic_wins_over_csv(tmp_path, monkeypatch, capsys):
+    """Regression: an explicit --synthetic must not be overridden by real
+    csv cohorts on disk (the csv probe used to run unconditionally)."""
+    base = tmp_path / "data_AH"
+    base.mkdir()
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 3, size=(12, 54)).astype(float)
+    (base / "snp.csv").write_text(
+        ",".join(f"rs{i}" for i in range(54)) + "\n"
+        + "\n".join(",".join(map(str, r)) for r in raw) + "\n")
+    (base / "dia.csv").write_text(
+        "dia\n" + "\n".join(str(v % 2) for v in range(12)) + "\n")
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--model", "MLP_Model", "--synthetic",
+              "--synthetic_subjects", "32", "--disease_id", "0",
+              "--epochs", "1", "--fold", "3", "--batch_size", "8",
+              "--snps_csv_root", str(tmp_path), "--save_appendix", "_sny"])
+    out = capsys.readouterr().out
+    assert "synthetic ADNI-shaped cohort" in out
+    assert "SNP csv cohort" not in out
+
+
+def test_cli_snp_csv_first_skips_imaging_load(tmp_path, monkeypatch, capsys):
+    """Without --synthetic, an on-disk csv cohort is used directly and the
+    imaging .mat load / synthetic fallback never runs."""
+    base = tmp_path / "data_AH"
+    base.mkdir()
+    rng = np.random.default_rng(1)
+    raw = rng.integers(0, 3, size=(16, 54)).astype(float)
+    (base / "snp.csv").write_text(
+        ",".join(f"rs{i}" for i in range(54)) + "\n"
+        + "\n".join(",".join(map(str, r)) for r in raw) + "\n")
+    (base / "dia.csv").write_text(
+        "dia\n" + "\n".join(str(v % 2) for v in range(16)) + "\n")
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--model", "MLP_Model", "--disease_id", "0", "--epochs", "1",
+              "--fold", "3", "--batch_size", "8",
+              "--snps_csv_root", str(tmp_path), "--save_appendix", "_scv"])
+    out = capsys.readouterr().out
+    assert "SNP csv cohort: 16 subjects" in out
+    assert "synthetic ADNI-shaped cohort" not in out
+
+
+def test_cli_ori_search_runs_single_combo(tmp_path, monkeypatch, capsys):
+    """--search with the fixed-architecture SGCN_Ori short-circuits to one
+    configuration instead of training 5 identical models."""
+    import iggcn_tpu.train.cv as cvmod
+
+    calls = []
+    real_result = cvmod.CVResult(
+        mean_test_loss=1.0, best_acc=0.5, best_acc_std=0.0,
+        score_result=np.zeros((3, 1, 5)), durations=[0.0],
+        throughput_graphs_per_sec=1.0, regression_summary={})
+
+    def fake_cv(cohort, topo, mcfg, tcfg, **kw):
+        calls.append((mcfg.num_layers, mcfg.hidden))
+        return real_result
+
+    monkeypatch.setattr(cvmod, "cross_validation", fake_cv)
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--model", "SGCN_Ori", "--synthetic",
+              "--synthetic_subjects", "24", "--epochs", "1", "--fold", "3",
+              "--search", "--save_appendix", "_oris"])
+    assert len(calls) == 1
+    assert "[search] SGCN_Ori has a fixed architecture" in \
+        capsys.readouterr().out
