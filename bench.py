@@ -183,6 +183,21 @@ def bench_torch(topo, cohort, budget_s=30.0, batch=BATCH):
     return done / dt
 
 
+def _canary_roundtrip_ms():
+    """One tiny compiled dispatch + host fetch: measures the tunnel/device
+    round-trip so the JSON records whether the window was contended (the
+    time-shared chip has measured 10x+ swings between windows)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((256, 256))
+    _ = float(f(x))                       # compile + warm
+    t0 = time.perf_counter()
+    _ = float(f(x))
+    return round((time.perf_counter() - t0) * 1e3, 1)
+
+
 def main():
     from iggcn_tpu.utils.cache import enable_compilation_cache
 
@@ -219,6 +234,7 @@ def main():
         "vs_baseline": round(gps / torch_gps, 3),
         "batch": best_batch,
         "per_batch": per_batch,
+        "canary_roundtrip_ms": _canary_roundtrip_ms(),
         **per_batch_extras[best_batch],
     }
     print(json.dumps(result))
