@@ -183,10 +183,12 @@ def bench_torch(topo, cohort, budget_s=30.0, batch=BATCH):
     return done / dt
 
 
-def _canary_roundtrip_ms():
-    """One tiny compiled dispatch + host fetch: measures the tunnel/device
-    round-trip so the JSON records whether the window was contended (the
-    time-shared chip has measured 10x+ swings between windows)."""
+def _canary():
+    """Two contention probes recorded alongside the result (the time-shared
+    chip swings 10x+ between windows): the tunnel round-trip of a tiny
+    dispatch, and the wall time of a fixed compute-bound program (200
+    chained 1024x1024 matmuls ~ 430 GFLOP) — RTT alone misses device
+    time-sharing, which only stretches long programs."""
     import jax
     import jax.numpy as jnp
 
@@ -195,7 +197,18 @@ def _canary_roundtrip_ms():
     _ = float(f(x))                       # compile + warm
     t0 = time.perf_counter()
     _ = float(f(x))
-    return round((time.perf_counter() - t0) * 1e3, 1)
+    rtt_ms = (time.perf_counter() - t0) * 1e3
+
+    def chain(y):
+        return jax.lax.fori_loop(0, 200, lambda _, a: a @ a / 1024.0, y)
+
+    g = jax.jit(chain)
+    y = jnp.ones((1024, 1024), jnp.bfloat16)
+    _ = float(g(y).sum())                 # compile + warm
+    t0 = time.perf_counter()
+    _ = float(g(y).sum())
+    compute_ms = (time.perf_counter() - t0) * 1e3
+    return round(rtt_ms, 1), round(compute_ms, 1)
 
 
 def main():
@@ -234,7 +247,7 @@ def main():
         "vs_baseline": round(gps / torch_gps, 3),
         "batch": best_batch,
         "per_batch": per_batch,
-        "canary_roundtrip_ms": _canary_roundtrip_ms(),
+        **dict(zip(("canary_roundtrip_ms", "canary_compute_ms"), _canary())),
         **per_batch_extras[best_batch],
     }
     print(json.dumps(result))
