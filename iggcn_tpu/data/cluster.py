@@ -90,6 +90,46 @@ def run_image_clustering(features: np.ndarray, *, k: int = 2,
     return tsne_results, km.predict(tsne_results).astype(np.int64)
 
 
+DIAGNOSIS_NAMES = ("HC", "SMC", "EMCI", "LMCI", "AD")
+
+
+def plot_tsne(tsne_results: np.ndarray, labels: np.ndarray,
+              path: Optional[str] = None, *,
+              label_names: Optional[Sequence[str]] = None,
+              title: str = ""):
+    """Scatter of the 2-D t-SNE embedding colored by label (parity with the
+    reference's seaborn scatterplots of diagnosis / cluster assignments,
+    `util/image_cluster.py:198-258`). `label_names` maps integer labels to
+    legend names (e.g. `DIAGNOSIS_NAMES` for the 5-way raw labels).
+    Gated import: matplotlib is optional on a TPU host image."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError as e:  # pragma: no cover - optional dep
+        raise RuntimeError("plot_tsne requires matplotlib") from e
+    labels = np.asarray(labels).reshape(-1)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    for lab in np.unique(labels):
+        sel = labels == lab
+        name = (label_names[int(lab)] if label_names is not None
+                else str(int(lab)))
+        ax.scatter(tsne_results[sel, 0], tsne_results[sel, 1], s=14,
+                   alpha=0.7, label=name)
+    ax.set_xlabel("Dimension1")
+    ax.set_ylabel("Dimension2")
+    if title:
+        ax.set_title(title)
+    ax.legend()
+    for side in ("right", "top"):
+        ax.spines[side].set_color("none")
+    if path is not None:
+        fig.savefig(path, dpi=200, bbox_inches="tight")
+        plt.close(fig)
+        return None
+    return fig
+
+
 def prepare_cluster_artifacts(img_normalized: np.ndarray, out_dir: str, *,
                               k: int = 2, mode: str = "multimodal",
                               perplexity: float = 40.0,

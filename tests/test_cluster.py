@@ -67,3 +67,22 @@ def test_tsne_cache_invalidates_on_new_features(tmp_path):
     t2, _ = run_image_clustering(f2, k=2, seed=1000, tsne_cache=cache)
     assert not np.allclose(t1, t2)
     np.testing.assert_array_equal(np.load(cache), t2)
+
+
+def test_plot_tsne(tmp_path):
+    import pytest
+
+    pytest.importorskip("matplotlib")
+    from iggcn_tpu.data.cluster import DIAGNOSIS_NAMES, plot_tsne
+
+    rng = np.random.default_rng(3)
+    tsne = rng.normal(size=(30, 2))
+    labels = rng.integers(0, 5, size=30)
+    out = tmp_path / "tsne.png"
+    plot_tsne(tsne, labels, str(out), label_names=DIAGNOSIS_NAMES,
+              title="diagnosis")
+    assert out.exists() and out.stat().st_size > 0
+    clusters = rng.integers(0, 2, size=30)
+    out2 = tmp_path / "clusters.png"
+    plot_tsne(tsne, clusters, str(out2))
+    assert out2.exists()
