@@ -216,6 +216,7 @@ def main():
 
     enable_compilation_cache()
     topo, cohort = build_data()
+    canary_pre = _canary()   # attest the window BEFORE the timed sweep too
     # sweep the batch size (training throughput is batch-tunable; the GO
     # branch's edge-list attention scales ~linearly past batch 64) and
     # report the best sustained rate; per-batch results go to stderr
@@ -247,7 +248,9 @@ def main():
         "vs_baseline": round(gps / torch_gps, 3),
         "batch": best_batch,
         "per_batch": per_batch,
-        **dict(zip(("canary_roundtrip_ms", "canary_compute_ms"), _canary())),
+        # [pre, post] pairs bound the whole timed window
+        **dict(zip(("canary_roundtrip_ms", "canary_compute_ms"),
+                   map(list, zip(canary_pre, _canary())))),
         **per_batch_extras[best_batch],
     }
     print(json.dumps(result))

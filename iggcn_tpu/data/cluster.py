@@ -104,11 +104,18 @@ def plot_tsne(tsne_results: np.ndarray, labels: np.ndarray,
     Gated import: matplotlib is optional on a TPU host image."""
     try:
         import matplotlib
-        matplotlib.use("Agg")
+        if path is not None:
+            # only the save path forces the headless backend; an
+            # interactive caller keeps whatever backend is active
+            matplotlib.use("Agg")
         import matplotlib.pyplot as plt
     except ImportError as e:  # pragma: no cover - optional dep
         raise RuntimeError("plot_tsne requires matplotlib") from e
     labels = np.asarray(labels).reshape(-1)
+    if label_names is not None and not (
+            0 <= labels.min() and labels.max() < len(label_names)):
+        raise ValueError(f"labels span [{labels.min()}, {labels.max()}] but "
+                         f"label_names has {len(label_names)} entries")
     fig, ax = plt.subplots(figsize=(6, 5))
     for lab in np.unique(labels):
         sel = labels == lab
@@ -132,8 +139,10 @@ def plot_tsne(tsne_results: np.ndarray, labels: np.ndarray,
 
 def prepare_cluster_artifacts(img_normalized: np.ndarray, out_dir: str, *,
                               k: int = 2, mode: str = "multimodal",
-                              perplexity: float = 40.0,
-                              seed: int = 1000) -> np.ndarray:
+                              perplexity: float = 40.0, seed: int = 1000,
+                              plots: bool = False,
+                              diagnosis_labels: Optional[np.ndarray] = None
+                              ) -> np.ndarray:
     """Produce every file the training loader expects under `out_dir`
     (parity with the artifact names of `util/image_cluster.py` consumed at
     `iggcn_tpu/data/adni.py:121-128`). Returns the cluster labels."""
@@ -146,4 +155,14 @@ def prepare_cluster_artifacts(img_normalized: np.ndarray, out_dir: str, *,
         tsne_cache=os.path.join(out_dir, "tsne_results.npy"))
     np.save(os.path.join(out_dir, f"center_{k}", "clusters_pred_label.npy"),
             labels)
+    if plots:
+        # the reference's inspection scatterplots
+        # (util/image_cluster.py:198-258); requires matplotlib
+        plot_tsne(tsne_results, labels,
+                  os.path.join(out_dir, "tsne_clusters.png"),
+                  title="KMeans clusters")
+        if diagnosis_labels is not None:
+            plot_tsne(tsne_results, diagnosis_labels,
+                      os.path.join(out_dir, "tsne_diagnosis.png"),
+                      label_names=DIAGNOSIS_NAMES, title="diagnosis")
     return labels

@@ -342,12 +342,20 @@ def main(argv=None):
                 pass
         if snps_csv is not None:
             snps_x, snps_y = snps_csv
-            if args.synthetic or not os.path.exists(args.json_path):
-                topo = go_graph.synthetic_topology(rng)
+            go_files = (dcfg.json_path, dcfg.go_connection_path,
+                        dcfg.snps_to_gene_path)
+            if all(os.path.exists(p) for p in go_files):
+                topo = go_graph.parse_go_json(*go_files)
             else:
-                topo = go_graph.parse_go_json(dcfg.json_path,
-                                              dcfg.go_connection_path,
-                                              dcfg.snps_to_gene_path)
+                # parse_go_json needs all three source files
+                print("[data] GO source files missing "
+                      f"({[p for p in go_files if not os.path.exists(p)]}); "
+                      "using a synthetic GO topology")
+                topo = go_graph.synthetic_topology(rng)
+            if kind == "go" and snps_x.shape[1] != topo.go_snps.shape[1]:
+                parser.error(
+                    f"csv cohort has {snps_x.shape[1]} SNPs but the GO "
+                    f"topology expects {topo.go_snps.shape[1]}")
         else:
             cohort, topo = load_cohort()
             snps_x, snps_y = cohort.snps, cohort.y.astype(np.float32)

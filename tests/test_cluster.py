@@ -40,8 +40,10 @@ def test_clustering_recovers_groups():
 def test_artifact_files(tmp_path):
     rng = np.random.default_rng(1)
     img = _img(rng, s=24)
+    diag = np.random.default_rng(9).integers(0, 5, size=24)
     labels = prepare_cluster_artifacts(img, str(tmp_path), k=2,
-                                       mode="multimodal")
+                                       mode="multimodal", plots=True,
+                                       diagnosis_labels=diag)
     assert (tmp_path / "multimodal_for_similarity.npy").exists()
     assert (tmp_path / "tsne_results.npy").exists()
     assert (tmp_path / "center_2" / "clusters_pred_label.npy").exists()
@@ -49,6 +51,8 @@ def test_artifact_files(tmp_path):
     np.testing.assert_array_equal(saved, labels)
     wss = calculate_wss(np.load(tmp_path / "tsne_results.npy"), kmax=3)
     assert len(wss) == 3 and wss[0] >= wss[1] >= wss[2]
+    assert (tmp_path / "tsne_clusters.png").exists()
+    assert (tmp_path / "tsne_diagnosis.png").exists()
 
 
 def test_tsne_cache_invalidates_on_new_features(tmp_path):
@@ -86,3 +90,18 @@ def test_plot_tsne(tmp_path):
     out2 = tmp_path / "clusters.png"
     plot_tsne(tsne, clusters, str(out2))
     assert out2.exists()
+
+
+def test_plot_tsne_rejects_out_of_range_labels(tmp_path):
+    import pytest
+
+    pytest.importorskip("matplotlib")
+    from iggcn_tpu.data.cluster import DIAGNOSIS_NAMES, plot_tsne
+
+    tsne = np.zeros((4, 2))
+    with pytest.raises(ValueError, match="label_names"):
+        plot_tsne(tsne, np.array([0, 1, 2, 7]), str(tmp_path / "x.png"),
+                  label_names=DIAGNOSIS_NAMES)
+    with pytest.raises(ValueError, match="label_names"):
+        plot_tsne(tsne, np.array([-1, 0, 1, 2]), str(tmp_path / "y.png"),
+                  label_names=DIAGNOSIS_NAMES)
