@@ -7,7 +7,7 @@ keeping CLI-flag parity in `main.py`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

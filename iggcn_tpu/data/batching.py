@@ -8,7 +8,6 @@ batch is reproduced exactly through the weight mask.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Optional
 
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ chosen index) become the regression targets.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

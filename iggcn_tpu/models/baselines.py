@@ -13,7 +13,6 @@ module globals `hidden`/`num_layers` — rebuilt here as constructor args;
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ node count, where the reference's fill is an arbitrary sentinel anyway.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

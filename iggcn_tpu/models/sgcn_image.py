@@ -17,7 +17,7 @@ L1 term by N, not N*D, and has no SNP term — `kernel/sgcn.py:88-109`).
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

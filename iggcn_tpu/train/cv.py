@@ -20,8 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,8 +39,8 @@ from iggcn_tpu.train.checkpoint import save_checkpoint
 from iggcn_tpu.train.fold_parallel import (extend_perms, index_tree,
                                            pad_fold_data, run_folds_parallel)
 from iggcn_tpu.train.fold_scan import make_epoch_fns, make_fold_runner
-from iggcn_tpu.train.steps import (OBJECTIVES, TrainState, make_eval_step,
-                                   make_optimizer, make_train_step)
+from iggcn_tpu.train.steps import (OBJECTIVES, TrainState,
+                                   make_optimizer)
 
 
 @dataclasses.dataclass

@@ -14,7 +14,7 @@ identical to the last improvement's).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ objective — NOT reference behavior (the reference discards them,
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from iggcn_tpu.config import LossWeights, SparsityWeights
+from iggcn_tpu.config import SparsityWeights
 from iggcn_tpu.ops.masking import edge_probability_dense
 
 

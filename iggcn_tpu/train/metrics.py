@@ -2,7 +2,7 @@
 arrays; cf. `kernel/train_eval_sgcn_img_snps.py:602-670`)."""
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

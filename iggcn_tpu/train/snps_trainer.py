@@ -11,7 +11,6 @@ imbalance-weighted resampling of the train split each epoch.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

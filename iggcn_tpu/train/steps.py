@@ -16,7 +16,6 @@ Re-design of the reference hot loop (`train` / `eval_loss` / `eval_scores`,
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

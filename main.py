@@ -6,7 +6,6 @@ directory is absent (pass --synthetic to force it).
 """
 import argparse
 import dataclasses
-import json
 import os
 import sys
 import time

@@ -5,7 +5,6 @@ import glob
 import os
 
 import numpy as np
-import pytest
 
 from iggcn_tpu.config import LossWeights, ModelConfig, TrainConfig
 from iggcn_tpu.train.cv import cross_validation

@@ -1,5 +1,4 @@
 """Offline clustering pipeline (t-SNE + KMeans) and artifact layout."""
-import os
 
 import numpy as np
 

@@ -4,7 +4,6 @@ math — modules previously covered only through CV integration tests:
 util/tool.py:22-111), `data/batching.py` (replaces batch.py/dataloader.py),
 `ops/masking.py` (parity kernel/sgcn_img_snp.py:133-151), and
 `utils/visualize.py` (parity util/GraphVisualization.py)."""
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

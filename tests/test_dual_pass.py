@@ -1,5 +1,4 @@
 """Vmapped dual-pass fused objective == sequential two-apply objective."""
-import dataclasses
 
 import jax
 import jax.numpy as jnp

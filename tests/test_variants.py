@@ -3,7 +3,6 @@ forward shapes + one objective/grad step each."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from iggcn_tpu.config import ModelConfig, TrainConfig
 from iggcn_tpu.models.clusterlabel import ClusterLabelSGCN
