@@ -1,0 +1,21 @@
+"""Unit coverage for bench.py's host-side pieces (the full benchmark runs
+on the TPU at round end; these pin the parts that must not crash there)."""
+import numpy as np
+
+
+def test_canary_runs_and_is_positive():
+    from bench import _canary
+
+    rtt_ms, compute_ms = _canary()
+    assert rtt_ms > 0 and compute_ms > 0
+
+
+def test_build_data_shapes():
+    from bench import SUBJECTS, build_data
+
+    topo, cohort = build_data()
+    assert len(cohort) == SUBJECTS
+    assert cohort.x.shape == (SUBJECTS, 90, 3)
+    assert topo.go_snps.shape[1] == 54
+    # real analysis scale, not the unit-test fixture (SURVEY §intro)
+    assert topo.n >= 400
