@@ -102,17 +102,41 @@ def bench_jax(topo, cohort, batch=BATCH, **tcfg_overrides):
     gps = EPOCHS_TIMED * n / best_dt
     # step time + MFU estimate (weak spot flagged in round 1: the JSON
     # carried no step-time/MFU budget). flops from XLA's own cost analysis
-    # of the compiled 50-epoch program; v5e bf16 peak ~197 TFLOP/s.
+    # of the compiled 50-epoch program. The peak is looked up per device
+    # kind and the key names the assumed dtype peak explicitly — the bench
+    # math is fp32 (exact oracle parity, BASELINE.md "measured negatives"),
+    # so a bf16-peak MFU is a deliberate lower bound, not an oversight.
     extras = {"step_time_us": round(best_dt / (EPOCHS_TIMED * steps) * 1e6, 1)}
     try:
         cost = run_epochs.lower(state, data, perms, erng).compile(
         ).cost_analysis()
         flops = (cost or {}).get("flops", 0.0)
         if flops:
-            extras["mfu_pct"] = round(100.0 * flops / best_dt / 197e12, 2)
+            kind = jax.devices()[0].device_kind
+            peak = _peak_tflops(kind)
+            extras["mfu_pct_vs_bf16_peak"] = round(
+                100.0 * flops / best_dt / (peak * 1e12), 2)
+            extras["peak_tflops_assumed"] = peak
+            extras["device_kind"] = kind
     except Exception:  # pragma: no cover - cost analysis is best-effort
         pass
     return gps, final_loss / n, extras
+
+
+def _peak_tflops(device_kind: str) -> float:
+    """Published bf16 peak TFLOP/s per chip by device kind; falls back to
+    v5e's 197 for unknown kinds (the bench's historical assumption)."""
+    kind = device_kind.lower()
+    table = {
+        "v4": 275.0,
+        "v5e": 197.0, "v5 lite": 197.0, "v5litepod": 197.0,
+        "v5p": 459.0,
+        "v6e": 918.0, "trillium": 918.0,
+    }
+    for name, peak in table.items():
+        if name in kind:
+            return peak
+    return 197.0
 
 
 def bench_torch(topo, cohort, budget_s=30.0, batch=BATCH):

@@ -65,7 +65,10 @@ def run_image_clustering(features: np.ndarray, *, k: int = 2,
 
     # the cache is only valid for THIS feature matrix + parameters; a
     # path-only check would silently reuse an embedding of different data
-    # (e.g. after switching mode='multimodal' -> 'pet')
+    # (e.g. after switching mode='multimodal' -> 'pet'). The small-cohort
+    # clamp is applied BEFORE fingerprinting so requests that clamp to the
+    # same effective perplexity share a cache entry.
+    perplexity = min(perplexity, max(2.0, features.shape[0] / 4))
     fp = hashlib.sha1(np.ascontiguousarray(features).tobytes()
                       + f"|{perplexity}|{seed}".encode()).hexdigest()
     meta_path = (tsne_cache + ".meta.txt") if tsne_cache is not None else None
@@ -77,7 +80,6 @@ def run_image_clustering(features: np.ndarray, *, k: int = 2,
     if cache_ok:
         tsne_results = np.load(tsne_cache)
     else:
-        perplexity = min(perplexity, max(2.0, features.shape[0] / 4))
         tsne = TSNE(n_components=2, perplexity=perplexity, init="pca",
                     learning_rate="auto", method="exact", random_state=seed)
         tsne_results = tsne.fit_transform(features)

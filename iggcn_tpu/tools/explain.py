@@ -96,6 +96,16 @@ def grad_cam(model, variables, x, adj, *, class_index: Optional[int] = None,
         raise ValueError(f"class_index {class_index} out of range for a "
                          f"{n_classes}-class model")
 
+    # the jitted program is cached per (model config, flags): a fresh
+    # closure per call would recompile the full trunk+head+grad program
+    # on every invocation even at identical shapes (advisor r2)
+    cache_key = (cls, _model_config_key(model), pooled, is_explain,
+                 class_index)
+    if cache_key in _GRADCAM_CACHE:
+        return np.asarray(
+            _GRADCAM_CACHE[cache_key](variables, jnp.asarray(x),
+                                      jnp.asarray(adj)), np.float32)
+
     # one jitted program: eager ops are pathologically slow on a remote
     # backend (each op is a round-trip over the axon tunnel)
     @jax.jit
@@ -118,8 +128,27 @@ def grad_cam(model, variables, x, adj, *, class_index: Optional[int] = None,
             return jax.nn.relu(jnp.sum(alpha * acts, axis=-1))  # (B, N)
         return jax.nn.relu(jnp.sum(grads * acts, axis=-1))
 
+    _GRADCAM_CACHE[cache_key] = compute
     cam = compute(variables, jnp.asarray(x), jnp.asarray(adj))
     return np.asarray(cam, np.float32)
+
+
+# jitted grad-CAM programs keyed on (model class, config fields, pooled,
+# is_explain, class_index); see grad_cam
+_GRADCAM_CACHE: Dict[tuple, Any] = {}
+
+
+def _model_config_key(model) -> tuple:
+    """Hashable key of a flax module's declared (hyperparameter) fields —
+    the harness-managed `parent`/`name` fields are excluded."""
+    import dataclasses
+
+    return tuple(
+        (f.name, getattr(model, f.name))
+        for f in dataclasses.fields(model)
+        if f.name not in ("parent", "name")
+        and isinstance(getattr(model, f.name, None),
+                       (int, float, bool, str, type(None), tuple)))
 
 
 def export_grad_cam(params: Dict[str, Any], batch_stats: Dict[str, Any],

@@ -23,7 +23,6 @@ from iggcn_tpu.data.sampler import (imbalanced_sample_indices,
                                     pad_epoch_indices)
 from iggcn_tpu.data.splits import k_fold
 from iggcn_tpu.data.tu import GraphDataset
-from iggcn_tpu.train import metrics
 from iggcn_tpu.train.losses import nll_loss
 from iggcn_tpu.train.steps import steplr_host
 

@@ -22,7 +22,6 @@ from iggcn_tpu.data.sampler import (imbalanced_sample_indices,
                                     pad_epoch_indices)
 from iggcn_tpu.data.splits import k_fold
 from iggcn_tpu.models.go_network import GeneOntologyNetwork
-from iggcn_tpu.train import metrics
 from iggcn_tpu.train.steps import steplr_host
 
 

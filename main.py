@@ -49,7 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=False)
     p.add_argument("--rbf_gamma", type=float, default=0.01)
     p.add_argument("--clinical_score_index", type=int, default=-1)
-    p.add_argument("--num_regr", type=int, default=3)
+    p.add_argument("--num_regr", type=int, default=None,
+                   help="number of clinical-score regression targets "
+                        "(default 3; must be 1 when --clinical_score_index "
+                        "selects a single score)")
     p.add_argument("--model4eachregr", action="store_true", default=False)
     p.add_argument("--isPermutTest", action="store_true", default=False)
     p.add_argument("--isMultiFusion", action="store_true", default=False)
@@ -198,11 +201,15 @@ def main(argv=None):
     if args.clinical_score_index != -1:
         # a single selected clinical score means ONE regression target; a
         # 3-wide head against a (B, 1) target would broadcast silently in
-        # the MSE and leave two heads unevaluated
-        if args.num_regr not in (1, 3):
+        # the MSE and leave two heads unevaluated. Only an explicit 1 or an
+        # unset default is accepted — an explicit 3 is just as wrong as 2
+        # and is not silently overridden.
+        if args.num_regr not in (None, 1):
             parser.error("--clinical_score_index selects a single score; "
-                         "--num_regr must be 1 (or left at the default)")
+                         "--num_regr must be 1 (or left unset)")
         args.num_regr = 1
+    elif args.num_regr is None:
+        args.num_regr = 3
 
     from iggcn_tpu.config import DataConfig, LossWeights, ModelConfig, TrainConfig
     from iggcn_tpu.data import adni, go_graph

@@ -1,6 +1,5 @@
 """Unit coverage for bench.py's host-side pieces (the full benchmark runs
 on the TPU at round end; these pin the parts that must not crash there)."""
-import numpy as np
 
 
 def test_canary_runs_and_is_positive():

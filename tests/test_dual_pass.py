@@ -1,7 +1,6 @@
 """Vmapped dual-pass fused objective == sequential two-apply objective."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from iggcn_tpu.config import ModelConfig, TrainConfig

@@ -1,7 +1,6 @@
 """Multi-chip data parallelism on the 8-virtual-device CPU mesh: the DP
 train step must be numerically equivalent to the single-device step."""
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from iggcn_tpu.config import ModelConfig, TrainConfig
