@@ -93,7 +93,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr_decay_step_size", type=int, default=50)
     p.add_argument("--fold", type=int, default=5)
     p.add_argument("--seed", type=int, default=1000)
-    p.add_argument("--search", action="store_true", default=False)
+    # reference parity: --search defaults to TRUE (reference main.py:103 is
+    # store_true with default=True — an un-disablable always-search quirk);
+    # BooleanOptionalAction makes --no-search reachable, so a bare reference
+    # command line reproduces the reference's five-config sweep while a
+    # single configuration stays one flag away.
+    p.add_argument("--search", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="sweep the reference's (layers, hiddens, h) triples "
+                        "(main.py:146-155); --no-search runs the single "
+                        "(--layers, --hiddens, --h) configuration")
     p.add_argument("--save_appendix", default="")
     p.add_argument("--synthetic", action="store_true", default=False,
                    help="use the synthetic ADNI-shaped cohort")
@@ -267,12 +276,18 @@ def main(argv=None):
         return cohort, topo
 
     if args.search:
+        # the reference zips (layers, hiddens, hs) TRIPLES (main.py:146-155);
+        # h feeds the Nested* subgraph pre-transform and the result filenames.
+        # (Its h=None product branch is unreachable from the CLI: --h is
+        # type=int with default 2, so None can never be passed.)
         if args.isMultiFusion:
-            combos = list(zip([3, 2, 4, 2, 3], [2, 3, 3, 5, 10]))
+            combos = list(zip([3, 2, 4, 2, 3], [2, 3, 3, 5, 10],
+                              [3, 2, 4, 2, 4]))
         else:
-            combos = list(zip([2, 3, 2, 3, 4], [16, 16, 10, 10, 5]))
+            combos = list(zip([2, 3, 2, 3, 4], [16, 16, 10, 10, 5],
+                              [2, 3, 4, 4, 2]))
     else:
-        combos = [(args.layers, args.hiddens)]
+        combos = [(args.layers, args.hiddens, args.h)]
 
     # ---- baseline / pooling / nested zoo (generic trainer) --------------
     if args.model in ZOO_MODELS:
@@ -293,24 +308,36 @@ def main(argv=None):
                 print(f"[data] no raw {args.data} files under "
                       f"{args.tu_root}; using a synthetic TU benchmark")
                 dataset = tu_mod.synthetic_tu_dataset(rng)
-        if args.model.startswith("Nested"):
-            from iggcn_tpu.data.nested import create_nested_dataset
-            dataset = create_nested_dataset(
-                dataset, h=args.h, node_label=args.node_label,
-                use_rd=args.use_rd,
-                use_return_prob=args.use_rp is not None,
-                return_prob_steps=(args.use_rp if args.use_rp is not None else 16),
-                max_nodes_per_hop=args.max_nodes_per_hop, seed=args.seed)
+        nested_cache = {}  # h -> pre-transformed dataset (hs repeat in the grid)
+
+        def nested_for(h):
+            if h not in nested_cache:
+                from iggcn_tpu.data.nested import create_nested_dataset
+                nested_cache[h] = create_nested_dataset(
+                    dataset, h=h, node_label=args.node_label,
+                    use_rd=args.use_rd,
+                    use_return_prob=args.use_rp is not None,
+                    return_prob_steps=(args.use_rp if args.use_rp is not None
+                                       else 16),
+                    max_nodes_per_hop=args.max_nodes_per_hop, seed=args.seed)
+            return nested_cache[h]
+
         best = (float("inf"), 0.0, 0.0)
         best_hyper = combos[0]
-        for num_layers, hidden in combos:
+        for num_layers, hidden, h in combos:
+            # h parameterizes the Nested* subgraph pre-transform per combo
+            # (reference main.py:181-186 zips it into the grid); non-Nested
+            # zoo models ignore it, as in the reference's get_dataset
+            combo_ds = (nested_for(h) if args.model.startswith("Nested")
+                        else dataset)
             model, cv_kw = _build_zoo_model(args.model, num_layers, hidden,
-                                            dataset)
-            msg = f"Using {num_layers} layers, {hidden} hidden units"
+                                            combo_ds)
+            msg = (f"Using {num_layers} layers, {hidden} hidden units, "
+                   f"h = {h}")
             print(msg)
             logger(msg)
             res = cross_validation_generic(
-                dataset, model, folds=args.fold, epochs=args.epochs,
+                combo_ds, model, folds=args.fold, epochs=args.epochs,
                 batch_size=args.batch_size, lr=args.lr,
                 lr_decay_factor=args.lr_decay_factor,
                 lr_decay_step_size=args.lr_decay_step_size,
@@ -318,9 +345,10 @@ def main(argv=None):
                 no_val=args.no_val, verbose=True, **cv_kw)
             if res.mean_loss < best[0]:
                 best = (res.mean_loss, res.best_acc, res.best_acc_std)
-                best_hyper = (num_layers, hidden)
+                best_hyper = (num_layers, hidden, h)
         log = (f"Result - {best[1]:.3f} +/- {best[2]:.3f}, with "
-               f"{best_hyper[0]} layers and {best_hyper[1]} hidden units")
+               f"{best_hyper[0]} layers and {best_hyper[1]} hidden units "
+               f"and h = {best_hyper[2]}")
         print(log)
         logger(log)
         return
@@ -386,9 +414,9 @@ def main(argv=None):
 
     best = (float("inf"), 0.0, 0.0)
     best_hyper = combos[0]
-    for num_layers, hidden in combos:
+    for num_layers, hidden, h in combos:
         result_file_name = (f"result_sgcn_img_snp_layers{num_layers}"
-                            f"_hidden{hidden}_h{args.h}")
+                            f"_hidden{hidden}_h{h}")
         mcfg = ModelConfig(
             num_layers=num_layers, hidden=hidden,
             rois=270 if args.isMultiFusion else 90,
@@ -415,8 +443,8 @@ def main(argv=None):
             loss=LossWeights(args.lambda_disease, args.lambda_regr,
                              args.lambda_prob, args.lambda_reco,
                              args.lambda_simi, args.lambda_orth))
-        print(f"Using {num_layers} layers, {hidden} hidden units")
-        logger(f"Using {num_layers} layers, {hidden} hidden units")
+        print(f"Using {num_layers} layers, {hidden} hidden units, h = {h}")
+        logger(f"Using {num_layers} layers, {hidden} hidden units, h = {h}")
         model_kind = FUSION_MODELS[args.model]
         if args.model == "SGCN_GAT":
             mcfg = dataclasses.replace(mcfg, use_gat=True)
@@ -444,10 +472,10 @@ def main(argv=None):
         print(f"[throughput] {res.throughput_graphs_per_sec:.1f} graphs/s")
         if res.mean_test_loss < best[0]:
             best = (res.mean_test_loss, res.best_acc, res.best_acc_std)
-            best_hyper = (num_layers, hidden)
+            best_hyper = (num_layers, hidden, h)
 
     log = (f"Result - {best[1]:.3f} +/- {best[2]:.3f}, with {best_hyper[0]} "
-           f"layers and {best_hyper[1]} hidden units")
+           f"layers and {best_hyper[1]} hidden units and h = {best_hyper[2]}")
     print(log)
     logger(log)
 

@@ -46,7 +46,7 @@ def test_zoo_model_factory_covers_all_names():
 def test_cli_zoo_tu_end_to_end(tmp_path, monkeypatch):
     """`--model GIN --data TUTEST` trains from the raw fixture files."""
     monkeypatch.chdir(tmp_path)
-    cli.main(["--model", "GIN", "--data", "TUTEST",
+    cli.main(["--model", "GIN", "--data", "TUTEST", "--no-search",
               "--tu_root", FIXTURES, "--epochs", "1", "--fold", "3",
               "--batch_size", "4", "--save_appendix", "_t"])
     log = (tmp_path / "results" / "ADNI_t" / "log.txt").read_text()
@@ -76,7 +76,7 @@ def test_cli_diffpool_tu_end_to_end(tmp_path, monkeypatch):
     passes aux_loss=False (the reference discards the aux terms), which used
     to feed the whole tuple into nll_loss and crash."""
     monkeypatch.chdir(tmp_path)
-    cli.main(["--model", "DiffPool", "--data", "TUTEST",
+    cli.main(["--model", "DiffPool", "--data", "TUTEST", "--no-search",
               "--tu_root", FIXTURES, "--epochs", "1", "--fold", "3",
               "--batch_size", "4", "--save_appendix", "_dp"])
     log = (tmp_path / "results" / "ADNI_dp" / "log.txt").read_text()
@@ -149,3 +149,45 @@ def test_cli_ori_search_runs_single_combo(tmp_path, monkeypatch, capsys):
     assert len(calls) == 1
     assert "[search] SGCN_Ori has a fixed architecture" in \
         capsys.readouterr().out
+
+
+def test_search_sweeps_reference_triples(tmp_path, monkeypatch):
+    """--search (the DEFAULT, as in reference main.py:103) sweeps the
+    reference's exact (layers, hiddens, h) triples (main.py:146-155), with
+    h threaded into the result filenames; --isMultiFusion switches to the
+    multi-fusion triple set."""
+    import iggcn_tpu.train.cv as cvmod
+
+    result = cvmod.CVResult(
+        mean_test_loss=1.0, best_acc=0.5, best_acc_std=0.0,
+        score_result=np.zeros((3, 1, 5)), durations=[0.0],
+        throughput_graphs_per_sec=1.0, regression_summary={})
+    calls = []
+
+    def fake_cv(cohort, topo, mcfg, tcfg, **kw):
+        calls.append((mcfg.num_layers, mcfg.hidden, kw["result_file_name"]))
+        return result
+
+    monkeypatch.setattr(cvmod, "cross_validation", fake_cv)
+    monkeypatch.chdir(tmp_path)
+    # bare command line (no --search flag): the sweep must run, as upstream
+    cli.main(["--synthetic", "--synthetic_subjects", "24", "--epochs", "1",
+              "--fold", "3", "--save_appendix", "_grid"])
+    assert [(l, hd) for l, hd, _ in calls] == \
+        [(2, 16), (3, 16), (2, 10), (3, 10), (4, 5)]
+    assert [fn.split("_h")[-1] for _, _, fn in calls] == \
+        ["2", "3", "4", "4", "2"]
+
+    calls.clear()
+    cli.main(["--synthetic", "--synthetic_subjects", "24", "--epochs", "1",
+              "--fold", "3", "--isMultiFusion", "--save_appendix", "_gridm"])
+    assert [(l, hd) for l, hd, _ in calls] == \
+        [(3, 2), (2, 3), (4, 3), (2, 5), (3, 10)]
+    assert [fn.split("_h")[-1] for _, _, fn in calls] == \
+        ["3", "2", "4", "2", "4"]
+
+    calls.clear()
+    cli.main(["--synthetic", "--synthetic_subjects", "24", "--epochs", "1",
+              "--fold", "3", "--no-search", "--layers", "7", "--hiddens",
+              "9", "--h", "5", "--save_appendix", "_single"])
+    assert calls == [(7, 9, "result_sgcn_img_snp_layers7_hidden9_h5")]
