@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -287,18 +287,36 @@ def synthetic_cohort(rng: np.random.Generator, *, num_subjects: int = 96,
                      rois: int = 90, feat_dim: int = 3, num_snps: int = 54,
                      num_classes: int = 2, num_regr: int = 3,
                      knn_k: int = 10, top_k: int = 3, sim_dim: int = 8,
-                     diffuse: bool = True) -> AdniCohort:
+                     diffuse: bool = True,
+                     planted_rois: Optional[Sequence[int]] = None,
+                     planted_snps: Optional[Sequence[int]] = None,
+                     planted_strength: float = 1.0) -> AdniCohort:
     """ADNI-shaped synthetic cohort with class-correlated signal.
 
     Mirrors the reference's fake-fixture recipe (`kernel/go_model.py:290-303`)
     extended to the full multimodal record: kNN-style symmetric correlation
     graphs, 3-channel ROI features, 54-dim SNPs in [0, 1], clinical scores,
     demographics with NaN holes (for the imputation path), cluster labels.
+
+    `planted_rois` / `planted_snps` switch to a PLANTED-signal cohort for
+    interpretability-recovery testing: ONLY the listed ROIs / SNPs carry
+    class-discriminative signal (strength `planted_strength` on the class
+    axis), every other feature is pure noise — so a trained model's learned
+    importance probabilities (`prob` / `snps_prob`,
+    `kernel/sgcn_img_snp.py:88-97`) can be checked for recovering exactly
+    these features.
     """
     s = num_subjects
     y = rng.integers(0, num_classes, size=s)
-    # class-dependent feature means so models can actually learn
-    class_mu = rng.normal(0, 0.5, size=(num_classes, rois, feat_dim))
+    # class axis in [-1, 1] for planted-signal construction
+    caxis = (2.0 * np.arange(num_classes) / max(num_classes - 1, 1) - 1.0)
+    if planted_rois is None:
+        # class-dependent feature means so models can actually learn
+        class_mu = rng.normal(0, 0.5, size=(num_classes, rois, feat_dim))
+    else:
+        class_mu = np.zeros((num_classes, rois, feat_dim))
+        class_mu[:, list(planted_rois), :] = (
+            planted_strength * caxis[:, None, None])
     x = class_mu[y] + rng.normal(0, 0.5, size=(s, rois, feat_dim))
     x = x.astype(np.float64)
 
@@ -314,7 +332,12 @@ def synthetic_cohort(rng: np.random.Generator, *, num_subjects: int = 96,
 
     adj = preprocess_diffusion(corr, top_k=top_k) if diffuse else corr
 
-    snps_mu = rng.random((num_classes, num_snps))
+    if planted_snps is None:
+        snps_mu = rng.random((num_classes, num_snps))
+    else:
+        snps_mu = np.full((num_classes, num_snps), 0.5)
+        snps_mu[:, list(planted_snps)] = (
+            0.5 + 0.35 * planted_strength * caxis[:, None])
     snps = np.clip(snps_mu[y] + rng.normal(0, 0.15, (s, num_snps)), 0, 1)
 
     demo = rng.normal(0.5, 0.2, size=(s, 9))

@@ -77,9 +77,11 @@ class BatchNorm1d(nn.Module):
     For 2-D input (B, C): normalize per feature over the batch.
     For 3-D input (B, C, L): normalize per channel C over (B, L).
     `use_running_average=False` (training) updates `batch_stats`.
-    Divergence note: running variance uses the biased estimator (flax
-    convention) whereas torch stores the unbiased one; the normalization
-    itself is identical.
+    Torch semantics throughout (r3): normalization uses the BIASED batch
+    variance, but the running-stat update stores the UNBIASED one
+    (n/(n-1) correction over the reduced element count) — flax's
+    convention of storing the biased estimator made every post-training
+    eval-mode normalization differ from the reference by ~n/(n-1).
     """
 
     momentum: float = BN_MOMENTUM  # torch: new = (1-m)*old + m*batch
@@ -114,14 +116,21 @@ class BatchNorm1d(nn.Module):
             if weight is None:
                 mean = jnp.mean(x, axis=reduce_axes)
                 var = jnp.mean(jnp.square(x), axis=reduce_axes) - jnp.square(mean)
+                n_red = 1.0
+                for a in reduce_axes:
+                    n_red *= x.shape[a]
             else:
                 w = weight.reshape((-1,) + (1,) * (x.ndim - 1))
                 denom = jnp.maximum(jnp.sum(w) * (x.shape[2] if x.ndim == 3 else 1), 1.0)
                 mean = jnp.sum(x * w, axis=reduce_axes) / denom
                 var = jnp.sum(jnp.square(x) * w, axis=reduce_axes) / denom - jnp.square(mean)
+                n_red = denom
             if not self.is_initializing():
+                # torch stores the UNBIASED variance in running_var while
+                # normalizing with the biased one
+                bessel = n_red / jnp.maximum(n_red - 1.0, 1.0)
                 new_mean = (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                new_var = (1 - self.momentum) * ra_var.value + self.momentum * var
+                new_var = (1 - self.momentum) * ra_var.value + self.momentum * (var * bessel)
                 if weight is not None:
                     # an all-padding batch (possible when folds are padded to
                     # a common size for fold-parallel execution) must not

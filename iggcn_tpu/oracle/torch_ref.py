@@ -151,6 +151,11 @@ class TorchFused(nn.Module):
                                               if is_use_prob4regr else 0)
         self.lin1_regr = nn.Linear(regr_in, hidden_linear)
         self.lin2_regr = nn.Linear(hidden_linear, num_regr)
+        # head dropout rates as attributes (reference hardcodes 0.5/0.3,
+        # kernel/sgcn_img_snp.py:289,304) so deterministic trajectory-parity
+        # tests can zero every dropout in both frameworks
+        self.drop_lin = 0.5
+        self.drop_regr = 0.3
 
     @staticmethod
     def gcn_prop(adj):
@@ -196,60 +201,86 @@ class TorchFused(nn.Module):
         out_z = (img_out + out_cross) / 2
         out_lin = torch.cat([out_z, latent], dim=-1)
         linear_outf = F.relu(self.lin1(out_lin))
-        logits = self.lin2(F.dropout(linear_outf, 0.5, self.training))
+        logits = self.lin2(F.dropout(linear_outf, self.drop_lin,
+                                     self.training))
         if self.is_use_prob4regr:
             feat4regr = torch.cat([out_lin, (x * self.prob).reshape(b, -1)], -1)
         else:
             feat4regr = out_lin
         reg = F.relu(self.lin1_regr(feat4regr))
-        reg = self.lin2_regr(F.dropout(reg, 0.3, self.training))
+        reg = self.lin2_regr(F.dropout(reg, self.drop_regr, self.training))
         return (F.log_softmax(logits, dim=-1), snps_hat, out_z, out_lin,
                 linear_outf, reg)
 
 
-def load_go_params(torch_go: TorchGoNetwork, go_params: Dict[str, Any]) -> None:
+def iter_go_param_pairs(torch_go: TorchGoNetwork, go_params: Dict[str, Any]):
+    """Yield (name, torch_param, jax_array_in_torch_layout) pairs — the ONE
+    mapping between the frameworks' GO parameter trees, used both to load
+    weights (JAX -> torch) and to compare them after training steps."""
     g = go_params
+    for c in range(len(torch_go.gene_enc)):
+        yield f"go.gene_enc_{c}", torch_go.gene_enc[c], g[f"gene_enc_{c}"]
+    yield "go.gene_dec", torch_go.gene_dec, g["gene_dec"]
+    for i in range(torch_go.n_l):
+        yield f"go.w_inc_{i}", torch_go.w_inc[i], g[f"w_inc_{i}"]["kernel"]
+        yield (f"go.w_s_loop_{i}", torch_go.w_s_loop[i],
+               g[f"w_s_loop_{i}"]["kernel"])
+        yield (f"go.w_att_s_{i}", torch_go.w_att_s[i],
+               g[f"w_att_s_{i}"]["kernel"])
+        yield f"go.w_att_in_{i}", torch_go.w_att_in[i], g[f"w_att_in_{i}"]
+        yield f"go.g_b_{i}.w", torch_go.g_b[i].weight, g[f"g_b_{i}"]["scale"]
+        yield f"go.g_b_{i}.b", torch_go.g_b[i].bias, g[f"g_b_{i}"]["bias"]
+        yield f"go.w_out_{i}", torch_go.w_out[i], g[f"w_out_{i}"]["kernel"]
+        yield (f"go.w_s_loop_out_{i}", torch_go.w_s_loop_out[i],
+               g[f"w_s_loop_out_{i}"]["kernel"])
+        yield (f"go.g_b_d_{i}.w", torch_go.g_b_d[i].weight,
+               g[f"g_b_d_{i}"]["scale"])
+        yield (f"go.g_b_d_{i}.b", torch_go.g_b_d[i].bias,
+               g[f"g_b_d_{i}"]["bias"])
+    yield ("go.conc_for_attention", torch_go.conc_for_attention,
+           g["conc_for_attention"]["kernel"])
+    yield "go.conc", torch_go.conc, g["conc"]["kernel"]
+    yield "go.conc_d", torch_go.conc_d, g["conc_d"]["kernel"]
+    yield "go.latent1", torch_go.latent1, g["latent1"]["kernel"]
+    yield "go.latent2", torch_go.latent2, g["latent2"]["kernel"]
+    for bn_name in ["bn_atten", "bn_b", "bn_b_d", "bn_latent1", "bn_latent2"]:
+        bn = getattr(torch_go, bn_name)
+        yield f"go.{bn_name}.w", bn.weight, g[bn_name]["scale"]
+        yield f"go.{bn_name}.b", bn.bias, g[bn_name]["bias"]
+
+
+def iter_fused_param_pairs(torch_model: TorchFused, params: Dict[str, Any]):
+    """(name, torch_param, jax_array_in_torch_layout) for the fused model
+    (linear kernels are transposed into torch's (out, in) layout)."""
+    for i in range(torch_model.num_layers):
+        yield f"conv_w_{i}", torch_model.conv_w[i], params[f"conv_w_{i}"]
+        yield f"conv_b_{i}", torch_model.conv_b[i], params[f"conv_b_{i}"]
+    yield "prob", torch_model.prob, params["prob"]
+    yield "prob_bias", torch_model.prob_bias, params["prob_bias"]
+    yield "snps_prob", torch_model.snps_prob, params["snps_prob"]
+    yield ("mha.in_proj_weight", torch_model.mha.in_proj_weight,
+           params["mha_in_proj_weight"])
+    yield ("mha.in_proj_bias", torch_model.mha.in_proj_bias,
+           params["mha_in_proj_bias"])
+    yield ("mha.out_proj.weight", torch_model.mha.out_proj.weight,
+           params["mha_out_proj_weight"])
+    yield ("mha.out_proj.bias", torch_model.mha.out_proj.bias,
+           params["mha_out_proj_bias"])
+    for name in ["lin1", "lin2", "lin1_regr", "lin2_regr"]:
+        lin = getattr(torch_model, name)
+        yield (f"{name}.weight", lin.weight,
+               np.asarray(params[name]["kernel"]).T)
+        yield f"{name}.bias", lin.bias, params[name]["bias"]
+    yield from iter_go_param_pairs(torch_model.go, params["go_network"])
+
+
+def load_go_params(torch_go: TorchGoNetwork, go_params: Dict[str, Any]) -> None:
     with torch.no_grad():
-        for c in range(len(torch_go.gene_enc)):
-            torch_go.gene_enc[c].copy_(_t(g[f"gene_enc_{c}"]))
-        torch_go.gene_dec.copy_(_t(g["gene_dec"]))
-        for i in range(torch_go.n_l):
-            torch_go.w_inc[i].copy_(_t(g[f"w_inc_{i}"]["kernel"]))
-            torch_go.w_s_loop[i].copy_(_t(g[f"w_s_loop_{i}"]["kernel"]))
-            torch_go.w_att_s[i].copy_(_t(g[f"w_att_s_{i}"]["kernel"]))
-            torch_go.w_att_in[i].copy_(_t(g[f"w_att_in_{i}"]))
-            torch_go.g_b[i].weight.copy_(_t(g[f"g_b_{i}"]["scale"]))
-            torch_go.g_b[i].bias.copy_(_t(g[f"g_b_{i}"]["bias"]))
-            torch_go.w_out[i].copy_(_t(g[f"w_out_{i}"]["kernel"]))
-            torch_go.w_s_loop_out[i].copy_(_t(g[f"w_s_loop_out_{i}"]["kernel"]))
-            torch_go.g_b_d[i].weight.copy_(_t(g[f"g_b_d_{i}"]["scale"]))
-            torch_go.g_b_d[i].bias.copy_(_t(g[f"g_b_d_{i}"]["bias"]))
-        torch_go.conc_for_attention.copy_(_t(g["conc_for_attention"]["kernel"]))
-        torch_go.conc.copy_(_t(g["conc"]["kernel"]))
-        torch_go.conc_d.copy_(_t(g["conc_d"]["kernel"]))
-        torch_go.latent1.copy_(_t(g["latent1"]["kernel"]))
-        torch_go.latent2.copy_(_t(g["latent2"]["kernel"]))
-        for bn_name in ["bn_atten", "bn_b", "bn_b_d", "bn_latent1",
-                        "bn_latent2"]:
-            bn = getattr(torch_go, bn_name)
-            bn.weight.copy_(_t(g[bn_name]["scale"]))
-            bn.bias.copy_(_t(g[bn_name]["bias"]))
+        for _, t, a in iter_go_param_pairs(torch_go, go_params):
+            t.copy_(_t(a))
 
 
 def load_fused_params(torch_model: TorchFused, params: Dict[str, Any]) -> None:
     with torch.no_grad():
-        for i in range(torch_model.num_layers):
-            torch_model.conv_w[i].copy_(_t(params[f"conv_w_{i}"]))
-            torch_model.conv_b[i].copy_(_t(params[f"conv_b_{i}"]))
-        torch_model.prob.copy_(_t(params["prob"]))
-        torch_model.prob_bias.copy_(_t(params["prob_bias"]))
-        torch_model.snps_prob.copy_(_t(params["snps_prob"]))
-        torch_model.mha.in_proj_weight.copy_(_t(params["mha_in_proj_weight"]))
-        torch_model.mha.in_proj_bias.copy_(_t(params["mha_in_proj_bias"]))
-        torch_model.mha.out_proj.weight.copy_(_t(params["mha_out_proj_weight"]))
-        torch_model.mha.out_proj.bias.copy_(_t(params["mha_out_proj_bias"]))
-        for name in ["lin1", "lin2", "lin1_regr", "lin2_regr"]:
-            lin = getattr(torch_model, name)
-            lin.weight.copy_(_t(params[name]["kernel"]).t())
-            lin.bias.copy_(_t(params[name]["bias"]))
-    load_go_params(torch_model.go, params["go_network"])
+        for _, t, a in iter_fused_param_pairs(torch_model, params):
+            t.copy_(_t(a))
