@@ -22,6 +22,7 @@ from iggcn_tpu.data.sampler import (imbalanced_sample_indices,
                                     pad_epoch_indices)
 from iggcn_tpu.data.splits import k_fold
 from iggcn_tpu.models.go_network import GeneOntologyNetwork
+from iggcn_tpu.train import metrics
 from iggcn_tpu.train.steps import steplr_host
 
 
@@ -30,6 +31,10 @@ class SnpsCVResult:
     accs: np.ndarray            # (folds, epochs)
     best_acc: float
     mean_loss: float
+    # per-epoch [acc, auc, f1, sen, spe] per fold — the reference's
+    # score_result_epoch surface (train_eval_snps.py:210,242-246)
+    score_result: np.ndarray    # (folds, epochs, 5)
+    best_acc_std: float = 0.0   # std across folds at the best mean epoch
 
 
 def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
@@ -39,10 +44,14 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
                           seed: int = 1000, l_dim: int = 32,
                           n_l: int = 2, f_dim=(5, 5),
                           model_kind: str = "go",
+                          result_path: str = None,
                           verbose: bool = False) -> SnpsCVResult:
     """Binary SNP classification with the bare GO network + its head, or the
     plain MLP baseline (`model_kind='mlp'`, parity
-    `kernel/train_eval_snps_baseline.py:298-324`: BCE only, no recon)."""
+    `kernel/train_eval_snps_baseline.py:298-324`: BCE only, no recon).
+
+    `result_path`: optional npy path for the (folds, epochs, 5) score
+    matrix (parity `train_eval_snps.py:243-246`)."""
     labels = np.asarray(labels, np.float32).reshape(-1)
     use_mlp = model_kind == "mlp"
     if use_mlp:
@@ -114,6 +123,7 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
 
     splits = k_fold(labels.astype(int), folds, seed)
     accs = np.zeros((folds, epochs))
+    score_result = np.zeros((folds, epochs, 5))
     losses = []
     for fold, (train_idx, test_idx, val_idx) in enumerate(splits):
         train_idx = np.concatenate([train_idx, val_idx])
@@ -159,21 +169,34 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
                     jnp.asarray(x_tr[sel]), jnp.asarray(y_tr[sel]),
                     jnp.asarray(w_ep[i * batch_size:(i + 1) * batch_size]),
                     srng, lr_t)
-            correct = 0.0
             tot_loss = 0.0
+            probs = []
             for i in range(len(y_te_p) // batch_size):
                 s = slice(i * batch_size, (i + 1) * batch_size)
-                l, c, _ = eval_batch(params, batch_stats,
+                l, _, p = eval_batch(params, batch_stats,
                                      jnp.asarray(x_te_p[s]),
                                      jnp.asarray(y_te_p[s]),
                                      jnp.asarray(w_te[s]))
-                correct += float(c)
+                probs.append(np.asarray(p))
                 tot_loss += float(l)
-            accs[fold, epoch] = correct / n_te
+            prob = np.concatenate(probs)[:n_te]
+            pred = (prob > 0.5).astype(np.int64)
+            cm = metrics.classification_metrics(y_te.astype(np.int64), pred,
+                                                prob, 2)
+            accs[fold, epoch] = cm["acc"]
+            score_result[fold, epoch] = [cm["acc"], cm["auc"], cm["f1"],
+                                         cm["sen"], cm["spe"]]
             losses.append(tot_loss / n_te)
             if verbose:
-                print(f"fold {fold} epoch {epoch}: acc {accs[fold, epoch]:.3f}")
+                print(f"fold {fold} epoch {epoch}: acc {cm['acc']:.3f}, "
+                      f"auc {cm['auc']:.3f}, f1 {cm['f1']:.3f}, "
+                      f"sen {cm['sen']:.3f}, spe {cm['spe']:.3f}")
 
+    if result_path is not None:
+        np.save(result_path, score_result)
     acc_mean = accs.mean(axis=0)
-    return SnpsCVResult(accs=accs, best_acc=float(acc_mean.max()),
-                        mean_loss=float(np.mean(losses)))
+    argmax = int(acc_mean.argmax())
+    std = float(accs[:, argmax].std(ddof=1)) if folds > 1 else 0.0
+    return SnpsCVResult(accs=accs, best_acc=float(acc_mean[argmax]),
+                        mean_loss=float(np.mean(losses)),
+                        score_result=score_result, best_acc_std=std)

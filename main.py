@@ -397,8 +397,11 @@ def main(argv=None):
             snps_x, snps_y, topo,
             folds=args.fold, epochs=args.epochs,
             batch_size=args.batch_size, lr=args.lr, seed=args.seed,
-            model_kind=kind, verbose=True)
-        log = f"Result - {res.best_acc:.3f} (SNP-only, {args.model})"
+            model_kind=kind,
+            result_path=os.path.join(res_dir, f"result_snps_{kind}.npy"),
+            verbose=True)
+        log = (f"Result - {res.best_acc:.3f} +/- {res.best_acc_std:.3f} "
+               f"(SNP-only, {args.model})")
         print(log)
         logger(log)
         return
