@@ -41,6 +41,7 @@ from iggcn_tpu.train.fold_parallel import (extend_perms, index_tree,
 from iggcn_tpu.train.fold_scan import make_epoch_fns, make_fold_runner
 from iggcn_tpu.train.steps import (OBJECTIVES, TrainState,
                                    make_optimizer)
+from iggcn_tpu.utils.fetch import device_get_tree
 
 
 @dataclasses.dataclass
@@ -157,34 +158,51 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
         in the state so the per-epoch LR decay is exact per fold."""
         rng = jax.random.PRNGKey(tcfg.seed + fold)
         init_rng, rng = jax.random.split(rng)
-        dummy = (jnp.zeros((b, mcfg.rois, mcfg.feat_dim)),
-                 jnp.zeros((b, mcfg.rois, mcfg.rois)))
+        # host zeros: jnp.zeros would be 3 eager device ops per fold, each
+        # a tunnel round trip on a remote backend
+        dummy = (np.zeros((b, mcfg.rois, mcfg.feat_dim), np.float32),
+                 np.zeros((b, mcfg.rois, mcfg.rois), np.float32))
         if takes_snps:
-            dummy = dummy + (jnp.zeros((b, mcfg.num_snps)),)
+            dummy = dummy + (np.zeros((b, mcfg.num_snps), np.float32),)
         variables = jax.jit(model.init)(init_rng, *dummy)
         state = TrainState.create(variables, optimizer, steps_per_epoch)
         return state, rng
 
-    def prep_fold(fold, train_idx, test_idx, val_idx):
-        """Host-side data prep for one fold: leakage-safe imputation
-        (parity util/tool.py:22-111), padded dense arrays, pre-drawn epoch
-        permutations. All numpy — device placement happens at dispatch."""
+    def impute_fold(train_idx, test_idx, val_idx):
+        """Leakage-safe per-fold imputation (parity util/tool.py:22-111);
+        returns (train_idx possibly merged with val, tr/val/te scores)."""
         if not use_val:
             train_idx = np.concatenate([train_idx, val_idx])
         demo = cohort.demographics
         test_demo = (external_test.demographics if external_test is not None
                      else demo[test_idx])
         if use_val:
-            scores = knn_impute_scores(
+            tr_scores, val_scores, te_scores = knn_impute_scores(
                 [demo[train_idx], demo[val_idx], test_demo],
                 cohort.scaler4score, clinical_score_index)
-            tr_scores, val_scores, te_scores = scores
         else:
-            scores = knn_impute_scores(
+            tr_scores, te_scores = knn_impute_scores(
                 [demo[train_idx], test_demo],
                 cohort.scaler4score, clinical_score_index)
-            tr_scores, te_scores = scores
             val_scores = None
+        return train_idx, tr_scores, val_scores, te_scores
+
+    def fold_perms(fold, n_train, total_padded):
+        """Pre-drawn epoch permutations over the fold's own padded size
+        (identity over the pad rows) — one stream per fold, identical
+        between the host and device-assembly paths."""
+        shuffler = np.random.default_rng(tcfg.seed * 1000 + fold)
+        return np.stack([
+            np.concatenate([shuffler.permutation(n_train),
+                            np.arange(n_train, total_padded)])
+            for _ in range(tcfg.epochs)]).astype(np.int32)
+
+    def prep_fold(fold, train_idx, test_idx, val_idx):
+        """Host-side data prep for one fold: leakage-safe imputation
+        (parity util/tool.py:22-111), padded dense arrays, pre-drawn epoch
+        permutations. All numpy — device placement happens at dispatch."""
+        train_idx, tr_scores, val_scores, te_scores = impute_fold(
+            train_idx, test_idx, val_idx)
 
         def fold_arrays(idx, clini):
             arrs = {k: v[idx] for k, v in full.items() if k != "sbj_id"}
@@ -206,12 +224,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                     if use_val else test_data)
 
         n_train = len(train_idx)
-        total_padded = train_data["y"].shape[0]
-        shuffler = np.random.default_rng(tcfg.seed * 1000 + fold)
-        perms = np.stack([
-            np.concatenate([shuffler.permutation(n_train),
-                            np.arange(n_train, total_padded)])
-            for _ in range(tcfg.epochs)]).astype(np.int32)
+        perms = fold_perms(fold, n_train, train_data["y"].shape[0])
 
         def padded_idx(idx, data):
             total = data["y"].shape[0]
@@ -283,28 +296,114 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
 
     if tcfg.fold_parallel and tcfg.use_fold_scan:
         # ---- all folds in ONE sharded device program --------------------
-        prepped = [prep_fold(f, *split) for f, split in enumerate(splits)]
-        # each fold's REAL steps/epoch, before cross-fold equalization —
-        # drives that fold's LR decay inside the vmapped program
-        real_spes = [p["train_data"]["y"].shape[0] // b for p in prepped]
-        # equalize shapes across folds (zero-weight padding)
-        trains = pad_fold_data([p["train_data"] for p in prepped])
-        vals = pad_fold_data([p["val_data"] for p in prepped])
-        tests = pad_fold_data([p["test_data"] for p in prepped])
-        target = trains[0]["y"].shape[0]
-        perms_list = [extend_perms(p["perms"], target) for p in prepped]
-        for p, tr, va, te, pe in zip(prepped, trains, vals, tests,
-                                     perms_list):
-            p["train_data"], p["val_data"], p["test_data"] = tr, va, te
-            p["perms"] = pe
         optimizer = make_optimizer(tcfg)
         fold_runner = make_fold_runner(
             model, mcfg, tcfg, optimizer, objective,
             track_best_on="val" if use_val else "test")
+        if external_test is None and tcfg.device_gather:
+            # Device-side fold assembly (r3): on this host a fresh page
+            # costs ~0.1 s/MB (slow first-touch faults), so materializing
+            # every fold's padded (S, 90, 90) arrays host-side dominated
+            # prep. Instead the cohort is uploaded ONCE and each fold's
+            # rows are gathered/padded ON DEVICE, already laid out with the
+            # (fold, data) mesh sharding; only tiny index/clini/w arrays
+            # are built on host. Padding rows carry row-0 content under
+            # w=0 (same contract as the sequential device_gather path).
+            from iggcn_tpu.train.fold_parallel import (fold_mesh,
+                                                       stacked_data_specs)
+            k = tcfg.folds
+            imputed, n_trains, real_spes, perms_list, prepped = \
+                [], [], [], [], []
+            for f, (train_idx, test_idx, val_idx) in enumerate(splits):
+                tri, tr_s, va_s, te_s = impute_fold(train_idx, test_idx,
+                                                    val_idx)
+                own_total = -(-len(tri) // b) * b
+                imputed.append({"train": (tri, tr_s),
+                                "val": ((val_idx, va_s) if use_val
+                                        else (test_idx, te_s)),
+                                "test": (test_idx, te_s)})
+                n_trains.append(len(tri))
+                real_spes.append(own_total // b)
+                perms_list.append(fold_perms(f, len(tri), own_total))
+            targets = {kind: max(-(-len(d[kind][0]) // b) * b
+                                 for d in imputed)
+                       for kind in ("train", "val", "test")}
+            perms_list = [extend_perms(p, targets["train"])
+                          for p in perms_list]
+
+            def stacked_kind(kind):
+                t = targets[kind]
+                nregr = imputed[0]["train"][1].shape[1]
+                idx = np.zeros((k, t), np.int32)
+                w = np.zeros((k, t), np.float32)
+                clini = np.zeros((k, t, nregr), np.float32)
+                yh = np.zeros((k, t), np.int32)
+                for i, d in enumerate(imputed):
+                    ids, scores = d[kind]
+                    n = len(ids)
+                    idx[i, :n] = ids
+                    w[i, :n] = 1.0
+                    clini[i, :n] = scores
+                    yh[i, :n] = full["y"][ids]
+                return idx, w, clini, yh
+
+            mesh = fold_mesh(k)
+            gkeys = ("x", "adj", "snps", "y", "clust_y", "tsne")
+            full_dev = {kk: jnp.asarray(full[kk]) for kk in gkeys}
+
+            def gather_stacked(fd, idx, clini, w):
+                out = {kk: jnp.take(fd[kk], idx, axis=0) for kk in gkeys}
+                out["clini"] = clini
+                out["w"] = w
+                return out
+
+            stacked_dev, host_shim = {}, {}
+            for kind in ("train", "val", "test"):
+                idx, w, clini, yh = stacked_kind(kind)
+                args = (full_dev, jnp.asarray(idx), jnp.asarray(clini),
+                        jnp.asarray(w))
+                out_spec = stacked_data_specs(
+                    mesh, jax.eval_shape(gather_stacked, *args))
+                stacked_dev[kind] = jax.jit(
+                    gather_stacked, out_shardings=out_spec)(*args)
+                host_shim[kind] = (w, clini, yh)
+            trains, vals, tests = (stacked_dev["train"], stacked_dev["val"],
+                                   stacked_dev["test"])
+            # small host-side views for the metric/bookkeeping loop below
+            # (same keys the host path exposes via the padded dicts)
+            for f in range(k):
+                prepped.append({
+                    kind + "_data": {"w": host_shim[kind][0][f],
+                                     "clini": host_shim[kind][1][f],
+                                     "y": host_shim[kind][2][f]}
+                    for kind in ("train", "val", "test")})
+                prepped[f]["test_subids"] = \
+                    full["sbj_id"][imputed[f]["test"][0]]
+                prepped[f]["n_train"] = n_trains[f]
+                prepped[f]["n_test"] = len(imputed[f]["test"][0])
+                prepped[f]["n_val"] = len(imputed[f]["val"][0])
+                prepped[f]["perms"] = perms_list[f]
+        else:
+            mesh = None
+            prepped = [prep_fold(f, *split) for f, split in enumerate(splits)]
+            # each fold's REAL steps/epoch, before cross-fold equalization —
+            # drives that fold's LR decay inside the vmapped program
+            real_spes = [p["train_data"]["y"].shape[0] // b for p in prepped]
+            # equalize shapes across folds (zero-weight padding)
+            trains = pad_fold_data([p["train_data"] for p in prepped])
+            vals = pad_fold_data([p["val_data"] for p in prepped])
+            tests = pad_fold_data([p["test_data"] for p in prepped])
+            target = trains[0]["y"].shape[0]
+            perms_list = [extend_perms(p["perms"], target) for p in prepped]
+            for p, tr, va, te, pe in zip(prepped, trains, vals, tests,
+                                         perms_list):
+                p["train_data"], p["val_data"], p["test_data"] = tr, va, te
+                p["perms"] = pe
         states, rngs = zip(*(init_state(f, real_spes[f])
                              for f in range(tcfg.folds)))
         *parallel_out, parallel_dt = run_folds_parallel(
-            fold_runner, states, trains, vals, tests, perms_list, rngs)
+            fold_runner, states, trains, vals, tests, perms_list, rngs,
+            mesh=mesh)
         parallel_out = tuple(parallel_out)
 
     for fold, (train_idx, test_idx, val_idx) in enumerate(splits):
@@ -371,7 +470,10 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                 per_epoch, best, state = fold_runner(
                     state, train_dev, val_dev, test_dev,
                     jnp.asarray(p["perms"]), rng)
-                per_epoch = jax.device_get(per_epoch)
+                # overlapped fetch (utils/fetch.py): per_epoch + best are
+                # ~100 leaves; leaf-by-leaf device_get pays a tunnel round
+                # trip per leaf
+                per_epoch, best = device_get_tree((per_epoch, best))
             has_regr = "our_reg" in per_epoch
             for e in range(tcfg.epochs):
                 reg_pred = (per_epoch["our_reg"][e][wmask] if has_regr
@@ -388,12 +490,11 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                 best_test = {k: v[-1] for k, v in per_epoch.items()
                              if k not in ("train_loss_sum", "val_loss_sum",
                                           "test_loss_sum")}
-                best_params = jax.device_get(state.params)
-                best_stats = jax.device_get(state.batch_stats)
+                best_params, best_stats = device_get_tree(
+                    (state.params, state.batch_stats))
             else:
-                best_test = jax.device_get(best["test"])
-                best_params = jax.device_get(best["params"])
-                best_stats = jax.device_get(best["batch_stats"])
+                best_test, best_params, best_stats = device_get_tree(
+                    (best["test"], best["params"], best["batch_stats"]))
             best_bundle = {
                 "hidden": (best_test["out_lin"][wmask]
                            if "out_lin" in best_test else zeros),
@@ -452,8 +553,8 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                     "true_scores": clini_true,
                     "true_labels": y_true,
                     "pred_scores": reg_pred,
-                    "params": jax.device_get(state.params),
-                    "batch_stats": jax.device_get(state.batch_stats),
+                    "params": device_get_tree(state.params),
+                    "batch_stats": device_get_tree(state.batch_stats),
                 }
                 if res_dir is not None and not tcfg.is_permut_test:
                     save_checkpoint(
@@ -473,7 +574,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
         all_score_results.append(score_result_epoch)
 
         if res_dir is not None and "prob" in state.params:
-            pr = jax.device_get(state.params)
+            pr = device_get_tree(state.params)
             artifacts.output_importance(
                 res_dir, result_file_name, fold, np.asarray(pr["prob"]),
                 (np.asarray(pr["snps_prob"]) if "snps_prob" in pr else None),

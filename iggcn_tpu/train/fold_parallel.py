@@ -87,42 +87,62 @@ def index_tree(tree: Any, i: int) -> Any:
     return jax.tree_util.tree_map(lambda x: x[i], tree)
 
 
+def stacked_data_specs(mesh, tree):
+    """NamedShardings for a fold-stacked data tree: leading fold axis over
+    the mesh's fold axis everywhere; each fold's SAMPLE axis additionally
+    sharded over the second (data) mesh axis when divisible — params stay
+    replicated over it and XLA inserts the within-fold gradient
+    all-reduce."""
+    axis = mesh.axis_names[0]
+    data_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+    data_size = mesh.shape[data_axis] if data_axis else 1
+
+    def leaf(x):
+        if (data_size > 1 and x.ndim >= 2
+                and x.shape[1] % data_size == 0):
+            return NamedSharding(mesh, P(axis, data_axis))
+        return NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(leaf, tree)
+
+
 def run_folds_parallel(fold_fn, states, train_datas, val_datas, test_datas,
                        perms_list, rngs, *, mesh=None):
     """Execute `fold_fn` (from `make_fold_runner`) for every fold at once.
 
-    Args are per-fold lists; data dicts must already be shape-equalized
-    (`pad_fold_data`) and perms extended (`extend_perms`). Returns
+    `train_datas`/`val_datas`/`test_datas` are either per-fold LISTS of
+    host dicts (shape-equalized via `pad_fold_data`, perms extended via
+    `extend_perms`) or already-stacked device dicts with a leading fold
+    axis (the device-side fold assembly path in `cv.py`). Returns
     (per_epoch, best, final_states) with a leading fold axis, fetched to
     host.
     """
     k = len(states)
     if mesh is None:
         mesh = fold_mesh(k)
-    stacked = (stack_trees(list(states)),
-               stack_trees([dict(d) for d in train_datas]),
-               stack_trees([dict(d) for d in val_datas]),
-               stack_trees([dict(d) for d in test_datas]),
-               jnp.stack([jnp.asarray(p) for p in perms_list]),
+
+    def stack_data(d):
+        # host dicts stack in numpy (no device dispatch; uploaded at the
+        # main program's dispatch); pre-stacked device dicts pass through
+        return d if isinstance(d, dict) else jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *[dict(f) for f in d])
+
+    # ONE jitted program stacks the per-fold states: an eager
+    # tree_map(jnp.stack) would issue ~230 separate device ops, each a
+    # serialized tunnel round trip (~0.2-1 s EACH over axon)
+    stacked = (jax.jit(stack_trees)(list(states)),
+               stack_data(train_datas),
+               stack_data(val_datas),
+               stack_data(test_datas),
+               jnp.stack([np.asarray(p) for p in perms_list]),
                jnp.stack(list(rngs)))
     axis = mesh.axis_names[0]
     shard = NamedSharding(mesh, P(axis))
-    # second mesh axis (devices beyond the fold count): shard each fold's
-    # sample axis too, when divisible — params stay replicated over it and
-    # XLA inserts the within-fold gradient all-reduce
-    data_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
-    data_size = mesh.shape[data_axis] if data_axis else 1
 
     def spec(tree):
         return jax.tree_util.tree_map(lambda _: shard, tree)
 
     def data_spec(tree):
-        def leaf(x):
-            if (data_size > 1 and x.ndim >= 2
-                    and x.shape[1] % data_size == 0):
-                return NamedSharding(mesh, P(axis, data_axis))
-            return shard
-        return jax.tree_util.tree_map(leaf, tree)
+        return stacked_data_specs(mesh, tree)
 
     in_specs = (spec(stacked[0]), data_spec(stacked[1]),
                 data_spec(stacked[2]), data_spec(stacked[3]),
@@ -136,9 +156,15 @@ def run_folds_parallel(fold_fn, states, train_datas, val_datas, test_datas,
     # (comparable to the sequential path's warm-fold throughput)
     compiled = run.lower(*stacked).compile()
     import time
+
+    from iggcn_tpu.utils.fetch import device_get_tree
     t0 = time.perf_counter()
     per_epoch, best, final_states = compiled(*stacked)
-    out = (jax.device_get(per_epoch), jax.device_get(best),
-           jax.device_get(final_states))
+    # packed fetch: the result tree has ~hundreds of leaves and a
+    # leaf-by-leaf device_get pays one (serialized) tunnel round trip per
+    # leaf. The optimizer state is dropped before fetching — no host-side
+    # consumer exists and it is half the leaves.
+    per_epoch, best, final_states = device_get_tree(
+        (per_epoch, best, final_states._replace(opt_state=())))
     exec_seconds = time.perf_counter() - t0
-    return out + (exec_seconds,)
+    return per_epoch, best, final_states, exec_seconds

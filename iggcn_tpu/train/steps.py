@@ -37,10 +37,14 @@ class TrainState(NamedTuple):
 
     @classmethod
     def create(cls, variables, optimizer, steps_per_epoch: int):
+        # optimizer.init under jit: eager optax init issues one zeros_like
+        # device op PER PARAM LEAF (~140 serialized tunnel round trips on a
+        # remote backend); jitted it is one dispatch, cached per optimizer
+        import numpy as np
         return cls(variables["params"], variables.get("batch_stats", {}),
-                   optimizer.init(variables["params"]),
-                   jnp.zeros((), jnp.int32),
-                   jnp.asarray(steps_per_epoch, jnp.int32))
+                   jax.jit(optimizer.init)(variables["params"]),
+                   np.zeros((), np.int32),
+                   np.asarray(steps_per_epoch, np.int32))
 
 
 Batch = Dict[str, jax.Array]
