@@ -61,8 +61,12 @@ def build_step(batch: int):
 
 
 CATEGORIES = (
+    # async DMA staging: overlapped with compute by XLA's pipeliner; their
+    # summed engine time routinely EXCEEDS the step wall
+    ("async DMA (overlapped)",
+     re.compile(r"(copy|slice|all-gather|all-reduce|collective).*-(start|done)", re.I)),
     ("matmul/conv (MXU)", re.compile(r"dot|conv|einsum|matmul", re.I)),
-    ("fused elementwise/loop", re.compile(r"^(loop_)?fusion|^input_fusion", re.I)),
+    ("fused elementwise/loop", re.compile(r"fusion", re.I)),
     ("reduce", re.compile(r"reduce", re.I)),
     ("copy/layout/transpose", re.compile(r"copy|transpose|bitcast|reshape", re.I)),
     ("rng", re.compile(r"rng|threefry", re.I)),
@@ -70,8 +74,12 @@ CATEGORIES = (
 
 
 def categorize(name: str) -> str:
+    """Categorize by the op-name PREFIX only (the text before ' = '): the
+    full HLO line includes operand/callee text, where e.g. a loop fusion
+    calling %fused_reduce would falsely match 'reduce'."""
+    op = name.split(" = ")[0].lstrip("%")
     for label, pat in CATEGORIES:
-        if pat.search(name):
+        if pat.search(op):
             return label
     return "other"
 
