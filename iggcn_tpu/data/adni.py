@@ -320,17 +320,24 @@ def synthetic_cohort(rng: np.random.Generator, *, num_subjects: int = 96,
     x = class_mu[y] + rng.normal(0, 0.5, size=(s, rois, feat_dim))
     x = x.astype(np.float64)
 
-    # symmetric positive correlation-like graphs with self-degree > 0
+    # symmetric positive correlation-like graphs with self-degree > 0.
+    # Written with in-place ops and np.partition (bit-identical to the
+    # former per-subject sort loop): this host's first-touch page faults
+    # run at ~10 MB/s, so every avoided (S, N, N) float64 temporary saves
+    # real seconds at 874 subjects (BASELINE.md r3 itemization).
     base = rng.normal(size=(s, rois, rois))
-    corr = np.abs(base + np.swapaxes(base, 1, 2)) / 2.0
-    # kNN sparsify symmetric-ish, keep positive, ensure positive row sums.
-    # Vectorized over subjects (np.partition selects each row's k-th
-    # largest, identical values to the former per-subject sort loop —
-    # the 874-subject generation dropped from ~18 s to well under 1 s)
-    thresh = np.partition(corr, rois - knn_k, axis=2)[:, :, rois - knn_k,
-                                                      None]
-    a = np.where(corr >= thresh, corr, 0.0)
-    corr = (a + np.swapaxes(a, 1, 2)) / 2.0 + np.eye(rois) * 0.5
+    corr = base + np.swapaxes(base, 1, 2)
+    del base
+    np.abs(corr, out=corr)
+    corr *= 0.5
+    kth = np.partition(corr, rois - knn_k, axis=2)[:, :, rois - knn_k, None]
+    corr[corr < kth] = 0.0
+    sym = corr + np.swapaxes(corr, 1, 2)
+    del corr
+    sym *= 0.5
+    diag = np.arange(rois)
+    sym[:, diag, diag] += 0.5
+    corr = sym
 
     adj = preprocess_diffusion(corr, top_k=top_k) if diffuse else corr
 

@@ -126,6 +126,19 @@ def run_folds_parallel(fold_fn, states, train_datas, val_datas, test_datas,
         return d if isinstance(d, dict) else jax.tree_util.tree_map(
             lambda *xs: np.stack(xs), *[dict(f) for f in d])
 
+    import os
+    import sys
+    import time as _time
+    _timing = os.environ.get("IGGCN_TIMING") == "1"
+    _marks = [("start", _time.perf_counter())]
+
+    def _mark(label):
+        if _timing:
+            _marks.append((label, _time.perf_counter()))
+            prev = _marks[-2][1]
+            print(f"[fold_parallel] {label}: {_marks[-1][1] - prev:.2f}s",
+                  file=sys.stderr, flush=True)
+
     # ONE jitted program stacks the per-fold states: an eager
     # tree_map(jnp.stack) would issue ~230 separate device ops, each a
     # serialized tunnel round trip (~0.2-1 s EACH over axon)
@@ -135,6 +148,7 @@ def run_folds_parallel(fold_fn, states, train_datas, val_datas, test_datas,
                stack_data(test_datas),
                jnp.stack([np.asarray(p) for p in perms_list]),
                jnp.stack(list(rngs)))
+    _mark("stack")
     axis = mesh.axis_names[0]
     shard = NamedSharding(mesh, P(axis))
 
@@ -155,16 +169,19 @@ def run_folds_parallel(fold_fn, states, train_datas, val_datas, test_datas,
     # compile ahead of time so the returned duration measures EXECUTION only
     # (comparable to the sequential path's warm-fold throughput)
     compiled = run.lower(*stacked).compile()
+    _mark("aot_compile")
     import time
 
     from iggcn_tpu.utils.fetch import device_get_tree
     t0 = time.perf_counter()
     per_epoch, best, final_states = compiled(*stacked)
+    _mark("dispatch")
     # packed fetch: the result tree has ~hundreds of leaves and a
     # leaf-by-leaf device_get pays one (serialized) tunnel round trip per
     # leaf. The optimizer state is dropped before fetching — no host-side
     # consumer exists and it is half the leaves.
     per_epoch, best, final_states = device_get_tree(
         (per_epoch, best, final_states._replace(opt_state=())))
+    _mark("fetch")
     exec_seconds = time.perf_counter() - t0
     return per_epoch, best, final_states, exec_seconds
