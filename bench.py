@@ -123,6 +123,65 @@ def bench_jax(topo, cohort, batch=BATCH, **tcfg_overrides):
     return gps, final_loss / n, extras
 
 
+def bench_infer(topo, cohort, batch=BATCH, dtype=None, reps=50):
+    """Serving throughput: the batched eval-mode forward of `predict.py`
+    scanned `reps` times over the device-resident cohort in ONE program
+    (per-dispatch tunnel overhead would otherwise dominate — the whole
+    cohort serves in single-digit ms). `dtype=bfloat16` measures the bf16
+    serving path (prediction agreement vs fp32 pinned by
+    tests/test_predict.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iggcn_tpu.config import ModelConfig
+    from iggcn_tpu.models.fused_sgcn import FusedSGCN
+    from iggcn_tpu.predict import cast_floating
+
+    mcfg = ModelConfig(num_layers=2, hidden=16)
+    model = FusedSGCN(cfg=mcfg, topo=topo)
+    n = len(cohort)
+    b = min(batch, n)
+    pad = (-n) % b
+    nb = (n + pad) // b
+
+    def split(v):
+        v = np.concatenate([v, v[:pad]]).astype(np.float32)
+        return jnp.asarray(v.reshape((nb, b) + v.shape[1:]))
+
+    xb, ab, sb = split(cohort.x), split(cohort.adj), split(cohort.snps)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((b, mcfg.rois, mcfg.feat_dim)),
+        jnp.zeros((b, mcfg.rois, mcfg.rois)), jnp.zeros((b, mcfg.num_snps)))
+    params, stats = variables["params"], variables["batch_stats"]
+    if dtype is not None:
+        params, stats = cast_floating(params, dtype), cast_floating(stats,
+                                                                    dtype)
+        xb, ab, sb = (v.astype(dtype) for v in (xb, ab, sb))
+
+    @jax.jit
+    def serve_reps(params, stats, xb, ab, sb):
+        def body(_, batch3):
+            x3, a3, s3 = batch3
+            out = model.apply({"params": params, "batch_stats": stats},
+                              x3, a3, s3, train=False)
+            return None, jnp.sum(out.log_probs)
+
+        def rep(_, __):
+            _, sums = jax.lax.scan(body, None, (xb, ab, sb))
+            return None, jnp.sum(sums)
+
+        _, totals = jax.lax.scan(rep, None, None, length=reps)
+        return totals[-1]
+
+    _ = float(serve_reps(params, stats, xb, ab, sb))   # compile + warm
+    best = float("inf")
+    for _i in range(2):
+        t0 = time.perf_counter()
+        _ = float(serve_reps(params, stats, xb, ab, sb))
+        best = min(best, time.perf_counter() - t0)
+    return reps * n / best
+
+
 def _peak_tflops(device_kind: str) -> float:
     """Published bf16 peak TFLOP/s per chip by device kind; falls back to
     v5e's 197 for unknown kinds (the bench's historical assumption)."""
@@ -253,6 +312,20 @@ def main():
               file=sys.stderr)
     best_batch = max(per_batch, key=per_batch.get)
     gps = per_batch[best_batch]
+    # serving throughput at the winning batch, fp32 and bf16 (the training
+    # bench is deliberately fp32 — exact oracle parity; serving has no
+    # numerical-cliff loss terms, so bf16 is the deploy dtype)
+    infer_extras = {}
+    try:
+        import jax.numpy as jnp
+        infer_extras["infer_gps_fp32"] = round(
+            bench_infer(topo, cohort, batch=best_batch), 1)
+        infer_extras["infer_gps_bf16"] = round(
+            bench_infer(topo, cohort, batch=best_batch,
+                        dtype=jnp.bfloat16), 1)
+        print(f"[bench] inference: {infer_extras}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] inference bench failed ({e})", file=sys.stderr)
     try:
         # the oracle also gets its best batch (it prefers small ones: the
         # dense (B, n, n) GO tensors crush the CPU at large B) so the ratio
@@ -276,6 +349,7 @@ def main():
         **dict(zip(("canary_roundtrip_ms", "canary_compute_ms"),
                    map(list, zip(canary_pre, _canary())))),
         **per_batch_extras[best_batch],
+        **infer_extras,
     }
     print(json.dumps(result))
 

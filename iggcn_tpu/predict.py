@@ -1,0 +1,102 @@
+"""Batched inference — the serving path.
+
+The reference saves per-fold `state_dict` checkpoints but never loads one
+(`kernel/train_eval_sgcn_img_snps.py:176-185`; no `load_state_dict` call
+exists anywhere in the repo — SURVEY §5 checkpoint row): deploying it means
+re-running training. Here deployment is train → `save_checkpoint` →
+`load_checkpoint`/`tools/explain.load_payload` → `batched_forward`: one
+jitted `lax.scan` over fixed-size batches of the eval-mode forward, on
+device-resident data, returning the serving payload (log-probs, argmax
+predictions, clinical-score regressions).
+
+bfloat16 serving: `dtype=jnp.bfloat16` casts the floating leaves of
+params/batch-stats/inputs; every matmul then runs bf16 on the MXU while the
+softmax/log reductions stay max-subtracted and well-conditioned. Training
+keeps fp32 (the `exp(tanh(.))` ratios and log-entropy penalties are the
+numerical cliffs, SURVEY §7.3) — inference has no loss terms, and the
+prediction agreement vs fp32 is pinned by `tests/test_predict.py`.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def cast_floating(tree: Any, dtype) -> Any:
+    """Cast every floating-point leaf of `tree` to `dtype` (ints/bools —
+    e.g. BN step counters — pass through unchanged)."""
+    def leaf(x):
+        x = jnp.asarray(x)
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+def make_forward_scan(model):
+    """Jitted (params, batch_stats, (NB, B, ...) batches) -> stacked
+    eval-mode serving outputs, one XLA program for the whole cohort. The
+    model is closed over (flax modules holding topology arrays are not
+    hashable, so it cannot be a static jit argument); hold on to the
+    returned function to serve repeatedly without retracing."""
+    @jax.jit
+    def forward_scan(params, batch_stats, x, adj, snps):
+        def body(_, batch):
+            xb, ab, sb = batch
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              xb, ab, sb, train=False)
+            res = {"log_probs": out.log_probs,
+                   "pred": jnp.argmax(out.log_probs, axis=-1)}
+            if getattr(out, "our_reg", None) is not None:
+                res["our_reg"] = out.our_reg
+            return None, res
+
+        _, outs = jax.lax.scan(body, None, (x, adj, snps))
+        return outs
+
+    return forward_scan
+
+
+def batched_forward(model, params, batch_stats,
+                    x: np.ndarray, adj: np.ndarray, snps: np.ndarray, *,
+                    batch_size: int = 256,
+                    dtype: Optional[Any] = None,
+                    forward_scan=None) -> Dict[str, np.ndarray]:
+    """Serve a cohort: pad to a batch multiple, run the jitted scan, trim.
+
+    Args:
+      model: a `FusedSGCN`-family module (eval forward signature
+        `(x, adj, snps, train=False)`).
+      params / batch_stats: restored checkpoint collections.
+      x (S, N, F), adj (S, N, N), snps (S, S_snp): host arrays.
+      batch_size: static serving batch (one compile per distinct value).
+      dtype: e.g. `jnp.bfloat16` for bf16 serving; None keeps fp32.
+      forward_scan: optionally a `make_forward_scan(model)` result to reuse
+        across calls (avoids retracing); built fresh when None.
+    Returns host arrays: log_probs (S, C), pred (S,), and our_reg when the
+    model has a regression head — padding rows already removed.
+    """
+    n = x.shape[0]
+    b = min(batch_size, n) if n else batch_size
+    pad = (-n) % b
+    if pad:
+        x, adj, snps = (np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
+                        for v in (x, adj, snps))
+    nb = (n + pad) // b
+
+    def split(v):
+        v = jnp.asarray(np.ascontiguousarray(v))
+        return v.reshape((nb, b) + v.shape[1:])
+
+    xb, ab, sb = split(x), split(adj), split(snps)
+    if dtype is not None:
+        params = cast_floating(params, dtype)
+        batch_stats = cast_floating(batch_stats, dtype)
+        xb, ab, sb = (v.astype(dtype) for v in (xb, ab, sb))
+    if forward_scan is None:
+        forward_scan = make_forward_scan(model)
+    outs = jax.device_get(forward_scan(params, batch_stats, xb, ab, sb))
+    return {k: np.asarray(v).reshape((-1,) + v.shape[2:])[:n].astype(
+        np.float32 if v.dtype == jnp.bfloat16 else v.dtype)
+        for k, v in outs.items()}

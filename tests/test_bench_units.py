@@ -18,3 +18,17 @@ def test_build_data_shapes():
     assert topo.go_snps.shape[1] == 54
     # real analysis scale, not the unit-test fixture (SURVEY §intro)
     assert topo.n >= 400
+
+
+def test_bench_infer_tiny():
+    import numpy as np
+
+    from bench import bench_infer
+    from iggcn_tpu.data.adni import synthetic_cohort
+    from iggcn_tpu.data.go_graph import synthetic_topology
+
+    rng = np.random.default_rng(0)
+    topo = synthetic_topology(rng)
+    cohort = synthetic_cohort(rng, num_subjects=12)
+    gps = bench_infer(topo, cohort, batch=8, reps=2)
+    assert gps > 0

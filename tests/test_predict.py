@@ -1,0 +1,91 @@
+"""Serving-path tests: checkpoint -> batched_forward, padding, bf16.
+
+The reference has no inference path (checkpoints are saved, never loaded —
+SURVEY §5); these pin the deploy story the TPU framework adds on top.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def served():
+    from iggcn_tpu.config import ModelConfig
+    from iggcn_tpu.data.adni import synthetic_cohort
+    from iggcn_tpu.data.go_graph import synthetic_topology
+    from iggcn_tpu.models.fused_sgcn import FusedSGCN
+
+    rng = np.random.default_rng(0)
+    topo = synthetic_topology(rng)
+    cohort = synthetic_cohort(rng, num_subjects=22)
+    mcfg = ModelConfig(num_layers=2, hidden=8)
+    model = FusedSGCN(cfg=mcfg, topo=topo)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((4, mcfg.rois, mcfg.feat_dim)),
+        jnp.zeros((4, mcfg.rois, mcfg.rois)),
+        jnp.zeros((4, mcfg.num_snps)))
+    return model, variables, cohort
+
+
+def test_batched_forward_matches_direct_eval_and_trims_padding(served,
+                                                               tmp_path):
+    from iggcn_tpu.predict import batched_forward
+    from iggcn_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    model, variables, cohort = served
+    # round-trip through the on-disk serving artifact
+    path = str(tmp_path / "fold.msgpack")
+    save_checkpoint(path, variables["params"], variables["batch_stats"])
+    restored = load_checkpoint(path, {
+        "params": jax.device_get(variables["params"]),
+        "batch_stats": jax.device_get(variables["batch_stats"])})
+
+    # 22 subjects, batch 8 -> 3 batches with 2 padding rows to trim
+    out = batched_forward(model, restored["params"], restored["batch_stats"],
+                          cohort.x.astype(np.float32),
+                          cohort.adj.astype(np.float32),
+                          cohort.snps.astype(np.float32), batch_size=8)
+    assert out["log_probs"].shape[0] == 22
+    assert out["pred"].shape == (22,)
+
+    direct = model.apply(variables, jnp.asarray(cohort.x, jnp.float32),
+                         jnp.asarray(cohort.adj, jnp.float32),
+                         jnp.asarray(cohort.snps, jnp.float32), train=False)
+    np.testing.assert_allclose(out["log_probs"],
+                               np.asarray(direct.log_probs),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out["our_reg"], np.asarray(direct.our_reg),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_serving_agrees_with_fp32(served):
+    from iggcn_tpu.predict import batched_forward, make_forward_scan
+
+    model, variables, cohort = served
+    args = (model, variables["params"], variables["batch_stats"],
+            cohort.x.astype(np.float32), cohort.adj.astype(np.float32),
+            cohort.snps.astype(np.float32))
+    fp32 = batched_forward(*args, batch_size=8)
+    scan = make_forward_scan(model)   # reuse across calls, no retrace
+    bf16 = batched_forward(*args, batch_size=8, dtype=jnp.bfloat16,
+                           forward_scan=scan)
+    # outputs come back as fp32 host arrays regardless of compute dtype
+    assert bf16["log_probs"].dtype == np.float32
+    # prediction agreement and loose logit tolerance (bf16 has ~3 decimal
+    # digits; the untrained head's logits are O(1))
+    agree = np.mean(bf16["pred"] == fp32["pred"])
+    assert agree >= 0.9, f"bf16/fp32 prediction agreement {agree}"
+    np.testing.assert_allclose(bf16["log_probs"], fp32["log_probs"],
+                               atol=0.15)
+
+
+def test_cast_floating_leaves_ints_alone():
+    from iggcn_tpu.predict import cast_floating
+
+    tree = {"w": jnp.ones((2, 2)), "step": jnp.asarray(3, jnp.int32)}
+    out = cast_floating(tree, jnp.bfloat16)
+    assert out["w"].dtype == jnp.bfloat16
+    assert out["step"].dtype == jnp.int32
