@@ -34,13 +34,18 @@ def cast_floating(tree: Any, dtype) -> Any:
     return jax.tree_util.tree_map(leaf, tree)
 
 
-def make_forward_scan(model):
+def make_forward_scan(model, mesh=None):
     """Jitted (params, batch_stats, (NB, B, ...) batches) -> stacked
     eval-mode serving outputs, one XLA program for the whole cohort. The
     model is closed over (flax modules holding topology arrays are not
     hashable, so it cannot be a static jit argument); hold on to the
-    returned function to serve repeatedly without retracing."""
-    @jax.jit
+    returned function to serve repeatedly without retracing.
+
+    With `mesh` (any 1-D+ `jax.sharding.Mesh`), serving is data-parallel
+    SPMD over its FIRST axis: params/batch-stats replicate, each batch's
+    sample axis shards across the mesh, and XLA partitions the forward —
+    no collectives are needed (pure map, per-sample outputs stay sharded
+    until the host fetch). `B` must divide by the axis size."""
     def forward_scan(params, batch_stats, x, adj, snps):
         def body(_, batch):
             xb, ab, sb = batch
@@ -55,14 +60,24 @@ def make_forward_scan(model):
         _, outs = jax.lax.scan(body, None, (x, adj, snps))
         return outs
 
-    return forward_scan
+    if mesh is None:
+        return jax.jit(forward_scan)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axis = mesh.axis_names[0]
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, axis))   # (NB, B, ...): shard B
+    # prefix pytrees: `rep` broadcasts over the params/stats trees, `data`
+    # over every (NB, B, ...) output leaf
+    return jax.jit(forward_scan, in_shardings=(rep, rep, data, data, data),
+                   out_shardings=data)
 
 
 def batched_forward(model, params, batch_stats,
                     x: np.ndarray, adj: np.ndarray, snps: np.ndarray, *,
                     batch_size: int = 256,
                     dtype: Optional[Any] = None,
-                    forward_scan=None) -> Dict[str, np.ndarray]:
+                    forward_scan=None,
+                    mesh=None) -> Dict[str, np.ndarray]:
     """Serve a cohort: pad to a batch multiple, run the jitted scan, trim.
 
     Args:
@@ -74,11 +89,17 @@ def batched_forward(model, params, batch_stats,
       dtype: e.g. `jnp.bfloat16` for bf16 serving; None keeps fp32.
       forward_scan: optionally a `make_forward_scan(model)` result to reuse
         across calls (avoids retracing); built fresh when None.
+      mesh: optional `jax.sharding.Mesh` for data-parallel serving over its
+        first axis (see `make_forward_scan`); the effective batch is rounded
+        up to a multiple of the axis size.
     Returns host arrays: log_probs (S, C), pred (S,), and our_reg when the
     model has a regression head — padding rows already removed.
     """
     n = x.shape[0]
     b = min(batch_size, n) if n else batch_size
+    if mesh is not None:
+        ax = mesh.shape[mesh.axis_names[0]]
+        b = -(-b // ax) * ax           # sample axis must divide by the mesh
     pad = (-n) % b
     if pad:
         x, adj, snps = (np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
@@ -95,7 +116,7 @@ def batched_forward(model, params, batch_stats,
         batch_stats = cast_floating(batch_stats, dtype)
         xb, ab, sb = (v.astype(dtype) for v in (xb, ab, sb))
     if forward_scan is None:
-        forward_scan = make_forward_scan(model)
+        forward_scan = make_forward_scan(model, mesh=mesh)
     outs = jax.device_get(forward_scan(params, batch_stats, xb, ab, sb))
     return {k: np.asarray(v).reshape((-1,) + v.shape[2:])[:n].astype(
         np.float32 if v.dtype == jnp.bfloat16 else v.dtype)

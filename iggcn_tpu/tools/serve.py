@@ -1,0 +1,146 @@
+"""Self-contained serving bundle + batch-prediction CLI.
+
+A training checkpoint (`train/checkpoint.py`) holds params/batch-stats only
+— rebuilding the model for inference also needs the `ModelConfig` and the
+data-derived `GoTopology` (the GO DAG the params were trained against).
+This tool bundles all four into ONE `.npz` so a deployment host can serve
+with no access to the training data or flag line (the reference has no
+equivalent: its checkpoints are written and never loaded, SURVEY §5).
+
+API:
+  save_bundle(path, model, params, batch_stats)
+  model, params, batch_stats = load_bundle(path)
+
+CLI:
+  python -m iggcn_tpu.tools.serve BUNDLE.npz --npz cohort.npz --out preds.npz
+      [--batch 256] [--bf16]
+
+`cohort.npz` needs arrays `x` (S, N, F), `adj` (S, N, N), `snps` (S, P);
+`preds.npz` gets `log_probs`, `pred`, and `our_reg` when the model has the
+regression head.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _flatten(tree: Any, prefix: str) -> Dict[str, np.ndarray]:
+    """Nested dict-of-arrays -> {'prefix/a/b': array} (msgpack-free, so the
+    bundle is one plain npz)."""
+    from flax import serialization
+
+    out = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{path}/{k}")
+        else:
+            out[path] = np.asarray(node)
+    walk(serialization.to_state_dict(tree), prefix)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    plen = len(prefix) + 1
+    for key in sorted(flat):
+        if not key.startswith(prefix + "/"):
+            continue
+        node = out
+        parts = key[plen:].split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = flat[key]
+    return out
+
+
+def save_bundle(path: str, model, params, batch_stats) -> None:
+    """Write model config + GO topology + trained collections as one npz."""
+    import jax
+
+    topo = model.topo
+    cfg = dataclasses.asdict(model.cfg)
+    payload = {
+        "__meta__": np.asarray(json.dumps({
+            "model_class": type(model).__name__, "config": cfg,
+            "topo": {"pool": list(map(int, topo.pool)),
+                     "n_l": int(topo.n_l),
+                     "go_ids": list(topo.go_ids),
+                     "go_genes": [list(g) for g in topo.go_genes]}})),
+        "topo/adj_child_parent": np.asarray(topo.adj_child_parent),
+        "topo/go_snps": np.asarray(topo.go_snps),
+        "topo/go_level": np.asarray(topo.go_level),
+        **_flatten(jax.device_get(params), "params"),
+        **_flatten(jax.device_get(batch_stats), "batch_stats"),
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **payload)
+
+
+def load_bundle(path: str) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
+    """Rebuild (model, params, batch_stats) from a `save_bundle` npz."""
+    from iggcn_tpu.config import ModelConfig
+    from iggcn_tpu.data.go_graph import GoTopology
+    from iggcn_tpu.models.fused_sgcn import FusedSGCN
+
+    with np.load(path, allow_pickle=False) as zf:
+        flat = {k: zf[k] for k in zf.files}
+    meta = json.loads(str(flat.pop("__meta__")))
+    classes = {"FusedSGCN": FusedSGCN}
+    if meta["model_class"] not in classes:
+        raise ValueError(f"unknown bundled model class {meta['model_class']};"
+                         f" supported: {sorted(classes)}")
+    # JSON turns tuples into lists; coerce back per the dataclass defaults
+    cfg_dict = {k: tuple(v) if isinstance(v, list) else v
+                for k, v in meta["config"].items()}
+    topo = GoTopology(
+        adj_child_parent=flat.pop("topo/adj_child_parent"),
+        go_snps=flat.pop("topo/go_snps"),
+        go_level=flat.pop("topo/go_level"),
+        pool=list(meta["topo"]["pool"]), n_l=meta["topo"]["n_l"],
+        go_ids=list(meta["topo"]["go_ids"]),
+        go_genes=[list(g) for g in meta["topo"]["go_genes"]])
+    model = classes[meta["model_class"]](cfg=ModelConfig(**cfg_dict),
+                                         topo=topo)
+    return model, _unflatten(flat, "params"), _unflatten(flat, "batch_stats")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("bundle", help="npz written by save_bundle")
+    p.add_argument("--npz", required=True,
+                   help="cohort npz with x/adj/snps arrays")
+    p.add_argument("--out", required=True, help="output predictions npz")
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--bf16", action="store_true",
+                   help="serve in bfloat16 (fp32 agreement pinned by "
+                        "tests/test_predict.py)")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from iggcn_tpu.predict import batched_forward
+
+    model, params, batch_stats = load_bundle(args.bundle)
+    with np.load(args.npz) as zf:
+        x, adj, snps = (np.asarray(zf[k], np.float32)
+                        for k in ("x", "adj", "snps"))
+    out = batched_forward(model, params, batch_stats, x, adj, snps,
+                          batch_size=args.batch,
+                          dtype=jnp.bfloat16 if args.bf16 else None)
+    np.savez(args.out, **out)
+    counts = np.bincount(out["pred"].astype(int))
+    print(f"served {x.shape[0]} subjects -> {args.out} "
+          f"(class counts {counts.tolist()})", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

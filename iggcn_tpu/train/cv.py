@@ -125,7 +125,8 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                      logger: Optional[Callable[[str], None]] = None,
                      model_kind: str = "sgcn_imgsnp",
                      external_test: Optional[AdniCohort] = None,
-                     verbose: bool = True) -> CVResult:
+                     verbose: bool = True,
+                     export_bundle: bool = False) -> CVResult:
     """Run the full CV experiment. `tcfg.no_val` selects the without-val
     variant; `model_kind` selects the model family and its objective
     (sgcn_imgsnp | gcn_imgsnp | guide_imgsnp | clusterlabel | sgcn_image |
@@ -135,7 +136,12 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     acquisition type via `data.adni.separate_data_adnitype`) used as the
     test set of every fold instead of the test fold — parity
     `kernel/train_eval_sgcn.py:138-157` (`isTestAdnitype`,
-    `isShowValResult=False`)."""
+    `isShowValResult=False`).
+
+    `export_bundle`: additionally write a self-contained serving bundle
+    (`tools/serve.save_bundle`: config + GO topology + best-val params) per
+    fold, for deployment hosts without the training data. Only for model
+    families that carry a GO topology (the fused/SNP families)."""
     use_val = not tcfg.no_val
     if model_kind not in MODEL_FAMILIES:
         raise ValueError(f"unknown model_kind {model_kind}; "
@@ -512,6 +518,11 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                 save_checkpoint(
                     f"{res_dir}/gcn_state_dict_{result_file_name}_fold_{fold}.msgpack",
                     best_params, best_stats)
+                if export_bundle and getattr(model, "topo", None) is not None:
+                    from iggcn_tpu.tools.serve import save_bundle
+                    save_bundle(
+                        f"{res_dir}/serving_bundle_{result_file_name}_fold_{fold}.npz",
+                        model, best_params, best_stats)
         else:
           state, rng = init_state(fold, fold_spe)
           train_data, val_data, test_data = fold_to_device(p)
@@ -560,6 +571,12 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                     save_checkpoint(
                         f"{res_dir}/gcn_state_dict_{result_file_name}_fold_{fold}.msgpack",
                         state.params, state.batch_stats)
+                    if (export_bundle
+                            and getattr(model, "topo", None) is not None):
+                        from iggcn_tpu.tools.serve import save_bundle
+                        save_bundle(
+                            f"{res_dir}/serving_bundle_{result_file_name}_fold_{fold}.npz",
+                            model, state.params, state.batch_stats)
 
         durations.append(parallel_dt / tcfg.folds if parallel_out is not None
                          else time.perf_counter() - t_start)

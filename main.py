@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of the experiment here "
                         "(view with TensorBoard / xprof)")
+    p.add_argument("--export_bundle", action="store_true", default=False,
+                   help="also write a self-contained serving bundle per fold "
+                        "(config+topology+params; serve with "
+                        "iggcn_tpu.tools.serve)")
     p.add_argument("--isSoftSimilarity", action=argparse.BooleanOptionalAction,
                    default=True)
     p.add_argument("--isMultilModal4Similarity", action="store_true",
@@ -471,7 +475,7 @@ def main(argv=None):
                 external_test=ext_test,
                 result_file_name=result_file_name,
                 clinical_score_index=args.clinical_score_index, logger=logger,
-                model_kind=model_kind)
+                model_kind=model_kind, export_bundle=args.export_bundle)
         print(f"[throughput] {res.throughput_graphs_per_sec:.1f} graphs/s")
         if res.mean_test_loss < best[0]:
             best = (res.mean_test_loss, res.best_acc, res.best_acc_std)

@@ -89,3 +89,57 @@ def test_cast_floating_leaves_ints_alone():
     out = cast_floating(tree, jnp.bfloat16)
     assert out["w"].dtype == jnp.bfloat16
     assert out["step"].dtype == jnp.int32
+
+
+def test_mesh_data_parallel_serving_matches_single_device(served):
+    from iggcn_tpu.predict import batched_forward
+    from jax.sharding import Mesh
+
+    model, variables, cohort = served
+    args = (model, variables["params"], variables["batch_stats"],
+            cohort.x.astype(np.float32), cohort.adj.astype(np.float32),
+            cohort.snps.astype(np.float32))
+    single = batched_forward(*args, batch_size=8)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("serve",))
+    dp = batched_forward(*args, batch_size=8, mesh=mesh)
+    np.testing.assert_allclose(dp["log_probs"], single["log_probs"],
+                               rtol=1e-5, atol=1e-5)
+    # batch 6 does not divide the 4-device axis: rounded up internally
+    dp6 = batched_forward(*args, batch_size=6, mesh=mesh)
+    np.testing.assert_allclose(dp6["log_probs"], single["log_probs"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bundle_roundtrip_and_cli(served, tmp_path):
+    from iggcn_tpu.predict import batched_forward
+    from iggcn_tpu.tools.serve import load_bundle, main, save_bundle
+
+    model, variables, cohort = served
+    bundle = str(tmp_path / "deploy.npz")
+    save_bundle(bundle, model, variables["params"], variables["batch_stats"])
+
+    model2, params2, stats2 = load_bundle(bundle)
+    assert model2.cfg == model.cfg
+    assert model2.topo.n == model.topo.n
+
+    want = batched_forward(model, variables["params"],
+                           variables["batch_stats"],
+                           cohort.x.astype(np.float32),
+                           cohort.adj.astype(np.float32),
+                           cohort.snps.astype(np.float32), batch_size=8)
+    got = batched_forward(model2, params2, stats2,
+                          cohort.x.astype(np.float32),
+                          cohort.adj.astype(np.float32),
+                          cohort.snps.astype(np.float32), batch_size=8)
+    np.testing.assert_allclose(got["log_probs"], want["log_probs"],
+                               rtol=1e-6, atol=1e-6)
+
+    # CLI end-to-end on the bundle
+    cohort_npz = str(tmp_path / "cohort.npz")
+    np.savez(cohort_npz, x=cohort.x, adj=cohort.adj, snps=cohort.snps)
+    preds_npz = str(tmp_path / "preds.npz")
+    main([bundle, "--npz", cohort_npz, "--out", preds_npz, "--batch", "8"])
+    with np.load(preds_npz) as zf:
+        np.testing.assert_allclose(zf["log_probs"], want["log_probs"],
+                                   rtol=1e-5, atol=1e-5)
+        assert zf["pred"].shape == (22,)
