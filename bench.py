@@ -294,11 +294,17 @@ def _canary():
     return round(rtt_ms, 1), round(compute_ms, 1)
 
 
-def main():
-    from iggcn_tpu.utils.cache import enable_compilation_cache
+# a healthy window measures both canaries at ~25-40 ms; a contended one
+# inflates them 3-30x (the chip is time-shared and the host page-fault
+# throughput swings too). The round-end artifact should not record a
+# degraded window if a healthy one is a retry away.
+CANARY_HEALTHY_MS = 120.0
+MAX_ATTEMPTS = 3
+RETRY_SLEEP_S = 45.0
 
-    enable_compilation_cache()
-    topo, cohort = build_data()
+
+def _measure_once(topo, cohort):
+    """One canary-bracketed sweep + inference measurement."""
     canary_pre = _canary()   # attest the window BEFORE the timed sweep too
     # sweep the batch size (training throughput is batch-tunable; the GO
     # branch's edge-list attention scales ~linearly past batch 64) and
@@ -311,7 +317,6 @@ def main():
         print(f"[bench] batch {b}: {gps_b:.0f} graphs/s {extras_b}",
               file=sys.stderr)
     best_batch = max(per_batch, key=per_batch.get)
-    gps = per_batch[best_batch]
     # serving throughput at the winning batch, fp32 and bf16 (the training
     # bench is deliberately fp32 — exact oracle parity; serving has no
     # numerical-cliff loss terms, so bf16 is the deploy dtype)
@@ -326,6 +331,27 @@ def main():
         print(f"[bench] inference: {infer_extras}", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"[bench] inference bench failed ({e})", file=sys.stderr)
+    canary_post = _canary()
+    return (per_batch, per_batch_extras, best_batch, infer_extras,
+            canary_pre, canary_post)
+
+
+def main():
+    from iggcn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    topo, cohort = build_data()
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        (per_batch, per_batch_extras, best_batch, infer_extras,
+         canary_pre, canary_post) = _measure_once(topo, cohort)
+        worst = max(*canary_pre, *canary_post)
+        if worst <= CANARY_HEALTHY_MS or attempt == MAX_ATTEMPTS:
+            break
+        print(f"[bench] contended window (worst canary {worst:.0f} ms > "
+              f"{CANARY_HEALTHY_MS:.0f}); retrying in {RETRY_SLEEP_S:.0f} s "
+              f"(attempt {attempt}/{MAX_ATTEMPTS})", file=sys.stderr)
+        time.sleep(RETRY_SLEEP_S)
+    gps = per_batch[best_batch]
     try:
         # the oracle also gets its best batch (it prefers small ones: the
         # dense (B, n, n) GO tensors crush the CPU at large B) so the ratio
@@ -347,7 +373,8 @@ def main():
         "per_batch": per_batch,
         # [pre, post] pairs bound the whole timed window
         **dict(zip(("canary_roundtrip_ms", "canary_compute_ms"),
-                   map(list, zip(canary_pre, _canary())))),
+                   map(list, zip(canary_pre, canary_post)))),
+        "attempts": attempt,
         **per_batch_extras[best_batch],
         **infer_extras,
     }
