@@ -135,20 +135,16 @@ def bench_infer(topo, cohort, batch=BATCH, dtype=None, reps=50):
 
     from iggcn_tpu.config import ModelConfig
     from iggcn_tpu.models.fused_sgcn import FusedSGCN
-    from iggcn_tpu.predict import cast_floating
+    from iggcn_tpu.predict import cast_floating, pad_split_batches
 
     mcfg = ModelConfig(num_layers=2, hidden=16)
     model = FusedSGCN(cfg=mcfg, topo=topo)
     n = len(cohort)
     b = min(batch, n)
-    pad = (-n) % b
-    nb = (n + pad) // b
-
-    def split(v):
-        v = np.concatenate([v, v[:pad]]).astype(np.float32)
-        return jnp.asarray(v.reshape((nb, b) + v.shape[1:]))
-
-    xb, ab, sb = split(cohort.x), split(cohort.adj), split(cohort.snps)
+    # the shipped serving batching recipe (predict.py), not a re-derivation
+    xb, ab, sb = pad_split_batches(
+        tuple(v.astype(np.float32)
+              for v in (cohort.x, cohort.adj, cohort.snps)), b)
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((b, mcfg.rois, mcfg.feat_dim)),
         jnp.zeros((b, mcfg.rois, mcfg.rois)), jnp.zeros((b, mcfg.num_snps)))
@@ -331,9 +327,23 @@ def _measure_once(topo, cohort):
         print(f"[bench] inference: {infer_extras}", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"[bench] inference bench failed ({e})", file=sys.stderr)
+    # the torch-CPU oracle runs INSIDE the canary bracket so vs_baseline's
+    # denominator is attested by canary_post and retried with everything
+    # else (host contention slows the CPU oracle just like the device legs).
+    # The oracle also gets its best batch (it prefers small ones: the dense
+    # (B, n, n) GO tensors crush the CPU at large B) so the ratio compares
+    # best-effort against best-effort.
+    try:
+        torch_gps = max(
+            bench_torch(topo, cohort, budget_s=8.0, batch=b)
+            for b in {8, 16, BATCH, best_batch})
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] torch baseline failed ({e}); using fallback",
+              file=sys.stderr)
+        torch_gps = None
     canary_post = _canary()
     return (per_batch, per_batch_extras, best_batch, infer_extras,
-            canary_pre, canary_post)
+            torch_gps, canary_pre, canary_post)
 
 
 def main():
@@ -343,7 +353,7 @@ def main():
     topo, cohort = build_data()
     for attempt in range(1, MAX_ATTEMPTS + 1):
         (per_batch, per_batch_extras, best_batch, infer_extras,
-         canary_pre, canary_post) = _measure_once(topo, cohort)
+         torch_gps, canary_pre, canary_post) = _measure_once(topo, cohort)
         worst = max(*canary_pre, *canary_post)
         if worst <= CANARY_HEALTHY_MS or attempt == MAX_ATTEMPTS:
             break
@@ -352,17 +362,7 @@ def main():
               f"(attempt {attempt}/{MAX_ATTEMPTS})", file=sys.stderr)
         time.sleep(RETRY_SLEEP_S)
     gps = per_batch[best_batch]
-    try:
-        # the oracle also gets its best batch (it prefers small ones: the
-        # dense (B, n, n) GO tensors crush the CPU at large B) so the ratio
-        # compares best-effort against best-effort — including batches
-        # BELOW the reference default, where the CPU oracle may peak
-        torch_gps = max(
-            bench_torch(topo, cohort, budget_s=8.0, batch=b)
-            for b in {8, 16, BATCH, best_batch})
-    except Exception as e:  # pragma: no cover
-        print(f"[bench] torch baseline failed ({e}); using fallback",
-              file=sys.stderr)
+    if torch_gps is None:
         torch_gps = FALLBACK_TORCH_GPS
     result = {
         "metric": "fused_sgcn_go_train_throughput",

@@ -34,6 +34,25 @@ def cast_floating(tree: Any, dtype) -> Any:
     return jax.tree_util.tree_map(leaf, tree)
 
 
+def pad_split_batches(arrays, batch_size: int):
+    """The serving batching recipe, shared by `batched_forward` and the
+    inference benchmark (bench.py) so they measure the same program: pad
+    each (S, ...) host array to a multiple of `batch_size` by repeating its
+    first row, then reshape to a (NB, B, ...) device array."""
+    n = int(np.asarray(arrays[0]).shape[0])
+    b = batch_size
+    pad = (-n) % b
+    nb = (n + pad) // b
+    out = []
+    for v in arrays:
+        v = np.asarray(v)
+        if pad:
+            v = np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
+        v = jnp.asarray(np.ascontiguousarray(v))
+        out.append(v.reshape((nb, b) + v.shape[1:]))
+    return out
+
+
 def make_forward_scan(model, mesh=None):
     """Jitted (params, batch_stats, (NB, B, ...) batches) -> stacked
     eval-mode serving outputs, one XLA program for the whole cohort. The
@@ -100,17 +119,7 @@ def batched_forward(model, params, batch_stats,
     if mesh is not None:
         ax = mesh.shape[mesh.axis_names[0]]
         b = -(-b // ax) * ax           # sample axis must divide by the mesh
-    pad = (-n) % b
-    if pad:
-        x, adj, snps = (np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
-                        for v in (x, adj, snps))
-    nb = (n + pad) // b
-
-    def split(v):
-        v = jnp.asarray(np.ascontiguousarray(v))
-        return v.reshape((nb, b) + v.shape[1:])
-
-    xb, ab, sb = split(x), split(adj), split(snps)
+    xb, ab, sb = pad_split_batches((x, adj, snps), b)
     if dtype is not None:
         params = cast_floating(params, dtype)
         batch_stats = cast_floating(batch_stats, dtype)

@@ -89,12 +89,18 @@ def load_bundle(path: str) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
     """Rebuild (model, params, batch_stats) from a `save_bundle` npz."""
     from iggcn_tpu.config import ModelConfig
     from iggcn_tpu.data.go_graph import GoTopology
+    from iggcn_tpu.models.clusterlabel import ClusterLabelSGCN
     from iggcn_tpu.models.fused_sgcn import FusedSGCN
+    from iggcn_tpu.models.guide import GuideImgSnp
 
     with np.load(path, allow_pickle=False) as zf:
         flat = {k: zf[k] for k in zf.files}
     meta = json.loads(str(flat.pop("__meta__")))
-    classes = {"FusedSGCN": FusedSGCN}
+    # every (cfg, topo)-built family with an eval forward (x, adj, snps,
+    # train=False) -> outputs carrying log_probs; must cover everything
+    # cv.py's export_bundle guard lets through
+    classes = {"FusedSGCN": FusedSGCN, "GuideImgSnp": GuideImgSnp,
+               "ClusterLabelSGCN": ClusterLabelSGCN}
     if meta["model_class"] not in classes:
         raise ValueError(f"unknown bundled model class {meta['model_class']};"
                          f" supported: {sorted(classes)}")

@@ -518,11 +518,6 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                 save_checkpoint(
                     f"{res_dir}/gcn_state_dict_{result_file_name}_fold_{fold}.msgpack",
                     best_params, best_stats)
-                if export_bundle and getattr(model, "topo", None) is not None:
-                    from iggcn_tpu.tools.serve import save_bundle
-                    save_bundle(
-                        f"{res_dir}/serving_bundle_{result_file_name}_fold_{fold}.npz",
-                        model, best_params, best_stats)
         else:
           state, rng = init_state(fold, fold_spe)
           train_data, val_data, test_data = fold_to_device(p)
@@ -571,12 +566,6 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                     save_checkpoint(
                         f"{res_dir}/gcn_state_dict_{result_file_name}_fold_{fold}.msgpack",
                         state.params, state.batch_stats)
-                    if (export_bundle
-                            and getattr(model, "topo", None) is not None):
-                        from iggcn_tpu.tools.serve import save_bundle
-                        save_bundle(
-                            f"{res_dir}/serving_bundle_{result_file_name}_fold_{fold}.npz",
-                            model, state.params, state.batch_stats)
 
         durations.append(parallel_dt / tcfg.folds if parallel_out is not None
                          else time.perf_counter() - t_start)
@@ -597,6 +586,17 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                 (np.asarray(pr["snps_prob"]) if "snps_prob" in pr else None),
                 np.asarray(pr["prob_bias"]),
                 is_permut_test=tcfg.is_permut_test)
+
+        if (export_bundle and best_bundle is not None and res_dir is not None
+                and not tcfg.is_permut_test
+                and getattr(model, "topo", None) is not None):
+            # one bundle write per fold, from the best-val params both code
+            # paths stash in best_bundle (a per-improvement write would
+            # re-serialize the invariant GO topology arrays every epoch)
+            from iggcn_tpu.tools.serve import save_bundle
+            save_bundle(
+                f"{res_dir}/serving_bundle_{result_file_name}_fold_{fold}.npz",
+                model, best_bundle["params"], best_bundle["batch_stats"])
 
         if best_bundle is not None:
             best_hidden.append(best_bundle["hidden"])

@@ -57,6 +57,26 @@ def test_fold_scan_no_val_runs(cohort, topo, tiny_cfgs):
     assert res.score_result.shape == (3, 1, 5)
 
 
+@pytest.mark.parametrize("use_scan", [True, False], ids=["scan", "python"])
+def test_export_bundle_writes_one_loadable_bundle_per_fold(
+        cohort, topo, tiny_cfgs, tmp_path, use_scan):
+    """Both CV drivers export exactly one serving bundle per fold (written
+    once at fold end, not per improvement epoch) and the artifact loads on
+    a deployment host."""
+    from iggcn_tpu.models.fused_sgcn import FusedSGCN
+    from iggcn_tpu.tools.serve import load_bundle
+
+    mcfg, tcfg = tiny_cfgs
+    tcfg = dataclasses.replace(tcfg, use_fold_scan=use_scan)
+    cross_validation(cohort, topo, mcfg, tcfg, res_dir=str(tmp_path),
+                     verbose=False, export_bundle=True)
+    bundles = sorted(tmp_path.glob("serving_bundle_*.npz"))
+    assert [b.name for b in bundles] == [
+        f"serving_bundle_result_fold_{i}.npz" for i in range(tcfg.folds)]
+    model, params, stats = load_bundle(str(bundles[0]))
+    assert type(model) is FusedSGCN and "prob" in params
+
+
 def test_device_gather_matches_upload(cohort, topo, tiny_cfgs):
     """device_gather=True (on-device fold row gather from the once-uploaded
     cohort) must reproduce the plain per-fold-upload results exactly: padding

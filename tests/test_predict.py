@@ -143,3 +143,40 @@ def test_bundle_roundtrip_and_cli(served, tmp_path):
         np.testing.assert_allclose(zf["log_probs"], want["log_probs"],
                                    rtol=1e-5, atol=1e-5)
         assert zf["pred"].shape == (22,)
+
+
+@pytest.mark.parametrize("family", ["guide", "clusterlabel"])
+def test_bundle_roundtrip_covers_every_exportable_family(served, tmp_path,
+                                                         family):
+    """Every model cv.py's `--export_bundle` guard lets through (topo-
+    presence) must load back on the deployment host — a bundle that only
+    fails at serve time is a broken artifact."""
+    from iggcn_tpu.config import ModelConfig
+    from iggcn_tpu.models.clusterlabel import ClusterLabelSGCN
+    from iggcn_tpu.models.guide import GuideImgSnp
+    from iggcn_tpu.predict import batched_forward
+    from iggcn_tpu.tools.serve import load_bundle, save_bundle
+
+    _, _, cohort = served
+    from iggcn_tpu.data.go_graph import synthetic_topology
+    topo = synthetic_topology(np.random.default_rng(0))
+    mcfg = ModelConfig(num_layers=2, hidden=8)
+    cls = {"guide": GuideImgSnp, "clusterlabel": ClusterLabelSGCN}[family]
+    model = cls(cfg=mcfg, topo=topo)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(1),
+        jnp.zeros((4, mcfg.rois, mcfg.feat_dim)),
+        jnp.zeros((4, mcfg.rois, mcfg.rois)),
+        jnp.zeros((4, mcfg.num_snps)))
+    bundle = str(tmp_path / f"{family}.npz")
+    save_bundle(bundle, model, variables["params"], variables["batch_stats"])
+
+    model2, params2, stats2 = load_bundle(bundle)
+    assert type(model2) is cls
+    args = (cohort.x.astype(np.float32), cohort.adj.astype(np.float32),
+            cohort.snps.astype(np.float32))
+    want = batched_forward(model, variables["params"],
+                           variables["batch_stats"], *args, batch_size=8)
+    got = batched_forward(model2, params2, stats2, *args, batch_size=8)
+    np.testing.assert_allclose(got["log_probs"], want["log_probs"],
+                               rtol=1e-6, atol=1e-6)
