@@ -12,20 +12,34 @@ API:
   model, params, batch_stats = load_bundle(path)
 
 CLI:
+  # one-shot batch scoring
   python -m iggcn_tpu.tools.serve BUNDLE.npz --npz cohort.npz --out preds.npz
       [--batch 256] [--bf16]
+  # long-lived HTTP daemon (stdlib-only; no extra deps)
+  python -m iggcn_tpu.tools.serve BUNDLE.npz --http 8000 [--batch 256] [--bf16]
 
 `cohort.npz` needs arrays `x` (S, N, F), `adj` (S, N, N), `snps` (S, P);
 `preds.npz` gets `log_probs`, `pred`, and `our_reg` when the model has the
 regression head.
+
+HTTP protocol (wire format is npz — numpy-native, zero client deps):
+  GET  /health           -> JSON {model_class, batch, dtype, device, ...}
+  POST /predict          -> body: npz bytes with x/adj/snps arrays;
+                            response: npz bytes with log_probs/pred[/our_reg]
+The daemon holds ONE warmed jitted serving program (`make_forward_scan`);
+requests pad to the fixed serving batch, so any request of up to `--batch`
+subjects reuses the startup-compiled program (larger cohorts compile one
+extra program per distinct batch count, cached thereafter).
 """
 from __future__ import annotations
 
 import argparse
 import dataclasses
+import io
 import json
 import os
 import sys
+import threading
 from typing import Any, Dict, Tuple
 
 import numpy as np
@@ -119,23 +133,134 @@ def load_bundle(path: str) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
     return model, _unflatten(flat, "params"), _unflatten(flat, "batch_stats")
 
 
+def build_http_server(model, params, batch_stats, *, host="127.0.0.1",
+                      port=0, batch=256, dtype=None):
+    """A ready-to-serve `ThreadingHTTPServer` around one warmed jitted
+    serving program. The caller owns the lifecycle (`serve_forever` /
+    `shutdown`); tests bind port 0 and read `server.server_address`.
+
+    Inference calls are serialized behind a lock: the model is latency-bound
+    at serving shapes (BASELINE.md), so queueing on one device program beats
+    interleaving dispatches; threads still overlap request I/O.
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import jax
+
+    from iggcn_tpu.predict import batched_forward, make_forward_scan
+
+    scan = make_forward_scan(model)
+    lock = threading.Lock()
+    cfg = model.cfg
+    health = {
+        "model_class": type(model).__name__,
+        "batch": batch,
+        "dtype": "bfloat16" if dtype is not None else "float32",
+        "device": jax.devices()[0].device_kind,
+        "rois": cfg.rois, "feat_dim": cfg.feat_dim,
+        "num_snps": cfg.num_snps, "num_classes": cfg.num_classes,
+    }
+
+    def forward(x, adj, snps):
+        with lock:
+            return batched_forward(model, params, batch_stats, x, adj, snps,
+                                   batch_size=batch, dtype=dtype,
+                                   forward_scan=scan)
+
+    # warm the compile before accepting traffic: the first real request
+    # should pay milliseconds, not the jit compile
+    forward(np.zeros((1, cfg.rois, cfg.feat_dim), np.float32),
+            np.zeros((1, cfg.rois, cfg.rois), np.float32),
+            np.zeros((1, cfg.num_snps), np.float32))
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route access logs to stderr
+            sys.stderr.write(f"[serve] {self.address_string()} "
+                             f"{fmt % args}\n")
+
+        def _reply(self, code, body, content_type):
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _reply_json(self, code, obj):
+            self._reply(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._reply_json(200, health)
+            else:
+                self._reply_json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._reply_json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                with np.load(io.BytesIO(self.rfile.read(n)),
+                             allow_pickle=False) as zf:
+                    x, adj, snps = (np.asarray(zf[k], np.float32)
+                                    for k in ("x", "adj", "snps"))
+            except Exception as e:
+                self._reply_json(
+                    400, {"error": f"bad request body (want npz with "
+                                   f"x/adj/snps): {e}"})
+                return
+            try:
+                out = forward(x, adj, snps)
+            except Exception as e:
+                self._reply_json(500, {"error": f"inference failed: {e}"})
+                return
+            buf = io.BytesIO()
+            np.savez(buf, **out)
+            self._reply(200, buf.getvalue(), "application/octet-stream")
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("bundle", help="npz written by save_bundle")
-    p.add_argument("--npz", required=True,
-                   help="cohort npz with x/adj/snps arrays")
-    p.add_argument("--out", required=True, help="output predictions npz")
+    p.add_argument("--npz", help="cohort npz with x/adj/snps arrays")
+    p.add_argument("--out", help="output predictions npz")
+    p.add_argument("--http", type=int, metavar="PORT",
+                   help="run a long-lived HTTP daemon on this port instead "
+                        "of one-shot scoring (GET /health, POST /predict)")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="HTTP bind address (default loopback; set 0.0.0.0 "
+                        "to expose)")
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--bf16", action="store_true",
                    help="serve in bfloat16 (fp32 agreement pinned by "
                         "tests/test_predict.py)")
     args = p.parse_args(argv)
+    if args.http is None and (args.npz is None or args.out is None):
+        p.error("--npz and --out are required unless --http is given")
 
     import jax.numpy as jnp
 
     from iggcn_tpu.predict import batched_forward
 
     model, params, batch_stats = load_bundle(args.bundle)
+    if args.http is not None:
+        server = build_http_server(
+            model, params, batch_stats, host=args.host, port=args.http,
+            batch=args.batch, dtype=jnp.bfloat16 if args.bf16 else None)
+        host, port = server.server_address[:2]
+        print(f"serving {type(model).__name__} on http://{host}:{port} "
+              f"(batch {args.batch}, "
+              f"{'bf16' if args.bf16 else 'fp32'}; Ctrl-C to stop)",
+              file=sys.stderr)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.server_close()
+        return
     with np.load(args.npz) as zf:
         x, adj, snps = (np.asarray(zf[k], np.float32)
                         for k in ("x", "adj", "snps"))

@@ -1,0 +1,96 @@
+"""HTTP serving daemon: protocol, prediction parity, error handling.
+
+The daemon (`tools/serve.build_http_server`) is the long-lived deployment
+surface over the same `predict.batched_forward` program the batch CLI uses
+— a capability the reference lacks entirely (its checkpoints are written
+and never loaded, SURVEY §5).
+"""
+import http.client
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def server_and_truth():
+    from iggcn_tpu.config import ModelConfig
+    from iggcn_tpu.data.adni import synthetic_cohort
+    from iggcn_tpu.data.go_graph import synthetic_topology
+    from iggcn_tpu.models.fused_sgcn import FusedSGCN
+    from iggcn_tpu.predict import batched_forward
+    from iggcn_tpu.tools.serve import build_http_server
+
+    rng = np.random.default_rng(0)
+    topo = synthetic_topology(rng)
+    cohort = synthetic_cohort(rng, num_subjects=11)
+    mcfg = ModelConfig(num_layers=2, hidden=8)
+    model = FusedSGCN(cfg=mcfg, topo=topo)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((4, mcfg.rois, mcfg.feat_dim)),
+        jnp.zeros((4, mcfg.rois, mcfg.rois)),
+        jnp.zeros((4, mcfg.num_snps)))
+    params, stats = variables["params"], variables["batch_stats"]
+    want = batched_forward(model, params, stats,
+                           cohort.x.astype(np.float32),
+                           cohort.adj.astype(np.float32),
+                           cohort.snps.astype(np.float32), batch_size=8)
+    server = build_http_server(model, params, stats, port=0, batch=8)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield server.server_address[:2], cohort, want
+    server.shutdown()
+    server.server_close()
+    thread.join(timeout=5)
+
+
+def _post_npz(addr, path, body):
+    conn = http.client.HTTPConnection(*addr, timeout=60)
+    conn.request("POST", path, body=body,
+                 headers={"Content-Type": "application/octet-stream"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def test_predict_endpoint_matches_direct_serving(server_and_truth):
+    addr, cohort, want = server_and_truth
+    buf = io.BytesIO()
+    np.savez(buf, x=cohort.x.astype(np.float32),
+             adj=cohort.adj.astype(np.float32),
+             snps=cohort.snps.astype(np.float32))
+    status, data = _post_npz(addr, "/predict", buf.getvalue())
+    assert status == 200
+    with np.load(io.BytesIO(data)) as zf:
+        np.testing.assert_allclose(zf["log_probs"], want["log_probs"],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(zf["pred"], want["pred"])
+        assert zf["our_reg"].shape == want["our_reg"].shape
+
+
+def test_health_endpoint_reports_model(server_and_truth):
+    addr, _, _ = server_and_truth
+    conn = http.client.HTTPConnection(*addr, timeout=30)
+    conn.request("GET", "/health")
+    resp = conn.getresponse()
+    body = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 200
+    assert body["model_class"] == "FusedSGCN"
+    assert body["batch"] == 8 and body["dtype"] == "float32"
+
+
+def test_bad_body_is_400_and_unknown_route_404(server_and_truth):
+    addr, _, _ = server_and_truth
+    status, data = _post_npz(addr, "/predict", b"this is not an npz")
+    assert status == 400
+    assert "x/adj/snps" in json.loads(data)["error"]
+    status, _ = _post_npz(addr, "/nope", b"")
+    assert status == 404
