@@ -96,7 +96,8 @@ def batched_forward(model, params, batch_stats,
                     batch_size: int = 256,
                     dtype: Optional[Any] = None,
                     forward_scan=None,
-                    mesh=None) -> Dict[str, np.ndarray]:
+                    mesh=None,
+                    fixed_batch: bool = False) -> Dict[str, np.ndarray]:
     """Serve a cohort: pad to a batch multiple, run the jitted scan, trim.
 
     Args:
@@ -111,11 +112,17 @@ def batched_forward(model, params, batch_stats,
       mesh: optional `jax.sharding.Mesh` for data-parallel serving over its
         first axis (see `make_forward_scan`); the effective batch is rounded
         up to a multiple of the axis size.
+      fixed_batch: keep the batch at exactly `batch_size` even when the
+        cohort is smaller (cohorts up to batch_size then share ONE compiled
+        program regardless of their size — what a long-lived server wants);
+        default False shrinks the batch to the cohort (less padded compute
+        for a one-shot call).
     Returns host arrays: log_probs (S, C), pred (S,), and our_reg when the
     model has a regression head — padding rows already removed.
     """
     n = x.shape[0]
-    b = min(batch_size, n) if n else batch_size
+    b = batch_size if fixed_batch else (min(batch_size, n) if n
+                                        else batch_size)
     if mesh is not None:
         ax = mesh.shape[mesh.axis_names[0]]
         b = -(-b // ax) * ax           # sample axis must divide by the mesh

@@ -133,6 +133,12 @@ def load_bundle(path: str) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
     return model, _unflatten(flat, "params"), _unflatten(flat, "batch_stats")
 
 
+# request-body ceiling for the HTTP daemon: ~10x a 256-subject fp32 cohort
+# (x + adj + snps); a client-supplied Content-Length beyond this is refused
+# before any allocation so one request cannot OOM the long-lived process
+MAX_BODY_BYTES = 256 * 1024 * 1024
+
+
 def build_http_server(model, params, batch_stats, *, host="127.0.0.1",
                       port=0, batch=256, dtype=None):
     """A ready-to-serve `ThreadingHTTPServer` around one warmed jitted
@@ -147,11 +153,23 @@ def build_http_server(model, params, batch_stats, *, host="127.0.0.1",
 
     import jax
 
-    from iggcn_tpu.predict import batched_forward, make_forward_scan
+    from iggcn_tpu.predict import (batched_forward, cast_floating,
+                                   make_forward_scan)
 
     scan = make_forward_scan(model)
     lock = threading.Lock()
     cfg = model.cfg
+    # cast once at build (NOT per request: a per-request tree cast is one
+    # eager device op per leaf) and commit the collections to the device —
+    # jit re-transfers host-numpy arguments on every call, so un-committed
+    # params would re-upload per request
+    np_dtype = None
+    if dtype is not None:
+        params = cast_floating(params, dtype)
+        batch_stats = cast_floating(batch_stats, dtype)
+        np_dtype = np.dtype(dtype)
+    params = jax.device_put(params)
+    batch_stats = jax.device_put(batch_stats)
     health = {
         "model_class": type(model).__name__,
         "batch": batch,
@@ -162,10 +180,15 @@ def build_http_server(model, params, batch_stats, *, host="127.0.0.1",
     }
 
     def forward(x, adj, snps):
+        if np_dtype is not None:     # inputs are per-request; params are not
+            x, adj, snps = (v.astype(np_dtype) for v in (x, adj, snps))
         with lock:
+            # fixed_batch: every cohort up to `batch` subjects pads to the
+            # SAME (1, batch, ...) shapes and reuses the warmed program
+            # (larger cohorts compile once per distinct batch count)
             return batched_forward(model, params, batch_stats, x, adj, snps,
-                                   batch_size=batch, dtype=dtype,
-                                   forward_scan=scan)
+                                   batch_size=batch, forward_scan=scan,
+                                   fixed_batch=True)
 
     # warm the compile before accepting traffic: the first real request
     # should pay milliseconds, not the jit compile
@@ -200,6 +223,17 @@ def build_http_server(model, params, batch_stats, *, host="127.0.0.1",
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                n = 0
+            if n <= 0:
+                self._reply_json(400, {"error": "missing Content-Length"})
+                return
+            if n > MAX_BODY_BYTES:
+                self._reply_json(
+                    413, {"error": f"body {n} bytes exceeds the "
+                                   f"{MAX_BODY_BYTES}-byte cap"})
+                return
+            try:
                 with np.load(io.BytesIO(self.rfile.read(n)),
                              allow_pickle=False) as zf:
                     x, adj, snps = (np.asarray(zf[k], np.float32)
@@ -239,6 +273,10 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.http is None and (args.npz is None or args.out is None):
         p.error("--npz and --out are required unless --http is given")
+    if args.http is not None and (args.npz is not None or
+                                  args.out is not None):
+        p.error("--http is a daemon mode and does not score a cohort; "
+                "drop --npz/--out (or drop --http for one-shot scoring)")
 
     import jax.numpy as jnp
 

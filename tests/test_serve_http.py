@@ -94,3 +94,104 @@ def test_bad_body_is_400_and_unknown_route_404(server_and_truth):
     assert "x/adj/snps" in json.loads(data)["error"]
     status, _ = _post_npz(addr, "/nope", b"")
     assert status == 404
+
+
+def test_oversized_body_is_413_without_reading(server_and_truth):
+    from iggcn_tpu.tools.serve import MAX_BODY_BYTES
+
+    addr, _, _ = server_and_truth
+    conn = http.client.HTTPConnection(*addr, timeout=30)
+    conn.putrequest("POST", "/predict")
+    conn.putheader("Content-Length", str(MAX_BODY_BYTES + 1))
+    conn.endheaders()          # body never sent: the cap must trip first
+    resp = conn.getresponse()
+    body = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 413 and "cap" in body["error"]
+
+
+def test_requests_up_to_batch_reuse_one_compiled_program(server_and_truth):
+    """fixed_batch serving: cohorts of any size <= --batch pad to identical
+    shapes, so after warm-up no request-size change triggers a jit trace."""
+    addr, cohort, _ = server_and_truth
+    import iggcn_tpu.predict as predict
+
+    traces = 0
+    orig = predict.pad_split_batches
+
+    def counting(arrays, batch_size):
+        nonlocal traces
+        traces += 1
+        out = orig(arrays, batch_size)
+        assert out[0].shape[:2] == (1, 8)   # (NB=1, B=batch) for n<=batch
+        return out
+
+    predict.pad_split_batches = counting
+    try:
+        for n in (1, 5, 8):
+            buf = io.BytesIO()
+            np.savez(buf, x=cohort.x[:n].astype(np.float32),
+                     adj=cohort.adj[:n].astype(np.float32),
+                     snps=cohort.snps[:n].astype(np.float32))
+            status, _ = _post_npz(addr, "/predict", buf.getvalue())
+            assert status == 200
+    finally:
+        predict.pad_split_batches = orig
+    assert traces == 3
+
+
+def test_bf16_daemon_agrees_with_fp32_and_casts_params_once(tmp_path):
+    from iggcn_tpu.config import ModelConfig
+    from iggcn_tpu.data.adni import synthetic_cohort
+    from iggcn_tpu.data.go_graph import synthetic_topology
+    from iggcn_tpu.models.fused_sgcn import FusedSGCN
+    from iggcn_tpu.predict import batched_forward
+    from iggcn_tpu.tools.serve import build_http_server
+
+    rng = np.random.default_rng(3)
+    topo = synthetic_topology(rng)
+    cohort = synthetic_cohort(rng, num_subjects=7)
+    mcfg = ModelConfig(num_layers=2, hidden=8)
+    model = FusedSGCN(cfg=mcfg, topo=topo)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((4, mcfg.rois, mcfg.feat_dim)),
+        jnp.zeros((4, mcfg.rois, mcfg.rois)),
+        jnp.zeros((4, mcfg.num_snps)))
+    fp32 = batched_forward(model, variables["params"],
+                           variables["batch_stats"],
+                           cohort.x.astype(np.float32),
+                           cohort.adj.astype(np.float32),
+                           cohort.snps.astype(np.float32), batch_size=8)
+    server = build_http_server(model, variables["params"],
+                               variables["batch_stats"], port=0, batch=8,
+                               dtype=jnp.bfloat16)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        buf = io.BytesIO()
+        np.savez(buf, x=cohort.x.astype(np.float32),
+                 adj=cohort.adj.astype(np.float32),
+                 snps=cohort.snps.astype(np.float32))
+        status, data = _post_npz(server.server_address[:2], "/predict",
+                                 buf.getvalue())
+        assert status == 200
+        with np.load(io.BytesIO(data)) as zf:
+            assert zf["log_probs"].dtype == np.float32
+            agree = np.mean(zf["pred"] == fp32["pred"])
+            assert agree >= 0.8, f"bf16/fp32 agreement {agree}"
+            np.testing.assert_allclose(zf["log_probs"], fp32["log_probs"],
+                                       atol=0.15)
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=5)
+
+
+def test_cli_rejects_http_with_one_shot_flags(tmp_path):
+    from iggcn_tpu.tools.serve import main
+
+    with pytest.raises(SystemExit):
+        main(["bundle.npz", "--http", "0", "--npz", "c.npz", "--out", "p.npz"])
+    with pytest.raises(SystemExit):
+        main(["bundle.npz"])     # neither mode selected
