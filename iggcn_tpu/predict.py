@@ -91,6 +91,53 @@ def make_forward_scan(model, mesh=None):
                    out_shardings=data)
 
 
+def make_snps_forward_scan(model):
+    """Jitted serving scan for the SNP-only families (`tools/serve` bundles
+    of `GeneOntologyNetwork` / `MLPModel`): (params, batch_stats,
+    (NB, B, P) snps) -> {"prob": (NB, B), "pred": (NB, B)}. The GO network
+    serves its two-apply eval (encode, then classify the latent — the
+    `snps_trainer` eval path); the MLP its single sigmoid head."""
+    from iggcn_tpu.models.go_network import GeneOntologyNetwork
+
+    is_go = isinstance(model, GeneOntologyNetwork)
+
+    def forward_scan(params, batch_stats, snps):
+        def body(_, x):
+            if is_go:
+                variables = {"params": params, "batch_stats": batch_stats}
+                latent, _, _ = model.apply(variables, x)
+                y_hat = model.apply(variables, latent, x,
+                                    method=GeneOntologyNetwork.classify)
+            else:
+                y_hat = model.apply({"params": params}, x)
+            prob = y_hat[:, 0]
+            return None, {"prob": prob,
+                          "pred": (prob > 0.5).astype(jnp.int32)}
+
+        _, outs = jax.lax.scan(body, None, snps)
+        return outs
+
+    return jax.jit(forward_scan)
+
+
+def batched_forward_snps(model, params, batch_stats, snps: np.ndarray, *,
+                         batch_size: int = 256,
+                         forward_scan=None,
+                         fixed_batch: bool = False) -> Dict[str, np.ndarray]:
+    """Serve a SNP-only cohort: (S, P) host matrix -> prob (S,), pred (S,).
+    Same pad/split/trim recipe as `batched_forward`."""
+    n = snps.shape[0]
+    b = batch_size if fixed_batch else (min(batch_size, n) if n
+                                        else batch_size)
+    (sb,) = pad_split_batches((np.asarray(snps, np.float32),), b)
+    if forward_scan is None:
+        forward_scan = make_snps_forward_scan(model)
+    outs = jax.device_get(forward_scan(params, batch_stats, sb))
+    return {k: np.asarray(v).reshape(-1)[:n].astype(
+        np.float32 if v.dtype == jnp.bfloat16 else v.dtype)
+        for k, v in outs.items()}
+
+
 def batched_forward(model, params, batch_stats,
                     x: np.ndarray, adj: np.ndarray, snps: np.ndarray, *,
                     batch_size: int = 256,

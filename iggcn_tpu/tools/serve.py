@@ -20,7 +20,9 @@ CLI:
 
 `cohort.npz` needs arrays `x` (S, N, F), `adj` (S, N, N), `snps` (S, P);
 `preds.npz` gets `log_probs`, `pred`, and `our_reg` when the model has the
-regression head.
+regression head. SNP-only bundles (`GeneOntologyNetwork`/`MLPModel`, written
+by the SNP trainer's `bundle_dir` / CLI `--export_bundle`) need only `snps`
+and get `prob`/`pred`.
 
 HTTP protocol (wire format is npz — numpy-native, zero client deps):
   GET  /health           -> JSON {model_class, batch, dtype, device, ...}
@@ -77,24 +79,41 @@ def _unflatten(flat: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
 
 
 def save_bundle(path: str, model, params, batch_stats) -> None:
-    """Write model config + GO topology + trained collections as one npz."""
+    """Write model config + GO topology + trained collections as one npz.
+
+    Two meta layouts, one per model-construction style:
+      * fused families (`cfg: ModelConfig` + `topo`): meta carries
+        `config` (the dataclass) — the original layout;
+      * cfg-less families (SNP-only `GeneOntologyNetwork`, `MLPModel`):
+        meta carries `ctor`, the module's own dataclass fields (minus
+        topo/parent/name), and the topo block is present only when the
+        model has one.
+    """
     import jax
 
-    topo = model.topo
-    cfg = dataclasses.asdict(model.cfg)
+    topo = getattr(model, "topo", None)
+    meta: Dict[str, Any] = {"model_class": type(model).__name__}
+    if hasattr(model, "cfg"):
+        meta["config"] = dataclasses.asdict(model.cfg)
+    else:
+        meta["ctor"] = {
+            f.name: (list(v) if isinstance(v, tuple) else v)
+            for f in dataclasses.fields(model)
+            if f.name not in ("parent", "name", "topo")
+            for v in (getattr(model, f.name),)}
     payload = {
-        "__meta__": np.asarray(json.dumps({
-            "model_class": type(model).__name__, "config": cfg,
-            "topo": {"pool": list(map(int, topo.pool)),
-                     "n_l": int(topo.n_l),
-                     "go_ids": list(topo.go_ids),
-                     "go_genes": [list(g) for g in topo.go_genes]}})),
-        "topo/adj_child_parent": np.asarray(topo.adj_child_parent),
-        "topo/go_snps": np.asarray(topo.go_snps),
-        "topo/go_level": np.asarray(topo.go_level),
         **_flatten(jax.device_get(params), "params"),
         **_flatten(jax.device_get(batch_stats), "batch_stats"),
     }
+    if topo is not None:
+        meta["topo"] = {"pool": list(map(int, topo.pool)),
+                        "n_l": int(topo.n_l),
+                        "go_ids": list(topo.go_ids),
+                        "go_genes": [list(g) for g in topo.go_genes]}
+        payload["topo/adj_child_parent"] = np.asarray(topo.adj_child_parent)
+        payload["topo/go_snps"] = np.asarray(topo.go_snps)
+        payload["topo/go_level"] = np.asarray(topo.go_level)
+    payload["__meta__"] = np.asarray(json.dumps(meta))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, **payload)
 
@@ -103,33 +122,44 @@ def load_bundle(path: str) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
     """Rebuild (model, params, batch_stats) from a `save_bundle` npz."""
     from iggcn_tpu.config import ModelConfig
     from iggcn_tpu.data.go_graph import GoTopology
+    from iggcn_tpu.models.baselines import MLPModel
     from iggcn_tpu.models.clusterlabel import ClusterLabelSGCN
     from iggcn_tpu.models.fused_sgcn import FusedSGCN
+    from iggcn_tpu.models.go_network import GeneOntologyNetwork
     from iggcn_tpu.models.guide import GuideImgSnp
 
     with np.load(path, allow_pickle=False) as zf:
         flat = {k: zf[k] for k in zf.files}
     meta = json.loads(str(flat.pop("__meta__")))
-    # every (cfg, topo)-built family with an eval forward (x, adj, snps,
-    # train=False) -> outputs carrying log_probs; must cover everything
-    # cv.py's export_bundle guard lets through
+    # cfg-built fused families (eval forward (x, adj, snps, train=False)
+    # with log_probs) — must cover everything cv.py's export_bundle guard
+    # lets through — plus the ctor-built SNP-only families (snps -> prob)
     classes = {"FusedSGCN": FusedSGCN, "GuideImgSnp": GuideImgSnp,
-               "ClusterLabelSGCN": ClusterLabelSGCN}
+               "ClusterLabelSGCN": ClusterLabelSGCN,
+               "GeneOntologyNetwork": GeneOntologyNetwork,
+               "MLPModel": MLPModel}
     if meta["model_class"] not in classes:
         raise ValueError(f"unknown bundled model class {meta['model_class']};"
                          f" supported: {sorted(classes)}")
+    cls = classes[meta["model_class"]]
+    topo = None
+    if "topo" in meta:
+        topo = GoTopology(
+            adj_child_parent=flat.pop("topo/adj_child_parent"),
+            go_snps=flat.pop("topo/go_snps"),
+            go_level=flat.pop("topo/go_level"),
+            pool=list(meta["topo"]["pool"]), n_l=meta["topo"]["n_l"],
+            go_ids=list(meta["topo"]["go_ids"]),
+            go_genes=[list(g) for g in meta["topo"]["go_genes"]])
     # JSON turns tuples into lists; coerce back per the dataclass defaults
-    cfg_dict = {k: tuple(v) if isinstance(v, list) else v
-                for k, v in meta["config"].items()}
-    topo = GoTopology(
-        adj_child_parent=flat.pop("topo/adj_child_parent"),
-        go_snps=flat.pop("topo/go_snps"),
-        go_level=flat.pop("topo/go_level"),
-        pool=list(meta["topo"]["pool"]), n_l=meta["topo"]["n_l"],
-        go_ids=list(meta["topo"]["go_ids"]),
-        go_genes=[list(g) for g in meta["topo"]["go_genes"]])
-    model = classes[meta["model_class"]](cfg=ModelConfig(**cfg_dict),
-                                         topo=topo)
+    if "config" in meta:
+        cfg_dict = {k: tuple(v) if isinstance(v, list) else v
+                    for k, v in meta["config"].items()}
+        model = cls(cfg=ModelConfig(**cfg_dict), topo=topo)
+    else:
+        ctor = {k: tuple(v) if isinstance(v, list) else v
+                for k, v in meta["ctor"].items()}
+        model = cls(topo=topo, **ctor) if topo is not None else cls(**ctor)
     return model, _unflatten(flat, "params"), _unflatten(flat, "batch_stats")
 
 
@@ -153,12 +183,21 @@ def build_http_server(model, params, batch_stats, *, host="127.0.0.1",
 
     import jax
 
-    from iggcn_tpu.predict import (batched_forward, cast_floating,
-                                   make_forward_scan)
+    from iggcn_tpu.predict import (batched_forward, batched_forward_snps,
+                                   cast_floating, make_forward_scan,
+                                   make_snps_forward_scan)
 
-    scan = make_forward_scan(model)
+    # SNP-only families (no ModelConfig) serve from a snps matrix alone;
+    # the fused families from the (x, adj, snps) triple
+    snps_only = not hasattr(model, "cfg")
+    scan = (make_snps_forward_scan(model) if snps_only
+            else make_forward_scan(model))
     lock = threading.Lock()
-    cfg = model.cfg
+    cfg = getattr(model, "cfg", None)
+    if snps_only:
+        topo = getattr(model, "topo", None)
+        num_snps = (int(topo.num_snps) if topo is not None
+                    else int(params["fc1"]["kernel"].shape[0]))
     # cast once at build (NOT per request: a per-request tree cast is one
     # eager device op per leaf) and commit the collections to the device —
     # jit re-transfers host-numpy arguments on every call, so un-committed
@@ -175,26 +214,44 @@ def build_http_server(model, params, batch_stats, *, host="127.0.0.1",
         "batch": batch,
         "dtype": "bfloat16" if dtype is not None else "float32",
         "device": jax.devices()[0].device_kind,
-        "rois": cfg.rois, "feat_dim": cfg.feat_dim,
-        "num_snps": cfg.num_snps, "num_classes": cfg.num_classes,
     }
+    if snps_only:
+        health.update(inputs="snps", num_snps=num_snps)
+    else:
+        health.update(inputs="x,adj,snps", rois=cfg.rois,
+                      feat_dim=cfg.feat_dim, num_snps=cfg.num_snps,
+                      num_classes=cfg.num_classes)
 
-    def forward(x, adj, snps):
-        if np_dtype is not None:     # inputs are per-request; params are not
-            x, adj, snps = (v.astype(np_dtype) for v in (x, adj, snps))
-        with lock:
-            # fixed_batch: every cohort up to `batch` subjects pads to the
-            # SAME (1, batch, ...) shapes and reuses the warmed program
-            # (larger cohorts compile once per distinct batch count)
-            return batched_forward(model, params, batch_stats, x, adj, snps,
-                                   batch_size=batch, forward_scan=scan,
-                                   fixed_batch=True)
+    if snps_only:
+        def forward(snps):
+            if np_dtype is not None:
+                snps = snps.astype(np_dtype)
+            with lock:
+                return batched_forward_snps(model, params, batch_stats,
+                                            snps, batch_size=batch,
+                                            forward_scan=scan,
+                                            fixed_batch=True)
+    else:
+        def forward(x, adj, snps):
+            if np_dtype is not None:  # inputs are per-request; params not
+                x, adj, snps = (v.astype(np_dtype) for v in (x, adj, snps))
+            with lock:
+                # fixed_batch: every cohort up to `batch` subjects pads to
+                # the SAME (1, batch, ...) shapes and reuses the warmed
+                # program (larger cohorts compile once per distinct batch
+                # count)
+                return batched_forward(model, params, batch_stats, x, adj,
+                                       snps, batch_size=batch,
+                                       forward_scan=scan, fixed_batch=True)
 
     # warm the compile before accepting traffic: the first real request
     # should pay milliseconds, not the jit compile
-    forward(np.zeros((1, cfg.rois, cfg.feat_dim), np.float32),
-            np.zeros((1, cfg.rois, cfg.rois), np.float32),
-            np.zeros((1, cfg.num_snps), np.float32))
+    if snps_only:
+        forward(np.zeros((1, num_snps), np.float32))
+    else:
+        forward(np.zeros((1, cfg.rois, cfg.feat_dim), np.float32),
+                np.zeros((1, cfg.rois, cfg.rois), np.float32),
+                np.zeros((1, cfg.num_snps), np.float32))
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route access logs to stderr
@@ -233,18 +290,19 @@ def build_http_server(model, params, batch_stats, *, host="127.0.0.1",
                     413, {"error": f"body {n} bytes exceeds the "
                                    f"{MAX_BODY_BYTES}-byte cap"})
                 return
+            want = ("snps",) if snps_only else ("x", "adj", "snps")
             try:
                 with np.load(io.BytesIO(self.rfile.read(n)),
                              allow_pickle=False) as zf:
-                    x, adj, snps = (np.asarray(zf[k], np.float32)
-                                    for k in ("x", "adj", "snps"))
+                    args = tuple(np.asarray(zf[k], np.float32)
+                                 for k in want)
             except Exception as e:
                 self._reply_json(
                     400, {"error": f"bad request body (want npz with "
-                                   f"x/adj/snps): {e}"})
+                                   f"{'/'.join(want)}): {e}"})
                 return
             try:
-                out = forward(x, adj, snps)
+                out = forward(*args)
             except Exception as e:
                 self._reply_json(500, {"error": f"inference failed: {e}"})
                 return
@@ -299,15 +357,27 @@ def main(argv=None):
         finally:
             server.server_close()
         return
-    with np.load(args.npz) as zf:
-        x, adj, snps = (np.asarray(zf[k], np.float32)
-                        for k in ("x", "adj", "snps"))
-    out = batched_forward(model, params, batch_stats, x, adj, snps,
-                          batch_size=args.batch,
-                          dtype=jnp.bfloat16 if args.bf16 else None)
+    if not hasattr(model, "cfg"):
+        # SNP-only bundle: the cohort npz needs just the snps matrix
+        from iggcn_tpu.predict import batched_forward_snps, cast_floating
+        with np.load(args.npz) as zf:
+            snps = np.asarray(zf["snps"], np.float32)
+        if args.bf16:
+            params = cast_floating(params, jnp.bfloat16)
+            batch_stats = cast_floating(batch_stats, jnp.bfloat16)
+            snps = snps.astype(np.dtype(jnp.bfloat16))
+        out = batched_forward_snps(model, params, batch_stats, snps,
+                                   batch_size=args.batch)
+    else:
+        with np.load(args.npz) as zf:
+            x, adj, snps = (np.asarray(zf[k], np.float32)
+                            for k in ("x", "adj", "snps"))
+        out = batched_forward(model, params, batch_stats, x, adj, snps,
+                              batch_size=args.batch,
+                              dtype=jnp.bfloat16 if args.bf16 else None)
     np.savez(args.out, **out)
     counts = np.bincount(out["pred"].astype(int))
-    print(f"served {x.shape[0]} subjects -> {args.out} "
+    print(f"served {snps.shape[0]} subjects -> {args.out} "
           f"(class counts {counts.tolist()})", file=sys.stderr)
 
 

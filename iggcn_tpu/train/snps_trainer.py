@@ -45,13 +45,18 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
                           n_l: int = 2, f_dim=(5, 5),
                           model_kind: str = "go",
                           result_path: str = None,
+                          bundle_dir: str = None,
                           verbose: bool = False) -> SnpsCVResult:
     """Binary SNP classification with the bare GO network + its head, or the
     plain MLP baseline (`model_kind='mlp'`, parity
     `kernel/train_eval_snps_baseline.py:298-324`: BCE only, no recon).
 
     `result_path`: optional npy path for the (folds, epochs, 5) score
-    matrix (parity `train_eval_snps.py:243-246`)."""
+    matrix (parity `train_eval_snps.py:243-246`).
+    `bundle_dir`: optionally write a self-contained serving bundle
+    (`tools/serve.save_bundle`) per fold at its best-accuracy epoch — the
+    trainer has no val split (reference parity), so "best" is the same
+    max-over-epochs selection its reporting uses."""
     labels = np.asarray(labels, np.float32).reshape(-1)
     use_mlp = model_kind == "mlp"
     if use_mlp:
@@ -147,6 +152,7 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
         opt_state = optimizer.init(params)
         host_rng = np.random.default_rng(seed * 77 + fold)
 
+        best_fold = (-1.0, None, None)   # (acc, params, batch_stats)
         x_tr, y_tr = snps[train_idx], labels[train_idx]
         x_te, y_te = snps[test_idx], labels[test_idx]
         # pad test once
@@ -187,10 +193,20 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
             score_result[fold, epoch] = [cm["acc"], cm["auc"], cm["f1"],
                                          cm["sen"], cm["spe"]]
             losses.append(tot_loss / n_te)
+            if bundle_dir is not None and cm["acc"] > best_fold[0]:
+                # stash device references only; the host fetch happens once
+                # at fold end inside save_bundle
+                best_fold = (cm["acc"], params, batch_stats)
             if verbose:
                 print(f"fold {fold} epoch {epoch}: acc {cm['acc']:.3f}, "
                       f"auc {cm['auc']:.3f}, f1 {cm['f1']:.3f}, "
                       f"sen {cm['sen']:.3f}, spe {cm['spe']:.3f}")
+
+        if bundle_dir is not None and best_fold[1] is not None:
+            from iggcn_tpu.tools.serve import save_bundle
+            save_bundle(
+                f"{bundle_dir}/serving_bundle_snps_{model_kind}_fold_{fold}.npz",
+                model, best_fold[1], best_fold[2])
 
     if result_path is not None:
         np.save(result_path, score_result)

@@ -403,6 +403,7 @@ def main(argv=None):
             batch_size=args.batch_size, lr=args.lr, seed=args.seed,
             model_kind=kind,
             result_path=os.path.join(res_dir, f"result_snps_{kind}.npy"),
+            bundle_dir=res_dir if args.export_bundle else None,
             verbose=True)
         log = (f"Result - {res.best_acc:.3f} +/- {res.best_acc_std:.3f} "
                f"(SNP-only, {args.model})")

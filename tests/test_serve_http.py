@@ -188,6 +188,66 @@ def test_bf16_daemon_agrees_with_fp32_and_casts_params_once(tmp_path):
         thread.join(timeout=5)
 
 
+def test_snps_only_daemon_serves_from_snps_matrix(tmp_path):
+    """SNP-only bundles (GeneOntologyNetwork) serve over HTTP from a
+    snps-matrix npz alone — the deploy surface covers every CLI-trainable
+    ADNI family, not just the fused ones."""
+    from iggcn_tpu.data.go_graph import synthetic_topology
+    from iggcn_tpu.models.go_network import GeneOntologyNetwork
+    from iggcn_tpu.predict import batched_forward_snps
+    from iggcn_tpu.tools.serve import build_http_server, load_bundle, \
+        save_bundle
+
+    rng = np.random.default_rng(5)
+    topo = synthetic_topology(rng)
+    model = GeneOntologyNetwork(topo=topo, in_f_dim=2, n_l=2, f_dim=(5, 5),
+                                l_dim=8)
+
+    def init_all(mod, x):
+        latent, x_hat, _ = mod(x)
+        return mod.classify(latent, x)
+
+    variables = jax.jit(lambda r, x: model.init(r, x, method=init_all))(
+        jax.random.PRNGKey(0), jnp.zeros((4, topo.num_snps)))
+    bundle = str(tmp_path / "snps.npz")
+    save_bundle(bundle, model, variables["params"],
+                variables["batch_stats"])
+    model2, params2, stats2 = load_bundle(bundle)
+
+    snps = rng.random((9, topo.num_snps)).astype(np.float32)
+    want = batched_forward_snps(model2, params2, stats2, snps, batch_size=8)
+
+    server = build_http_server(model2, params2, stats2, port=0, batch=8)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        addr = server.server_address[:2]
+        conn = http.client.HTTPConnection(*addr, timeout=30)
+        conn.request("GET", "/health")
+        health = json.loads(conn.getresponse().read())
+        conn.close()
+        assert health["inputs"] == "snps"
+        assert health["num_snps"] == topo.num_snps
+
+        buf = io.BytesIO()
+        np.savez(buf, snps=snps)
+        status, data = _post_npz(addr, "/predict", buf.getvalue())
+        assert status == 200
+        with np.load(io.BytesIO(data)) as zf:
+            np.testing.assert_allclose(zf["prob"], want["prob"],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(zf["pred"], want["pred"])
+        # a fused-style body against a snps-only server is a clean 400
+        buf = io.BytesIO()
+        np.savez(buf, x=snps, adj=snps, wrong=snps)
+        status, data = _post_npz(addr, "/predict", buf.getvalue())
+        assert status == 400 and "snps" in json.loads(data)["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=5)
+
+
 def test_cli_rejects_http_with_one_shot_flags(tmp_path):
     from iggcn_tpu.tools.serve import main
 

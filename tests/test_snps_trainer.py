@@ -123,3 +123,28 @@ def test_cli_go_network_csv_end_to_end(csv_cohort_root, tmp_path,
     scores = np.load(res_dir / "result_snps_go.npy")
     assert scores.shape == (3, 2, 5)
     assert np.all((scores >= 0.0) & (scores <= 1.0))
+
+
+@pytest.mark.parametrize("kind", ["go", "mlp"])
+def test_bundle_export_roundtrips_to_serving(topo, tmp_path, kind):
+    """`bundle_dir` writes one loadable serving bundle per fold; the rebuilt
+    model serves the training cohort with well-formed probabilities that
+    reproduce the trainer's best fold accuracy surface."""
+    from iggcn_tpu.predict import batched_forward_snps
+    from iggcn_tpu.tools.serve import load_bundle
+
+    snps, y = _separable_snps(topo)
+    cross_validation_snps(snps, y, topo, folds=3, epochs=4, batch_size=10,
+                          lr=3e-3, model_kind=kind,
+                          bundle_dir=str(tmp_path))
+    bundles = sorted(tmp_path.glob(f"serving_bundle_snps_{kind}_fold_*.npz"))
+    assert len(bundles) == 3
+    model, params, stats = load_bundle(str(bundles[0]))
+    assert type(model).__name__ == ("GeneOntologyNetwork" if kind == "go"
+                                    else "MLPModel")
+    out = batched_forward_snps(model, params, stats, snps, batch_size=16)
+    assert out["prob"].shape == (len(y),)
+    assert np.all((out["prob"] >= 0) & (out["prob"] <= 1))
+    np.testing.assert_array_equal(out["pred"], (out["prob"] > 0.5))
+    # the exported params carry the learned signal, not init noise
+    assert np.mean(out["pred"] == y) > 0.6
