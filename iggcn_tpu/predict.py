@@ -122,14 +122,22 @@ def make_snps_forward_scan(model):
 
 def batched_forward_snps(model, params, batch_stats, snps: np.ndarray, *,
                          batch_size: int = 256,
+                         dtype: Optional[Any] = None,
                          forward_scan=None,
                          fixed_batch: bool = False) -> Dict[str, np.ndarray]:
     """Serve a SNP-only cohort: (S, P) host matrix -> prob (S,), pred (S,).
-    Same pad/split/trim recipe as `batched_forward`."""
+    Same pad/split/trim recipe (and `dtype` contract: bf16 casts the
+    params/stats/input after padding) as `batched_forward`. The input's own
+    dtype is preserved otherwise, so a caller pre-casting params once (the
+    HTTP daemon) can pass already-bf16 inputs with `dtype=None`."""
     n = snps.shape[0]
     b = batch_size if fixed_batch else (min(batch_size, n) if n
                                         else batch_size)
-    (sb,) = pad_split_batches((np.asarray(snps, np.float32),), b)
+    (sb,) = pad_split_batches((np.asarray(snps),), b)
+    if dtype is not None:
+        params = cast_floating(params, dtype)
+        batch_stats = cast_floating(batch_stats, dtype)
+        sb = sb.astype(dtype)
     if forward_scan is None:
         forward_scan = make_snps_forward_scan(model)
     outs = jax.device_get(forward_scan(params, batch_stats, sb))

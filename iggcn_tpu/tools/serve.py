@@ -163,6 +163,21 @@ def load_bundle(path: str) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
     return model, _unflatten(flat, "params"), _unflatten(flat, "batch_stats")
 
 
+def _infer_input_width(params) -> int:
+    """Input feature width of a topo-less serving bundle, read off the
+    shallowest 2-D `kernel` leaf in key order (lazy `nn.compact` modules
+    like `MLPModel` have no width attribute — the trained params fix it).
+    Flax registers submodules in call order, so the first such kernel is
+    the input layer's (fan_in, features)."""
+    for key in sorted(params):
+        node = params[key]
+        if isinstance(node, dict) and "kernel" in node \
+                and getattr(node["kernel"], "ndim", 0) == 2:
+            return int(node["kernel"].shape[0])
+    raise ValueError("could not infer the input width from the bundle's "
+                     "params (no 2-D kernel leaf found)")
+
+
 # request-body ceiling for the HTTP daemon: ~10x a 256-subject fp32 cohort
 # (x + adj + snps); a client-supplied Content-Length beyond this is refused
 # before any allocation so one request cannot OOM the long-lived process
@@ -197,7 +212,7 @@ def build_http_server(model, params, batch_stats, *, host="127.0.0.1",
     if snps_only:
         topo = getattr(model, "topo", None)
         num_snps = (int(topo.num_snps) if topo is not None
-                    else int(params["fc1"]["kernel"].shape[0]))
+                    else _infer_input_width(params))
     # cast once at build (NOT per request: a per-request tree cast is one
     # eager device op per leaf) and commit the collections to the device —
     # jit re-transfers host-numpy arguments on every call, so un-committed
@@ -359,15 +374,12 @@ def main(argv=None):
         return
     if not hasattr(model, "cfg"):
         # SNP-only bundle: the cohort npz needs just the snps matrix
-        from iggcn_tpu.predict import batched_forward_snps, cast_floating
+        from iggcn_tpu.predict import batched_forward_snps
         with np.load(args.npz) as zf:
             snps = np.asarray(zf["snps"], np.float32)
-        if args.bf16:
-            params = cast_floating(params, jnp.bfloat16)
-            batch_stats = cast_floating(batch_stats, jnp.bfloat16)
-            snps = snps.astype(np.dtype(jnp.bfloat16))
         out = batched_forward_snps(model, params, batch_stats, snps,
-                                   batch_size=args.batch)
+                                   batch_size=args.batch,
+                                   dtype=jnp.bfloat16 if args.bf16 else None)
     else:
         with np.load(args.npz) as zf:
             x, adj, snps = (np.asarray(zf[k], np.float32)

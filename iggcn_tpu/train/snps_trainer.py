@@ -54,9 +54,12 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
     `result_path`: optional npy path for the (folds, epochs, 5) score
     matrix (parity `train_eval_snps.py:243-246`).
     `bundle_dir`: optionally write a self-contained serving bundle
-    (`tools/serve.save_bundle`) per fold at its best-accuracy epoch — the
-    trainer has no val split (reference parity), so "best" is the same
-    max-over-epochs selection its reporting uses."""
+    (`tools/serve.save_bundle`) per fold at that fold's own best-accuracy
+    epoch (per-fold argmax; the trainer has no val split, reference
+    parity). Note the reported `best_acc` picks ONE epoch by
+    mean-across-folds accuracy, so a fold's bundle may come from a
+    different — at least as accurate for that fold — epoch than the
+    reported surface."""
     labels = np.asarray(labels, np.float32).reshape(-1)
     use_mlp = model_kind == "mlp"
     if use_mlp:

@@ -148,3 +148,34 @@ def test_bundle_export_roundtrips_to_serving(topo, tmp_path, kind):
     np.testing.assert_array_equal(out["pred"], (out["prob"] > 0.5))
     # the exported params carry the learned signal, not init noise
     assert np.mean(out["pred"] == y) > 0.6
+
+
+def test_snps_serving_bf16_really_serves_bf16(topo):
+    """`dtype=bfloat16` must reach the compiled program's inputs (a silent
+    fp32 fallback once shipped: the pad helper force-cast to float32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iggcn_tpu.models.baselines import MLPModel
+    from iggcn_tpu.predict import (batched_forward_snps,
+                                   make_snps_forward_scan)
+
+    model = MLPModel()
+    snps, _ = _separable_snps(topo, s=9)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((4, topo.num_snps)))["params"]
+    scan = make_snps_forward_scan(model)
+    seen = []
+
+    def spy(params, batch_stats, sb):
+        seen.append((sb.dtype, jax.tree_util.tree_leaves(params)[0].dtype))
+        return scan(params, batch_stats, sb)
+
+    fp32 = batched_forward_snps(model, params, {}, snps, batch_size=8,
+                                forward_scan=spy)
+    bf16 = batched_forward_snps(model, params, {}, snps, batch_size=8,
+                                dtype=jnp.bfloat16, forward_scan=spy)
+    assert seen[0] == (jnp.float32, jnp.float32)
+    assert seen[1] == (jnp.bfloat16, jnp.bfloat16)
+    assert bf16["prob"].dtype == np.float32          # host outputs stay fp32
+    np.testing.assert_allclose(bf16["prob"], fp32["prob"], atol=0.05)
