@@ -57,17 +57,19 @@ def test_fold_scan_no_val_runs(cohort, topo, tiny_cfgs):
     assert res.score_result.shape == (3, 1, 5)
 
 
-@pytest.mark.parametrize("use_scan", [True, False], ids=["scan", "python"])
+@pytest.mark.parametrize("mode", ["scan", "python", "fold_parallel"])
 def test_export_bundle_writes_one_loadable_bundle_per_fold(
-        cohort, topo, tiny_cfgs, tmp_path, use_scan):
-    """Both CV drivers export exactly one serving bundle per fold (written
-    once at fold end, not per improvement epoch) and the artifact loads on
-    a deployment host."""
+        cohort, topo, tiny_cfgs, tmp_path, mode):
+    """All three CV drivers (whole-fold scan, per-epoch python, fold-
+    parallel SPMD) export exactly one serving bundle per fold (written once
+    at fold end, not per improvement epoch) and the artifact loads on a
+    deployment host."""
     from iggcn_tpu.models.fused_sgcn import FusedSGCN
     from iggcn_tpu.tools.serve import load_bundle
 
     mcfg, tcfg = tiny_cfgs
-    tcfg = dataclasses.replace(tcfg, use_fold_scan=use_scan)
+    tcfg = dataclasses.replace(tcfg, use_fold_scan=mode != "python",
+                               fold_parallel=mode == "fold_parallel")
     cross_validation(cohort, topo, mcfg, tcfg, res_dir=str(tmp_path),
                      verbose=False, export_bundle=True)
     bundles = sorted(tmp_path.glob("serving_bundle_*.npz"))
