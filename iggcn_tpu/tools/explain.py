@@ -15,6 +15,11 @@ importance probabilities in the reference's analysis units:
 
 Usage:
   python -m iggcn_tpu.tools.explain CKPT.msgpack --out DIR [--npz cohort.npz]
+
+Also accepts a serving bundle (`serving_bundle_*.npz`, written by
+`tools/serve.save_bundle` / `--export_bundle`) in place of the msgpack
+checkpoint — interpretability on a deployment host that only has the
+self-contained bundle.
 """
 from __future__ import annotations
 
@@ -205,7 +210,9 @@ def export_grad_cam(params: Dict[str, Any], batch_stats: Dict[str, Any],
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("checkpoint")
+    p.add_argument("checkpoint",
+                   help="gcn_state_dict_*.msgpack checkpoint or a "
+                        "serving_bundle_*.npz bundle")
     p.add_argument("--out", default="./explain_out")
     p.add_argument("--prefix", default="ckpt")
     p.add_argument("--x_npy", default=None,
@@ -220,7 +227,14 @@ def main(argv=None):
                    help="override hidden width (default: infer from ckpt)")
     p.add_argument("--gradcam_class", type=int, default=None)
     args = p.parse_args(argv)
-    payload = load_payload(args.checkpoint)
+    if args.checkpoint.endswith(".npz"):
+        # self-contained serving bundle: same collections, plus the model
+        # config/topology this tool does not need
+        from iggcn_tpu.tools.serve import load_bundle
+        _, params, batch_stats = load_bundle(args.checkpoint)
+        payload = {"params": params, "batch_stats": batch_stats}
+    else:
+        payload = load_payload(args.checkpoint)
     params = payload["params"]
     out = export_importances(params, args.out, args.prefix)
     print(f"exported {sorted(out)} to {args.out}")

@@ -145,6 +145,25 @@ def test_bundle_roundtrip_and_cli(served, tmp_path):
         assert zf["pred"].shape == (22,)
 
 
+def test_explain_tool_reads_serving_bundles(served, tmp_path, capsys):
+    """Interpretability on a deployment host: the explain CLI accepts a
+    serving bundle in place of a training checkpoint and exports the same
+    importance npys."""
+    from iggcn_tpu.tools import explain
+    from iggcn_tpu.tools.serve import save_bundle
+
+    model, variables, _ = served
+    bundle = str(tmp_path / "b.npz")
+    save_bundle(bundle, model, variables["params"], variables["batch_stats"])
+    out_dir = tmp_path / "ex"
+    explain.main([bundle, "--out", str(out_dir), "--prefix", "f0"])
+    got = np.load(out_dir / "node_importance_f0.npy")
+    np.testing.assert_array_equal(
+        got, np.asarray(jax.device_get(variables["params"]["prob"])))
+    assert (out_dir / "snps_importance_f0.npy").exists()
+    assert (out_dir / "edge_prob_bias_f0.npy").exists()
+
+
 @pytest.mark.parametrize("family", ["guide", "clusterlabel"])
 def test_bundle_roundtrip_covers_every_exportable_family(served, tmp_path,
                                                          family):
