@@ -31,8 +31,20 @@ import numpy as np
 
 
 def load_payload(path: str) -> Dict[str, Any]:
-    """Template-free restore of a checkpoint written by save_checkpoint;
-    returns the full payload ({"params": ..., "batch_stats": ...})."""
+    """Template-free restore of a trained payload ({"params": ...,
+    "batch_stats": ...}) from either a `save_checkpoint` msgpack or a
+    `save_bundle` serving npz. Dispatch is by content — npz is a ZIP
+    container (PK magic) — so renamed files still route correctly, and
+    programmatic callers of the documented load path (`predict.py:7`)
+    get bundle support for free."""
+    with open(path, "rb") as fh:
+        head = fh.read(2)
+    if head == b"PK":
+        # self-contained serving bundle: same collections, plus the model
+        # config/topology this tool does not need
+        from iggcn_tpu.tools.serve import load_bundle
+        _, params, batch_stats = load_bundle(path)
+        return {"params": params, "batch_stats": batch_stats}
     from flax import serialization
 
     with open(path, "rb") as fh:
@@ -227,21 +239,17 @@ def main(argv=None):
                    help="override hidden width (default: infer from ckpt)")
     p.add_argument("--gradcam_class", type=int, default=None)
     args = p.parse_args(argv)
-    if args.checkpoint.endswith(".npz"):
-        # self-contained serving bundle: same collections, plus the model
-        # config/topology this tool does not need
-        from iggcn_tpu.tools.serve import load_bundle
-        _, params, batch_stats = load_bundle(args.checkpoint)
-        payload = {"params": params, "batch_stats": batch_stats}
-    else:
-        payload = load_payload(args.checkpoint)
+    payload = load_payload(args.checkpoint)
     params = payload["params"]
     out = export_importances(params, args.out, args.prefix)
-    print(f"exported {sorted(out)} to {args.out}")
+    n_exported = len(out)
+    if out:
+        print(f"exported {sorted(out)} to {args.out}")
     if args.x_npy is not None:
         if "prob" in params and "prob_bias" in params:
             ep = export_edge_probabilities(params, np.load(args.x_npy),
                                            args.out, args.prefix)
+            n_exported += 1
             print(f"edge probabilities {ep.shape} exported")
         else:
             # e.g. a GUIDE_IMGSNP checkpoint: its importances are the
@@ -262,7 +270,23 @@ def main(argv=None):
                 np.load(args.adj_npy), args.out, args.prefix,
                 num_layers=args.gradcam_layers, hidden=args.gradcam_hidden,
                 class_index=args.gradcam_class)
+            n_exported += 1
             print(f"grad-CAM saliency {cam.shape} exported")
+    if not n_exported:
+        # exiting 0 with an empty export would read as success on e.g. a
+        # SNP-only GO/MLP bundle, which carries no importance leaves at all
+        import sys
+
+        print(
+            "error: no interpretability artifacts in this checkpoint — it "
+            "has none of the prob/snps_prob/prob_bias importance leaves "
+            "(those live on the SGCN image + fused families), and grad-CAM "
+            "needs --x_npy/--adj_npy on an SGCN image-family checkpoint. "
+            "SNP-only "
+            "GeneOntologyNetwork/MLPModel bundles have no importance "
+            "parameters; SNP importances come from the FUSED model "
+            "(parity kernel/sgcn_img_snp.py:88-97).", file=sys.stderr)
+        raise SystemExit(2)
 
 
 if __name__ == "__main__":

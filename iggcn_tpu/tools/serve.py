@@ -130,6 +130,12 @@ def load_bundle(path: str) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
 
     with np.load(path, allow_pickle=False) as zf:
         flat = {k: zf[k] for k in zf.files}
+    if "__meta__" not in flat:
+        raise ValueError(
+            f"{path} is not a serving bundle (no __meta__ entry; keys: "
+            f"{sorted(flat)[:6]}...) — expected an npz written by "
+            "save_bundle / --export_bundle. A cohort npz (x/adj/snps) "
+            "belongs on --npz, not in the bundle position.")
     meta = json.loads(str(flat.pop("__meta__")))
     # cfg-built fused families (eval forward (x, adj, snps, train=False)
     # with log_probs) — must cover everything cv.py's export_bundle guard

@@ -145,7 +145,7 @@ def test_bundle_roundtrip_and_cli(served, tmp_path):
         assert zf["pred"].shape == (22,)
 
 
-def test_explain_tool_reads_serving_bundles(served, tmp_path, capsys):
+def test_explain_tool_reads_serving_bundles(served, tmp_path):
     """Interpretability on a deployment host: the explain CLI accepts a
     serving bundle in place of a training checkpoint and exports the same
     importance npys."""
@@ -162,6 +162,42 @@ def test_explain_tool_reads_serving_bundles(served, tmp_path, capsys):
         got, np.asarray(jax.device_get(variables["params"]["prob"])))
     assert (out_dir / "snps_importance_f0.npy").exists()
     assert (out_dir / "edge_prob_bias_f0.npy").exists()
+
+
+def test_explain_robust_dispatch_and_loud_failures(served, tmp_path):
+    """r3 review fixes: bundle dispatch is by content (ZIP magic), not
+    filename, so renamed bundles still load; a non-bundle npz in the bundle
+    position gets a clear error instead of a bare KeyError; a checkpoint
+    with nothing to explain exits non-zero instead of silently succeeding."""
+    import os
+
+    from iggcn_tpu.tools import explain
+    from iggcn_tpu.tools.serve import load_bundle, save_bundle
+    from iggcn_tpu.train.checkpoint import save_checkpoint
+
+    model, variables, cohort = served
+
+    # 1. renamed bundle (no .npz suffix): content sniff routes to load_bundle
+    src = str(tmp_path / "b.npz")
+    save_bundle(src, model, variables["params"], variables["batch_stats"])
+    renamed = str(tmp_path / "bundle.ckpt")
+    os.rename(src, renamed)
+    payload = explain.load_payload(renamed)
+    assert "prob" in payload["params"]
+
+    # 2. cohort npz in the bundle position: actionable error, not KeyError
+    cohort_npz = str(tmp_path / "cohort.npz")
+    np.savez(cohort_npz, x=cohort.x, adj=cohort.adj, snps=cohort.snps)
+    with pytest.raises(ValueError, match="not a serving bundle"):
+        load_bundle(cohort_npz)
+
+    # 3. no importance leaves and no grad-CAM inputs -> exit code 2
+    ckpt = str(tmp_path / "noimp.msgpack")
+    save_checkpoint(ckpt, {"dense": {"kernel": np.zeros((4, 2), np.float32)}},
+                    {})
+    with pytest.raises(SystemExit) as ei:
+        explain.main([ckpt, "--out", str(tmp_path / "ex_empty")])
+    assert ei.value.code == 2
 
 
 @pytest.mark.parametrize("family", ["guide", "clusterlabel"])
