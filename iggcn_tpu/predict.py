@@ -146,6 +146,29 @@ def batched_forward_snps(model, params, batch_stats, snps: np.ndarray, *,
         for k, v in outs.items()}
 
 
+def validate_cohort_shapes(model, x, adj, snps) -> None:
+    """Fail fast with the model's expected shapes instead of a
+    ScopeParamShapeError from deep inside flax (e.g. a multi-fusion bundle
+    — 270-node, feat_dim 1 — fed a standard (S, 90, 3) cohort)."""
+    cfg = getattr(model, "cfg", None)
+    if cfg is None:
+        return
+    want = {"x": (cfg.rois, cfg.feat_dim), "adj": (cfg.rois, cfg.rois),
+            "snps": (cfg.num_snps,)}
+    got = {"x": tuple(x.shape[1:]), "adj": tuple(adj.shape[1:]),
+           "snps": tuple(snps.shape[1:])}
+    bad = {k: (want[k], got[k]) for k in want if want[k] != got[k]}
+    if bad:
+        detail = "; ".join(f"{k} per-subject shape {g}, model expects {w}"
+                           for k, (w, g) in bad.items())
+        raise ValueError(
+            f"cohort does not match the model ({detail}) — this "
+            f"{type(model).__name__} was trained with rois={cfg.rois}, "
+            f"feat_dim={cfg.feat_dim}, num_snps={cfg.num_snps}"
+            + (", is_multi_fusion=True (270-node single-feature graphs)"
+               if getattr(cfg, "is_multi_fusion", False) else ""))
+
+
 def batched_forward(model, params, batch_stats,
                     x: np.ndarray, adj: np.ndarray, snps: np.ndarray, *,
                     batch_size: int = 256,
@@ -175,6 +198,7 @@ def batched_forward(model, params, batch_stats,
     Returns host arrays: log_probs (S, C), pred (S,), and our_reg when the
     model has a regression head — padding rows already removed.
     """
+    validate_cohort_shapes(model, x, adj, snps)
     n = x.shape[0]
     b = batch_size if fixed_batch else (min(batch_size, n) if n
                                         else batch_size)

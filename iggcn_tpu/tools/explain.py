@@ -155,17 +155,27 @@ def grad_cam(model, variables, x, adj, *, class_index: Optional[int] = None,
 _GRADCAM_CACHE: Dict[tuple, Any] = {}
 
 
+def _is_primitive(v) -> bool:
+    if isinstance(v, tuple):
+        return all(_is_primitive(x) for x in v)
+    return isinstance(v, (int, float, bool, str, type(None)))
+
+
 def _model_config_key(model) -> tuple:
     """Hashable key of a flax module's declared (hyperparameter) fields —
-    the harness-managed `parent`/`name` fields are excluded."""
+    the harness-managed `parent`/`name` fields are excluded. If ANY field
+    is non-primitive (a nested config dataclass, a topology of arrays),
+    two instances cannot be proven equivalent from primitives alone, so
+    the key degrades to object identity — the cached closure keeps `model`
+    alive, so the id cannot be recycled while the cache entry exists."""
     import dataclasses
 
-    return tuple(
-        (f.name, getattr(model, f.name))
-        for f in dataclasses.fields(model)
-        if f.name not in ("parent", "name")
-        and isinstance(getattr(model, f.name, None),
-                       (int, float, bool, str, type(None), tuple)))
+    fields = [(f.name, getattr(model, f.name))
+              for f in dataclasses.fields(model)
+              if f.name not in ("parent", "name")]
+    if all(_is_primitive(v) for _, v in fields):
+        return tuple(fields)
+    return ("model_id", id(model))
 
 
 def export_grad_cam(params: Dict[str, Any], batch_stats: Dict[str, Any],

@@ -170,10 +170,8 @@ def run_folds_parallel(fold_fn, states, train_datas, val_datas, test_datas,
     # (comparable to the sequential path's warm-fold throughput)
     compiled = run.lower(*stacked).compile()
     _mark("aot_compile")
-    import time
-
     from iggcn_tpu.utils.fetch import device_get_tree
-    t0 = time.perf_counter()
+    t0 = _time.perf_counter()
     per_epoch, best, final_states = compiled(*stacked)
     _mark("dispatch")
     # packed fetch: the result tree has ~hundreds of leaves and a
@@ -183,5 +181,5 @@ def run_folds_parallel(fold_fn, states, train_datas, val_datas, test_datas,
     per_epoch, best, final_states = device_get_tree(
         (per_epoch, best, final_states._replace(opt_state=())))
     _mark("fetch")
-    exec_seconds = time.perf_counter() - t0
+    exec_seconds = _time.perf_counter() - t0
     return per_epoch, best, final_states, exec_seconds

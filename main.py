@@ -211,6 +211,21 @@ def main(argv=None):
     if args.fold_parallel and args.no_fold_scan:
         parser.error("--fold_parallel requires the whole-fold scan; drop "
                      "--no_fold_scan")
+    if args.export_bundle:
+        # refuse up front rather than training for minutes and silently
+        # writing no bundle (cv.py's guard would skip topo-less models)
+        image_only = {m for m, k in FUSION_MODELS.items()
+                      if k in ("sgcn_image", "sgcn_ori")}
+        if args.model in ZOO_MODELS or args.model in image_only:
+            parser.error(
+                f"--export_bundle does not support --model {args.model}: "
+                "serving bundles exist for the fused imaging-genetics "
+                f"families ({', '.join(sorted(set(FUSION_MODELS) - image_only))}) "
+                f"and the SNP-only families ({', '.join(SNP_MODELS)})")
+        if args.isPermutTest:
+            parser.error("--export_bundle with --isPermutTest: permutation "
+                         "runs train on shuffled labels; refusing to export "
+                         "serving bundles from them")
     if args.clinical_score_index != -1:
         # a single selected clinical score means ONE regression target; a
         # 3-wide head against a (B, 1) target would broadcast silently in

@@ -30,6 +30,20 @@ def test_every_reference_model_name_is_routed():
         assert name in cli.SNP_MODELS
 
 
+def test_export_bundle_refused_for_unsupported_routes(capsys):
+    """r3 review fix: cv.py's topo guard used to silently skip the bundle
+    write for image-only/zoo models and permutation runs — the CLI now
+    refuses up front instead of training and exporting nothing."""
+    for argv in (["--model", "GIN", "--export_bundle"],
+                 ["--model", "SGCN_GCN", "--export_bundle"],
+                 ["--model", "SGCN_Ori", "--export_bundle"],
+                 ["--model", "SGCN_GCN_IMGSNP", "--export_bundle",
+                  "--isPermutTest"]):
+        with pytest.raises(SystemExit):
+            cli.main(argv)
+        assert "--export_bundle" in capsys.readouterr().err
+
+
 def test_zoo_model_factory_covers_all_names():
     from iggcn_tpu.data.nested import create_nested_dataset
     from iggcn_tpu.data.tu import synthetic_tu_dataset

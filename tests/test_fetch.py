@@ -58,20 +58,3 @@ def test_mixed_host_tree_falls_back():
     assert device_get_tree({}) == {}
 
 
-def test_profile_step_categorize():
-    from iggcn_tpu.tools.profile_step import categorize
-
-    # categorization keys on the op-name prefix, NOT the full HLO text —
-    # a fusion calling %fused_reduce must stay a fusion
-    assert categorize("%fusion.34 = f32[] fusion(...), calls=%fused_reduce"
-                      ) == "fused elementwise/loop"
-    assert categorize("%dot.3 = f32[2,2] dot(...)") == "matmul/conv (MXU)"
-    assert categorize("%copy-start.95 = (pred[90,90]...) copy-start(...)"
-                      ) == "async DMA (overlapped)"
-    assert categorize("%slice-start.12 = ((f32[256,90,90])...)"
-                      ) == "async DMA (overlapped)"
-    assert categorize("%copy.7 = f32[3] copy(%fusion.1)"
-                      ) == "copy/layout/transpose"
-    assert categorize("%reduce.7 = f32[] reduce(...)") == "reduce"
-    assert categorize("%rng-bit-generator") == "rng"
-    assert categorize("%custom-call.2 = ...") == "other"

@@ -164,6 +164,21 @@ def test_explain_tool_reads_serving_bundles(served, tmp_path):
     assert (out_dir / "edge_prob_bias_f0.npy").exists()
 
 
+def test_batched_forward_rejects_mismatched_cohort(served):
+    """r3 review fix: a cohort whose per-subject shapes disagree with the
+    model config (e.g. a standard (S, 90, 3) cohort against a multi-fusion
+    bundle) fails fast with the expected shapes, not a ScopeParamShapeError
+    from deep inside flax."""
+    from iggcn_tpu.predict import batched_forward
+
+    model, variables, cohort = served
+    with pytest.raises(ValueError, match="does not match the model"):
+        batched_forward(model, variables["params"], variables["batch_stats"],
+                        cohort.x[:, :, :1].astype(np.float32),
+                        cohort.adj.astype(np.float32),
+                        cohort.snps.astype(np.float32), batch_size=8)
+
+
 def test_explain_robust_dispatch_and_loud_failures(served, tmp_path):
     """r3 review fixes: bundle dispatch is by content (ZIP magic), not
     filename, so renamed bundles still load; a non-bundle npz in the bundle

@@ -17,7 +17,12 @@ def test_categorize_uses_prefix_only():
     assert categorize("%dot.1 = f32[8,8]{1,0} dot(...)") == "matmul/conv (MXU)"
     assert categorize("%copy-start.2 = ... copy-start(...)"
                       ) == "async DMA (overlapped)"
+    assert categorize("%slice-start.12 = ((f32[256,90,90])...)"
+                      ) == "async DMA (overlapped)"
     assert categorize("%transpose.9 = ...") == "copy/layout/transpose"
+    assert categorize("%copy.7 = f32[3] copy(%fusion.1)"
+                      ) == "copy/layout/transpose"
+    assert categorize("%rng-bit-generator") == "rng"
     assert categorize("%custom-call.1 = ...") == "other"
 
 
