@@ -231,6 +231,9 @@ def export_grad_cam(params: Dict[str, Any], batch_stats: Dict[str, Any],
 
 
 def main(argv=None):
+    from iggcn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("checkpoint",
                    help="gcn_state_dict_*.msgpack checkpoint or a "

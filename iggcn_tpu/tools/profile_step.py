@@ -124,6 +124,9 @@ def _read_xspace(trace_dir: str) -> bytes:
 
 
 def main(argv=None):
+    from iggcn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--steps", type=int, default=20)

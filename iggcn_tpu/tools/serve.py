@@ -335,6 +335,9 @@ def build_http_server(model, params, batch_stats, *, host="127.0.0.1",
 
 
 def main(argv=None):
+    from iggcn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("bundle", help="npz written by save_bundle")
     p.add_argument("--npz", help="cohort npz with x/adj/snps arrays")

@@ -243,7 +243,9 @@ def main(argv=None):
     from iggcn_tpu.data import adni, go_graph
     from iggcn_tpu.train.cv import cross_validation
     from iggcn_tpu.utils.cache import enable_compilation_cache
+    from iggcn_tpu.utils.platform import honor_platform_env
 
+    honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
     enable_compilation_cache()
 
     if args.save_appendix == "":
