@@ -373,11 +373,49 @@ def _measure_once(topo, cohort):
             torch_gps, canary_pre, canary_post)
 
 
+def _probe_backend(timeout_s=180.0):
+    """Return an error string when the default jax backend is unreachable.
+
+    The axon tunnel blocks INDEFINITELY inside backend init when it is down
+    (observed live: even ``jax.devices()`` never returns), which would eat
+    the caller's whole time budget with zero output. Probing in a killable
+    subprocess turns that hang into a bounded, loud failure. Returns None
+    when the backend answers.
+    """
+    import subprocess
+
+    code = (
+        "import os, jax\n"
+        "p = os.environ.get('JAX_PLATFORMS', '').strip()\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
+        "print(jax.devices()[0].platform)\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return (f"jax backend init did not respond within {timeout_s:.0f}s "
+                "(TPU tunnel down?)")
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()[-3:]
+        return "jax backend init failed: " + (" | ".join(tail) or
+                                              f"rc={r.returncode}")
+    return None
+
+
 def main():
     from iggcn_tpu.utils.cache import enable_compilation_cache
     from iggcn_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
+    err = _probe_backend()
+    if err is not None:
+        # one parseable line + nonzero exit beats an unbounded hang
+        print(json.dumps({"metric": "fused_sgcn_go_train_throughput",
+                          "value": None, "unit": "graphs/sec/chip",
+                          "error": err}))
+        print(f"[bench] {err}", file=sys.stderr)
+        sys.exit(1)
     enable_compilation_cache()
     topo, cohort = build_data()
     for attempt in range(1, MAX_ATTEMPTS + 1):

@@ -32,3 +32,15 @@ def test_bench_infer_tiny():
     cohort = synthetic_cohort(rng, num_subjects=12)
     gps = bench_infer(topo, cohort, batch=8, reps=2)
     assert gps > 0
+
+
+def test_probe_backend_ok_on_cpu(monkeypatch):
+    from bench import _probe_backend
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert _probe_backend(timeout_s=120.0) is None
+
+
+def test_probe_backend_times_out_loudly():
+    from bench import _probe_backend
+    err = _probe_backend(timeout_s=0.05)
+    assert err is not None and "did not respond" in err
