@@ -70,6 +70,9 @@ class GeneOntologyNetwork(nn.Module):
     dim_snps_atten: int = 5
     dropout_gcn: float = 0.4
     dropout_readout: float = 0.5
+    # classify-head dropout rates (reference go_model.py:152,155); attrs so
+    # the trajectory-parity test can zero them (PRNGs can't cross frameworks)
+    dropout_cls: Tuple[float, float] = (0.5, 0.3)
     activation: str = "relu"       # 'relu' (go_model) | 'prelu' (guide_go_model)
     # Encoder edge-attention implementation (identical math, pinned by the
     # golden sparse-reference test):
@@ -302,8 +305,8 @@ class GeneOntologyNetwork(nn.Module):
         h = nn.relu(self.bn_cls(h, use_running_average=det,
                                 weight=sample_weight))
         if train:
-            h = dropout(self.make_rng("dropout"), h, 0.5)
+            h = dropout(self.make_rng("dropout"), h, self.dropout_cls[0])
         h = nn.relu(self.cls1(h))
         if train:
-            h = dropout(self.make_rng("dropout"), h, 0.3)
+            h = dropout(self.make_rng("dropout"), h, self.dropout_cls[1])
         return jax.nn.sigmoid(self.cls2(h))

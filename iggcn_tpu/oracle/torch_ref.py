@@ -284,3 +284,51 @@ def load_fused_params(torch_model: TorchFused, params: Dict[str, Any]) -> None:
     with torch.no_grad():
         for _, t, a in iter_fused_param_pairs(torch_model, params):
             t.copy_(_t(a))
+
+
+class TorchGoClassifier(nn.Module):
+    """SNP-only classifier mirror: TorchGoNetwork + the classification head
+    (`kernel/go_model.py:148-157`; mirrors `GeneOntologyNetwork.classify`).
+    Used by the SNP-trainer trajectory-parity test."""
+
+    def __init__(self, topo, in_f_dim=2, n_l=2, f_dim=(5, 5), l_dim=32):
+        super().__init__()
+        self.go = TorchGoNetwork(topo, in_f_dim=in_f_dim, n_l=n_l,
+                                 f_dim=f_dim, l_dim=l_dim)
+        num_snps = topo.go_snps.shape[1]
+        self.bn_cls = nn.BatchNorm1d(l_dim + num_snps)
+        self.cls1 = nn.Linear(l_dim + num_snps, 16, bias=False)
+        self.cls2 = nn.Linear(16, 1)
+        self.drop_cls = (0.5, 0.3)
+
+    def forward(self, snps):
+        latent, x_hat, _ = self.go(snps)
+        h = torch.cat([latent, snps], dim=-1)
+        h = F.dropout(F.relu(self.bn_cls(h)), self.drop_cls[0],
+                      self.training)
+        h = F.dropout(F.relu(self.cls1(h)), self.drop_cls[1], self.training)
+        y_hat = torch.sigmoid(self.cls2(h))
+        return latent, x_hat, y_hat
+
+
+def iter_go_classifier_param_pairs(tm: TorchGoClassifier,
+                                   params: Dict[str, Any]):
+    """(name, torch_param, jax_array_in_torch_layout) for the SNP-only
+    classifier — `params` is the standalone GeneOntologyNetwork tree (body
+    and head share one flax scope there, unlike the fused model's
+    'go_network' sub-tree)."""
+    yield from iter_go_param_pairs(tm.go, params)
+    yield "bn_cls.w", tm.bn_cls.weight, params["bn_cls"]["scale"]
+    yield "bn_cls.b", tm.bn_cls.bias, params["bn_cls"]["bias"]
+    yield ("cls1.weight", tm.cls1.weight,
+           np.asarray(params["cls1"]["kernel"]).T)
+    yield ("cls2.weight", tm.cls2.weight,
+           np.asarray(params["cls2"]["kernel"]).T)
+    yield "cls2.bias", tm.cls2.bias, params["cls2"]["bias"]
+
+
+def load_go_classifier_params(tm: TorchGoClassifier,
+                              params: Dict[str, Any]) -> None:
+    with torch.no_grad():
+        for _, t, a in iter_go_classifier_param_pairs(tm, params):
+            t.copy_(_t(a))

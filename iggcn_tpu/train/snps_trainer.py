@@ -26,54 +26,16 @@ from iggcn_tpu.train import metrics
 from iggcn_tpu.train.steps import steplr_host
 
 
-@dataclasses.dataclass
-class SnpsCVResult:
-    accs: np.ndarray            # (folds, epochs)
-    best_acc: float
-    mean_loss: float
-    # per-epoch [acc, auc, f1, sen, spe] per fold — the reference's
-    # score_result_epoch surface (train_eval_snps.py:210,242-246)
-    score_result: np.ndarray    # (folds, epochs, 5)
-    best_acc_std: float = 0.0   # std across folds at the best mean epoch
+def build_snps_steps(model, optimizer, lambda0: float, use_mlp: bool):
+    """Jitted (train_step, eval_batch) for the SNP-only trainer.
 
-
-def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
-                          topo: GoTopology, *, folds: int = 5,
-                          epochs: int = 100, batch_size: int = 32,
-                          lr: float = 1e-3, lambda0: float = 1e-5,
-                          seed: int = 1000, l_dim: int = 32,
-                          n_l: int = 2, f_dim=(5, 5),
-                          model_kind: str = "go",
-                          result_path: str = None,
-                          bundle_dir: str = None,
-                          verbose: bool = False) -> SnpsCVResult:
-    """Binary SNP classification with the bare GO network + its head, or the
-    plain MLP baseline (`model_kind='mlp'`, parity
-    `kernel/train_eval_snps_baseline.py:298-324`: BCE only, no recon).
-
-    `result_path`: optional npy path for the (folds, epochs, 5) score
-    matrix (parity `train_eval_snps.py:243-246`).
-    `bundle_dir`: optionally write a self-contained serving bundle
-    (`tools/serve.save_bundle`) per fold at that fold's own best-accuracy
-    epoch (per-fold argmax; the trainer has no val split, reference
-    parity). Note the reported `best_acc` picks ONE epoch by
-    mean-across-folds accuracy, so a fold's bundle may come from a
-    different — at least as accurate for that fold — epoch than the
-    reported surface."""
-    labels = np.asarray(labels, np.float32).reshape(-1)
-    use_mlp = model_kind == "mlp"
-    if use_mlp:
-        from iggcn_tpu.models.baselines import MLPModel
-        model = MLPModel()
-        lambda0 = 0.0
-    else:
-        model = GeneOntologyNetwork(topo=topo, in_f_dim=2, n_l=n_l,
-                                    f_dim=f_dim, l_dim=l_dim)
-
-    # StepLR(50, 0.7) parity: decay per EPOCH per FOLD — the LR is an
-    # explicit train_step argument computed host-side, not a step-indexed
-    # optax schedule (which would be tied to one fold's steps_per_epoch).
-    optimizer = optax.scale_by_adam(b1=0.9, b2=0.999)
+    Module-level (rather than a closure inside `cross_validation_snps`) so
+    the trajectory-parity test can drive the EXACT trainer semantics —
+    loss assembly (BCE(sum) + lambda0 * sum-MSE recon,
+    `kernel/train_eval_snps.py:298-335`), the two-apply train forward with
+    independent dropout streams, and the explicit host-side LR argument —
+    against the torch oracle, step for step.
+    """
 
     def forward(params, batch_stats, x, w, train, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -128,6 +90,60 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
         pred = (y_hat[:, 0] > 0.5).astype(jnp.float32)
         correct = jnp.sum((pred == y) * w)
         return loss, correct, y_hat[:, 0]
+
+    return train_step, eval_batch
+
+
+@dataclasses.dataclass
+class SnpsCVResult:
+    accs: np.ndarray            # (folds, epochs)
+    best_acc: float
+    mean_loss: float
+    # per-epoch [acc, auc, f1, sen, spe] per fold — the reference's
+    # score_result_epoch surface (train_eval_snps.py:210,242-246)
+    score_result: np.ndarray    # (folds, epochs, 5)
+    best_acc_std: float = 0.0   # std across folds at the best mean epoch
+
+
+def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
+                          topo: GoTopology, *, folds: int = 5,
+                          epochs: int = 100, batch_size: int = 32,
+                          lr: float = 1e-3, lambda0: float = 1e-5,
+                          seed: int = 1000, l_dim: int = 32,
+                          n_l: int = 2, f_dim=(5, 5),
+                          model_kind: str = "go",
+                          result_path: str = None,
+                          bundle_dir: str = None,
+                          verbose: bool = False) -> SnpsCVResult:
+    """Binary SNP classification with the bare GO network + its head, or the
+    plain MLP baseline (`model_kind='mlp'`, parity
+    `kernel/train_eval_snps_baseline.py:298-324`: BCE only, no recon).
+
+    `result_path`: optional npy path for the (folds, epochs, 5) score
+    matrix (parity `train_eval_snps.py:243-246`).
+    `bundle_dir`: optionally write a self-contained serving bundle
+    (`tools/serve.save_bundle`) per fold at that fold's own best-accuracy
+    epoch (per-fold argmax; the trainer has no val split, reference
+    parity). Note the reported `best_acc` picks ONE epoch by
+    mean-across-folds accuracy, so a fold's bundle may come from a
+    different — at least as accurate for that fold — epoch than the
+    reported surface."""
+    labels = np.asarray(labels, np.float32).reshape(-1)
+    use_mlp = model_kind == "mlp"
+    if use_mlp:
+        from iggcn_tpu.models.baselines import MLPModel
+        model = MLPModel()
+        lambda0 = 0.0
+    else:
+        model = GeneOntologyNetwork(topo=topo, in_f_dim=2, n_l=n_l,
+                                    f_dim=f_dim, l_dim=l_dim)
+
+    # StepLR(50, 0.7) parity: decay per EPOCH per FOLD — the LR is an
+    # explicit train_step argument computed host-side, not a step-indexed
+    # optax schedule (which would be tied to one fold's steps_per_epoch).
+    optimizer = optax.scale_by_adam(b1=0.9, b2=0.999)
+    train_step, eval_batch = build_snps_steps(model, optimizer, lambda0,
+                                              use_mlp)
 
     splits = k_fold(labels.astype(int), folds, seed)
     accs = np.zeros((folds, epochs))
