@@ -190,10 +190,19 @@ def bench_infer(topo, cohort, batch=BATCH, dtype=None, reps=50):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo, t_hi = timed(lo), timed(hi)
-    # slope cancels T0; guard against a contended hi-window going negative
-    dt = max(t_hi - t_lo, 1e-9)
-    return 8 * reps * n / dt
+    # slope cancels T0 — but on the time-shared chip a contended lo-window
+    # can make the slope tiny or negative, which a bare max() clamp would
+    # turn into an astronomically INFLATED throughput. Require the slope to
+    # be a meaningful fraction of the hi wall; remeasure once, then fall
+    # back to the T0-inclusive hi-program rate, which can only UNDERSTATE.
+    for _attempt in range(2):
+        t_lo, t_hi = timed(lo), timed(hi)
+        dt = t_hi - t_lo
+        if dt > 0.1 * t_hi:
+            return 8 * reps * n / dt
+        print(f"[bench] serving slope degenerate (t_lo={t_lo:.4f}s "
+              f"t_hi={t_hi:.4f}s): contended window", file=sys.stderr)
+    return 9 * reps * n / t_hi
 
 
 def _peak_tflops(device_kind: str) -> float:

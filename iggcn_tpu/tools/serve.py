@@ -96,10 +96,15 @@ def save_bundle(path: str, model, params, batch_stats) -> None:
     if hasattr(model, "cfg"):
         meta["config"] = dataclasses.asdict(model.cfg)
     else:
+        # dropout fields are excluded: serving is eval-mode-only, so the
+        # rates never apply, and leaving them out keeps bundles loadable
+        # on hosts whose model class predates a given dropout knob
+        # (producer/consumer version skew is the bundle's whole use case)
         meta["ctor"] = {
             f.name: (list(v) if isinstance(v, tuple) else v)
             for f in dataclasses.fields(model)
             if f.name not in ("parent", "name", "topo")
+            and not f.name.startswith("dropout")
             for v in (getattr(model, f.name),)}
     payload = {
         **_flatten(jax.device_get(params), "params"),
@@ -163,8 +168,12 @@ def load_bundle(path: str) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
                     for k, v in meta["config"].items()}
         model = cls(cfg=ModelConfig(**cfg_dict), topo=topo)
     else:
+        # drop ctor keys this host's model class doesn't know (bundles
+        # written by a NEWER producer stay loadable; serving-relevant state
+        # lives in params/batch_stats, not in extra ctor knobs)
+        known = {f.name for f in dataclasses.fields(cls)}
         ctor = {k: tuple(v) if isinstance(v, list) else v
-                for k, v in meta["ctor"].items()}
+                for k, v in meta["ctor"].items() if k in known}
         model = cls(topo=topo, **ctor) if topo is not None else cls(**ctor)
     return model, _unflatten(flat, "params"), _unflatten(flat, "batch_stats")
 

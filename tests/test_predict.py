@@ -250,3 +250,45 @@ def test_bundle_roundtrip_covers_every_exportable_family(served, tmp_path,
     got = batched_forward(model2, params2, stats2, *args, batch_size=8)
     np.testing.assert_allclose(got["log_probs"], want["log_probs"],
                                rtol=1e-6, atol=1e-6)
+
+
+def test_bundle_ctor_meta_survives_version_skew(tmp_path):
+    """Ctor-built bundles must tolerate producer/consumer version skew:
+    dropout knobs (eval-irrelevant) stay OUT of the exported meta so old
+    hosts can load new bundles, and the loader DROPS unknown ctor keys so
+    new hosts load bundles from an even-newer producer."""
+    import json
+
+    from iggcn_tpu.data.go_graph import synthetic_topology
+    from iggcn_tpu.models.go_network import GeneOntologyNetwork
+    from iggcn_tpu.tools.serve import load_bundle, save_bundle
+
+    topo = synthetic_topology(np.random.default_rng(0))
+    model = GeneOntologyNetwork(topo=topo)
+
+    def _init_all(mod, x):
+        latent, _, _ = mod(x)
+        return mod.classify(latent, x)
+
+    variables = jax.jit(lambda r, x: model.init(r, x, method=_init_all))(
+        jax.random.PRNGKey(0),
+        jnp.zeros((4, topo.go_snps.shape[1]), jnp.float32))
+    bundle = str(tmp_path / "go.npz")
+    save_bundle(bundle, model, variables["params"],
+                variables.get("batch_stats", {}))
+
+    with np.load(bundle, allow_pickle=False) as zf:
+        flat = {k: zf[k] for k in zf.files}
+    meta = json.loads(str(flat["__meta__"]))
+    assert not any(k.startswith("dropout") for k in meta["ctor"]), \
+        "dropout knobs leaked into the bundle meta (breaks older hosts)"
+
+    # a bundle from a FUTURE producer carries a ctor knob we don't know
+    meta["ctor"]["knob_from_the_future"] = 7
+    flat["__meta__"] = np.asarray(json.dumps(meta))
+    skewed = str(tmp_path / "go_future.npz")
+    np.savez(skewed, **flat)
+    model2, params2, _ = load_bundle(skewed)
+    assert type(model2) is GeneOntologyNetwork
+    # and the loaded model still serves: same ctor-relevant structure
+    assert model2.n_l == model.n_l and model2.l_dim == model.l_dim
