@@ -417,12 +417,15 @@ class CNNModel(nn.Module):
 
 class MLPModel(nn.Module):
     """`MLP_Model` (`kernel/mlp.py:74-119`): 54 -> 32 -> 16 -> 1 sigmoid SNP
-    classifier."""
+    classifier. The dropout rate is an attr (reference 0.3) so the
+    trajectory-parity test can zero it."""
+
+    dropout_rate: float = 0.3
 
     @nn.compact
     def __call__(self, snps, *, train: bool = False):
         h = nn.relu(TorchLinear(32, name="fc1")(snps))
         if train:
-            h = dropout(self.make_rng("dropout"), h, 0.3)
+            h = dropout(self.make_rng("dropout"), h, self.dropout_rate)
         h = nn.relu(TorchLinear(16, name="fc2")(h))
         return jax.nn.sigmoid(TorchLinear(1, name="fc3")(h))

@@ -332,3 +332,34 @@ def load_go_classifier_params(tm: TorchGoClassifier,
     with torch.no_grad():
         for _, t, a in iter_go_classifier_param_pairs(tm, params):
             t.copy_(_t(a))
+
+
+class TorchSnpMLP(nn.Module):
+    """Mirror of `MLPModel` (`kernel/mlp.py:74-119`): 54 -> 32 -> 16 -> 1
+    sigmoid SNP classifier, dropout after fc1 only."""
+
+    def __init__(self, num_snps: int):
+        super().__init__()
+        self.fc1 = nn.Linear(num_snps, 32)
+        self.fc2 = nn.Linear(32, 16)
+        self.fc3 = nn.Linear(16, 1)
+        self.drop = 0.3
+
+    def forward(self, snps):
+        h = F.dropout(F.relu(self.fc1(snps)), self.drop, self.training)
+        h = F.relu(self.fc2(h))
+        return torch.sigmoid(self.fc3(h))
+
+
+def iter_snp_mlp_param_pairs(tm: TorchSnpMLP, params: Dict[str, Any]):
+    for name in ("fc1", "fc2", "fc3"):
+        lin = getattr(tm, name)
+        yield (f"{name}.weight", lin.weight,
+               np.asarray(params[name]["kernel"]).T)
+        yield f"{name}.bias", lin.bias, params[name]["bias"]
+
+
+def load_snp_mlp_params(tm: TorchSnpMLP, params: Dict[str, Any]) -> None:
+    with torch.no_grad():
+        for _, t, a in iter_snp_mlp_param_pairs(tm, params):
+            t.copy_(_t(a))

@@ -160,3 +160,67 @@ def test_six_step_snps_trajectory_matches_torch(topo, cohort):
                 np.asarray(jstats[bn_name]["var"]), t_var,
                 rtol=rtol, atol=1e-5,
                 err_msg=f"{bn_name} running var diverged ({label})")
+
+
+def test_six_step_mlp_trajectory_matches_torch(cohort):
+    """Same six-step guarantee for `build_snps_steps(use_mlp=True)` — the
+    SNP MLP baseline trainer (`kernel/train_eval_snps_baseline.py` as
+    intended): BCE(sum) only (the MLP forward has no recon), bare Adam,
+    host-side StepLR. No BatchNorm and no degenerate leaves, so EVERY
+    parameter is held elementwise."""
+    from iggcn_tpu.models.baselines import MLPModel
+    from iggcn_tpu.oracle.torch_ref import (TorchSnpMLP,
+                                            iter_snp_mlp_param_pairs,
+                                            load_snp_mlp_params)
+
+    batch = device_batch(cohort, B)
+    snps = jnp.asarray(batch["snps"])
+    y = (jnp.asarray(batch["y"]) > 0).astype(jnp.float32)
+    w = jnp.ones((B,), jnp.float32)
+
+    model = MLPModel(dropout_rate=0.0)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(3), snps)
+    init_params = jax.device_get(variables["params"])
+
+    optimizer = optax.scale_by_adam(b1=0.9, b2=0.999)
+    train_step, _ = build_snps_steps(model, optimizer, 0.0, use_mlp=True)
+
+    params, opt_state = variables["params"], optimizer.init(
+        variables["params"])
+    rng = jax.random.PRNGKey(17)
+    losses_jax = []
+    for epoch in range(STEPS):
+        lr_t = jnp.float32(steplr_host(LR, FACTOR, DECAY_EVERY, epoch))
+        rng, srng = jax.random.split(rng)
+        params, _, opt_state, loss = train_step(
+            params, {}, opt_state, snps, y, w, srng, lr_t)
+        losses_jax.append(float(loss))
+    final_params = jax.device_get(params)
+
+    tm = TorchSnpMLP(int(snps.shape[1]))
+    load_snp_mlp_params(tm, init_params)
+    tm.drop = 0.0
+    tm.train()
+    opt = torch.optim.Adam(tm.parameters(), lr=LR)
+    x_t = torch.from_numpy(np.asarray(snps).copy())
+    y_t = torch.from_numpy(np.asarray(y).copy())
+    losses_torch = []
+    for epoch in range(STEPS):
+        for g in opt.param_groups:
+            g["lr"] = steplr_host(LR, FACTOR, DECAY_EVERY, epoch)
+        opt.zero_grad()
+        y_hat = tm(x_t)
+        p = y_hat[:, 0].clamp(1e-7, 1.0)
+        q = (1 - y_hat[:, 0]).clamp(1e-7, 1.0)
+        loss = -(y_t * torch.log(p) + (1 - y_t) * torch.log(q)).sum()
+        loss.backward()
+        opt.step()
+        losses_torch.append(float(loss.detach()))
+
+    np.testing.assert_allclose(losses_jax, losses_torch, rtol=2e-4,
+                               err_msg="per-step MLP training losses diverged")
+    assert abs(losses_jax[0] - losses_jax[-1]) > 1e-3
+    for name, t, a in iter_snp_mlp_param_pairs(tm, final_params):
+        np.testing.assert_allclose(
+            np.asarray(a), t.detach().numpy(), rtol=2e-3, atol=2.5e-4,
+            err_msg=f"param {name} diverged after {STEPS} steps")
