@@ -28,3 +28,31 @@ def honor_platform_env() -> str | None:
 
     jax.config.update("jax_platforms", want)
     return want
+
+
+def warn_if_backend_hangs(timeout_s: float = 120.0):
+    """Arm a one-shot watchdog for jax backend initialization.
+
+    The axon tunnel blocks INDEFINITELY inside backend init when it is
+    down — no exception, no timeout, nothing on stderr. This cannot be
+    detected in-thread (the hang is inside a C extension call), so arm a
+    timer BEFORE the first backend use and cancel it after: if init is
+    still stuck when the timer fires, the user gets a diagnosis and the
+    escape hatch instead of a silent forever-hang. Returns the started
+    `threading.Timer`; call `.cancel()` once a backend call returns.
+    """
+    import sys
+    import threading
+
+    def _warn():
+        print(
+            f"[iggcn] jax backend init has not returned after "
+            f"{timeout_s:.0f}s — if this is the remote-TPU (axon) tunnel, "
+            "it is likely DOWN (init blocks forever, it does not error). "
+            "Ctrl-C and rerun with JAX_PLATFORMS=cpu to run on the host "
+            "CPU instead.", file=sys.stderr)
+
+    timer = threading.Timer(timeout_s, _warn)
+    timer.daemon = True
+    timer.start()
+    return timer

@@ -30,3 +30,28 @@ def test_noop_when_blank(monkeypatch):
     monkeypatch.setenv("JAX_PLATFORMS", "  ")
     assert honor_platform_env() is None
     assert jax.config.jax_platforms == before
+
+
+def test_backend_watchdog_fires_and_cancels():
+    import io
+    import sys
+    import time
+
+    from iggcn_tpu.utils.platform import warn_if_backend_hangs
+
+    cap = io.StringIO()
+    real = sys.stderr
+    sys.stderr = cap
+    try:
+        t = warn_if_backend_hangs(timeout_s=0.05)
+        time.sleep(0.3)
+        t.cancel()
+        fired = cap.getvalue()
+        t2 = warn_if_backend_hangs(timeout_s=5.0)
+        t2.cancel()          # the normal path: init returned in time
+        time.sleep(0.1)
+        quiet = cap.getvalue()
+    finally:
+        sys.stderr = real
+    assert "JAX_PLATFORMS=cpu" in fired
+    assert quiet == fired    # cancelled watchdog stays silent
