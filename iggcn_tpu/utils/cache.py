@@ -10,6 +10,23 @@ from __future__ import annotations
 import os
 
 
+def _host_cpu_fingerprint() -> str:
+    """Short stable hash of this host's CPU feature flags (see the SIGILL
+    note at the call site). Falls back to a constant off-Linux."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as fh:
+            flags = next(line for line in fh if line.startswith("flags"))
+    except (OSError, StopIteration):
+        return "nocpuinfo"
+    # flag order is kernel-stable within a boot but not guaranteed across
+    # kernels; sort so equal feature SETS share a cache
+    return hashlib.sha1(
+        " ".join(sorted(flags.split(":", 1)[1].split())).encode()
+    ).hexdigest()[:10]
+
+
 def enable_compilation_cache(path: str | None = None) -> str:
     """Point JAX at a persistent compilation cache (idempotent)."""
     import jax
@@ -23,6 +40,13 @@ def enable_compilation_cache(path: str | None = None) -> str:
     # remote TPU (axon) embed that host's CPU feature flags and SIGILL-risk
     # when loaded by plain local-CPU runs
     path = os.path.join(path, jax.default_backend())
+    if jax.default_backend() == "cpu":
+        # ...and per HOST CPU for the cpu backend: XLA:CPU AOT entries bake
+        # the compile machine's feature set (avx512*, amx*), and this VM's
+        # visible features change across sessions — loading a mismatched
+        # entry logs cpu_aot_loader errors and risks SIGILL (observed live:
+        # entries compiled with +amx-avx512 loaded on a host without it)
+        path = os.path.join(path, _host_cpu_fingerprint())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # cache every program regardless of compile time / size
