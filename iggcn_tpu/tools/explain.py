@@ -234,6 +234,9 @@ def main(argv=None):
     from iggcn_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
+    from iggcn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # warm compiles + dead-tunnel watchdog
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("checkpoint",
                    help="gcn_state_dict_*.msgpack checkpoint or a "

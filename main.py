@@ -243,15 +243,10 @@ def main(argv=None):
     from iggcn_tpu.data import adni, go_graph
     from iggcn_tpu.train.cv import cross_validation
     from iggcn_tpu.utils.cache import enable_compilation_cache
-    from iggcn_tpu.utils.platform import (honor_platform_env,
-                                          warn_if_backend_hangs)
+    from iggcn_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
-    # backend init over a DOWN tunnel blocks forever with no output; the
-    # watchdog turns that into a diagnosis + escape hatch on stderr
-    watchdog = warn_if_backend_hangs()
-    enable_compilation_cache()   # first backend use (jax.default_backend)
-    watchdog.cancel()
+    enable_compilation_cache()   # also arms the dead-tunnel watchdog
 
     if args.save_appendix == "":
         args.save_appendix = "_" + time.strftime("%Y%m%d%H%M%S")

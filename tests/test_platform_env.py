@@ -47,9 +47,12 @@ def test_backend_watchdog_fires_and_cancels():
         time.sleep(0.3)
         t.cancel()
         fired = cap.getvalue()
-        t2 = warn_if_backend_hangs(timeout_s=5.0)
-        t2.cancel()          # the normal path: init returned in time
-        time.sleep(0.1)
+        # the normal path: cancelled BEFORE its (short) timeout elapses —
+        # the sleep is longer than the timeout so a broken cancel() would
+        # make this leg print a second warning
+        t2 = warn_if_backend_hangs(timeout_s=0.05)
+        t2.cancel()
+        time.sleep(0.3)
         quiet = cap.getvalue()
     finally:
         sys.stderr = real
