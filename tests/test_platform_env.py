@@ -47,12 +47,13 @@ def test_backend_watchdog_fires_and_cancels():
         time.sleep(0.3)
         t.cancel()
         fired = cap.getvalue()
-        # the normal path: cancelled BEFORE its (short) timeout elapses —
-        # the sleep is longer than the timeout so a broken cancel() would
-        # make this leg print a second warning
-        t2 = warn_if_backend_hangs(timeout_s=0.05)
+        # the normal path: cancelled BEFORE its timeout elapses — the sleep
+        # is longer than the timeout so a broken cancel() would make this
+        # leg print a second warning. 0.5 s (not 0.05) keeps the arm->cancel
+        # gap comfortably inside the timeout on a loaded host.
+        t2 = warn_if_backend_hangs(timeout_s=0.5)
         t2.cancel()
-        time.sleep(0.3)
+        time.sleep(1.0)
         quiet = cap.getvalue()
     finally:
         sys.stderr = real
