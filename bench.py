@@ -382,34 +382,9 @@ def _measure_once(topo, cohort):
             torch_gps, canary_pre, canary_post)
 
 
-def _probe_backend(timeout_s=180.0):
-    """Return an error string when the default jax backend is unreachable.
-
-    The axon tunnel blocks INDEFINITELY inside backend init when it is down
-    (observed live: even ``jax.devices()`` never returns), which would eat
-    the caller's whole time budget with zero output. Probing in a killable
-    subprocess turns that hang into a bounded, loud failure. Returns None
-    when the backend answers.
-    """
-    import subprocess
-
-    code = (
-        "import os, jax\n"
-        "p = os.environ.get('JAX_PLATFORMS', '').strip()\n"
-        "if p: jax.config.update('jax_platforms', p)\n"
-        "print(jax.devices()[0].platform)\n"
-    )
-    try:
-        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                           text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return (f"jax backend init did not respond within {timeout_s:.0f}s "
-                "(TPU tunnel down?)")
-    if r.returncode != 0:
-        tail = (r.stderr or "").strip().splitlines()[-3:]
-        return "jax backend init failed: " + (" | ".join(tail) or
-                                              f"rc={r.returncode}")
-    return None
+# probe_backend moved to iggcn_tpu.utils.platform (shared with the
+# driver entry points); imported under the old name for the tests
+from iggcn_tpu.utils.platform import probe_backend as _probe_backend  # noqa: E402
 
 
 def main():

@@ -56,3 +56,35 @@ def warn_if_backend_hangs(timeout_s: float = 120.0):
     timer.daemon = True
     timer.start()
     return timer
+
+
+def probe_backend(timeout_s: float = 180.0):
+    """Return an error string when the default jax backend is unreachable.
+
+    The axon tunnel blocks INDEFINITELY inside backend init when it is down
+    (observed live: even ``jax.devices()`` never returns), which would eat
+    the caller's whole time budget with zero output. Probing in a killable
+    subprocess turns that hang into a bounded, loud failure. Returns None
+    when the backend answers. Used by bench.py and the driver entry points
+    before committing to in-process backend init.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import os, jax\n"
+        "p = os.environ.get('JAX_PLATFORMS', '').strip()\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
+        "print(jax.devices()[0].platform)\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return (f"jax backend init did not respond within {timeout_s:.0f}s "
+                "(TPU tunnel down?)")
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()[-3:]
+        return "jax backend init failed: " + (" | ".join(tail) or
+                                              f"rc={r.returncode}")
+    return None
