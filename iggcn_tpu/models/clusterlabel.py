@@ -52,6 +52,7 @@ class ClusterLabelSGCN(nn.Module):
         self.go_network = GeneOntologyNetwork(
             topo=self.topo, in_f_dim=cfg.go_in_f_dim, n_l=cfg.go_n_l,
             f_dim=cfg.go_f_dim, l_dim=cfg.l_dim, dim_snps_atten=dim_atten,
+            dropout_gcn=cfg.dropout_go, dropout_readout=cfg.dropout_readout,
             name="go_network")
         if cfg.is_cross_atten:
             e = dim_atten
@@ -105,15 +106,18 @@ class ClusterLabelSGCN(nn.Module):
             cross = img_out
         out_z = jnp.concatenate([(img_out + cross) / 2.0, latent], axis=-1)
 
+        # head dropout rate from cfg (default 0.5 = the reference's hardcoded
+        # rate, sgcn_img_snp_clusterlabel.py:219-224) so the trajectory-parity
+        # test can zero it
         cluster_in = out_z if cfg.is_predict_cluster else jnp.zeros_like(out_z)
         hc = nn.relu(self.lin1_cluster(cluster_in))
         if train:
-            hc = dropout(self.make_rng("dropout"), hc, 0.5)
+            hc = dropout(self.make_rng("dropout"), hc, cfg.dropout_lin)
         logits_cluster = self.lin2_cluster(hc)
 
         hd = nn.relu(self.lin1_classify(out_z))
         if train:
-            hd = dropout(self.make_rng("dropout"), hd, 0.5)
+            hd = dropout(self.make_rng("dropout"), hd, cfg.dropout_lin)
         logits = self.lin2_classify(hd)
 
         return ClusterOutputs(jax.nn.log_softmax(logits, -1),

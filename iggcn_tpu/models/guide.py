@@ -34,9 +34,17 @@ class GuideOutputs(NamedTuple):
 
 
 class GuideImgSnp(nn.Module):
+    """Dropout rates come from `cfg.dropout_go/lin/regr` (defaults equal the
+    reference's hardcoded 0.4/0.5/0.3, `guide_img_snp.py:103-128`) so the
+    trajectory-parity test can zero them. `gumbel_zero=True` replaces the
+    Gumbel noise with zeros — the deterministic parity mode (framework PRNGs
+    cannot be aligned across JAX/torch, same principle as zeroed dropout);
+    training always uses the stochastic draw."""
+
     cfg: ModelConfig
     topo: Any
     hidden_linear: int = 32
+    gumbel_zero: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -59,6 +67,7 @@ class GuideImgSnp(nn.Module):
         self.go_network = GeneOntologyNetwork(
             topo=self.topo, in_f_dim=2, n_l=cfg.go_n_l, f_dim=cfg.go_f_dim,
             l_dim=cfg.l_dim, dim_snps_atten=cfg.hidden,
+            dropout_gcn=cfg.dropout_go, dropout_readout=cfg.dropout_readout,
             activation="prelu", name="go_network")
         self.lin1 = TorchLinear(self.hidden_linear, name="lin1")
         self.lin2 = TorchLinear(cfg.num_classes, name="lin2")
@@ -77,8 +86,11 @@ class GuideImgSnp(nn.Module):
         if train:
             # straight-through Gumbel-softmax, hard=True
             # (parity F.gumbel_softmax(log(imp), tau, hard=True), :99)
-            g = jax.random.gumbel(self.make_rng("gumbel"),
-                                  (b,) + self.bias_n.shape)
+            if self.gumbel_zero:
+                g = jnp.zeros((b,) + self.bias_n.shape)
+            else:
+                g = jax.random.gumbel(self.make_rng("gumbel"),
+                                      (b,) + self.bias_n.shape)
             logits = (jnp.log(imp)[None] + g) / temperature
             soft = jax.nn.softmax(logits, axis=-1)
             hard = jax.nn.one_hot(jnp.argmax(logits, axis=-1), 2,
@@ -94,7 +106,7 @@ class GuideImgSnp(nn.Module):
         h = self.enc1(x_in)
         h = self.enc_act(h)
         if train:
-            h = dropout(self.make_rng("dropout"), h, 0.4)
+            h = dropout(self.make_rng("dropout"), h, cfg.dropout_go)
         latent_n = self.enc2(h)
         latent = (latent_g + latent_n) / 2
 
@@ -102,22 +114,22 @@ class GuideImgSnp(nn.Module):
         r = self.dec_bn1(latent, use_running_average=det, weight=sample_weight)
         r = self.dec_act1(r)
         if train:
-            r = dropout(self.make_rng("dropout"), r, 0.4)
+            r = dropout(self.make_rng("dropout"), r, cfg.dropout_go)
         r = self.dec1(r)
         r = self.dec_bn2(r, use_running_average=det, weight=sample_weight)
         r = self.dec_act2(r)
         if train:
-            r = dropout(self.make_rng("dropout"), r, 0.4)
+            r = dropout(self.make_rng("dropout"), r, cfg.dropout_go)
         recon = self.dec2(r)
 
         linear_outf = nn.relu(self.lin1(latent))
         hc = linear_outf
         if train:
-            hc = dropout(self.make_rng("dropout"), hc, 0.5)
+            hc = dropout(self.make_rng("dropout"), hc, cfg.dropout_lin)
         logits = self.lin2(hc)
         reg = nn.relu(self.lin1_regr(latent))
         if train:
-            reg = dropout(self.make_rng("dropout"), reg, 0.3)
+            reg = dropout(self.make_rng("dropout"), reg, cfg.dropout_regr)
         reg = self.lin2_regr(reg)
 
         return GuideOutputs(jax.nn.log_softmax(logits, -1), snps_hat, latent,

@@ -46,6 +46,9 @@ class SGCNImage(nn.Module):
     num_classes: int = 2
     hidden_linear: int = 64
     use_gat: bool = False
+    # head dropout rate (reference hardcodes 0.5, kernel/sgcn.py:381) as an
+    # attribute so the trajectory-parity test can zero it
+    dropout_lin: float = 0.5
 
     def setup(self):
         if self.use_gat:
@@ -119,7 +122,7 @@ class SGCNImage(nn.Module):
         z = jnp.concatenate(feats, axis=-1).reshape(b, -1)
         z = nn.relu(self.lin1(z))
         if train:
-            z = dropout(self.make_rng("dropout"), z, 0.5)
+            z = dropout(self.make_rng("dropout"), z, self.dropout_lin)
         return jax.nn.log_softmax(self.lin2(z), axis=-1)
 
     def __call__(self, x: jax.Array, adj: jax.Array, *,
@@ -142,6 +145,10 @@ class SGCNOri(nn.Module):
     rois: int = 90
     dim2: int = 64
     dim3: int = 16
+    # head dropout rates (reference hardcodes 0.5/0.7, kernel/sgcn.py:142-146)
+    # as attributes so the trajectory-parity test can zero them
+    dropout1: float = 0.5
+    dropout2: float = 0.7
 
     def setup(self):
         self.conv1_w = self.param("conv1_w", _glorot, (self.h0, self.h1))
@@ -187,11 +194,11 @@ class SGCNOri(nn.Module):
         z = self.bn1(nn.relu(self.fc1(z)), use_running_average=det,
                      weight=sample_weight)
         if train:
-            z = dropout(self.make_rng("dropout"), z, 0.5)
+            z = dropout(self.make_rng("dropout"), z, self.dropout1)
         z = self.bn2(nn.relu(self.fc2(z)), use_running_average=det,
                      weight=sample_weight)
         if train:
-            z = dropout(self.make_rng("dropout"), z, 0.7)
+            z = dropout(self.make_rng("dropout"), z, self.dropout2)
         return jax.nn.log_softmax(self.fc3(z), axis=-1)
 
     def __call__(self, x: jax.Array, adj: jax.Array, *,
