@@ -118,6 +118,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="./data/go_root_connection.txt")
     p.add_argument("--snps_to_gene_path", type=str,
                    default="./data/snps_to_gene.txt")
+    p.add_argument("--cohort_cache_dir", type=str, default="./cohort_cache",
+                   help="directory for the processed-cohort npz cache "
+                        "(parity: ADNIDataset caches its pre_transformed "
+                        "tensors under ./<root>/processed/, "
+                        "sgcn_data.py:307,332-338); '' disables caching")
     p.add_argument("--snps_csv_root", type=str, default="./data/snps/data",
                    help="root of the standalone SNP csv cohorts "
                         "(<root>/data_{AH,MH,AM}/{snp,dia}.csv) for the "
@@ -273,27 +278,57 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
 
     def load_cohort():
+        from iggcn_tpu.data import cohort_cache
         use_synthetic = args.synthetic or not os.path.isdir(args.data_path)
         if use_synthetic:
             print("[data] using synthetic ADNI-shaped cohort")
             rois = 270 if args.isMultiFusion else 90
             feat = 1 if args.isMultiFusion else 3
-            cohort = adni.synthetic_cohort(
-                rng, num_subjects=args.synthetic_subjects, rois=rois,
+            # topology is drawn BEFORE the cohort so a cohort cache hit
+            # (which skips the generator's rng draws) leaves the topo
+            # identical to a cache-miss run; nothing consumes `rng` after
+            # the cohort on this route
+            topo = go_graph.synthetic_topology(rng)
+            key = cohort_cache.cohort_key(
+                "synthetic", seed=args.seed,
+                num_subjects=args.synthetic_subjects, rois=rois,
                 feat_dim=feat, num_classes=dcfg.num_classes,
                 num_regr=args.num_regr, top_k=args.top_k)
+            cohort, hit = cohort_cache.load_or_build(
+                args.cohort_cache_dir, key,
+                lambda: adni.synthetic_cohort(
+                    rng, num_subjects=args.synthetic_subjects, rois=rois,
+                    feat_dim=feat, num_classes=dcfg.num_classes,
+                    num_regr=args.num_regr, top_k=args.top_k))
             if dcfg.is_permut_test:
                 # the real loader shuffles inside load_adni874; the synthetic
                 # null must shuffle too or every permutation run would train
-                # on the true subject->score pairing
+                # on the true subject->score pairing. Applied AFTER the cache
+                # so cached entries always hold the true pairing.
                 cohort = adni.permute_regression_targets(
                     cohort, dcfg.seed4permut_test)
-            topo = go_graph.synthetic_topology(rng)
         else:
-            cohort = adni.load_adni874(dcfg)
+            # key includes the source files (name/size/mtime) and every
+            # loader-relevant config field — incl. the permutation-test seed,
+            # because load_adni874 shuffles internally
+            key = cohort_cache.cohort_key(
+                "adni874",
+                files=cohort_cache.dir_fingerprint(args.data_path),
+                data_path=os.path.abspath(args.data_path),
+                disease_id=dcfg.disease_id, knn=dcfg.knn,
+                clinical_score_index=dcfg.clinical_score_index,
+                is_ppr=dcfg.is_ppr, is_topk=dcfg.is_topk, top_k=dcfg.top_k,
+                is_multimodal4similarity=dcfg.is_multimodal4similarity,
+                is_multi_fusion=dcfg.is_multi_fusion,
+                is_permut_test=dcfg.is_permut_test,
+                seed4permut_test=dcfg.seed4permut_test)
+            cohort, hit = cohort_cache.load_or_build(
+                args.cohort_cache_dir, key, lambda: adni.load_adni874(dcfg))
             topo = go_graph.parse_go_json(dcfg.json_path,
                                           dcfg.go_connection_path,
                                           dcfg.snps_to_gene_path)
+        if hit:
+            print(f"[data] cohort loaded from cache ({key})")
         return cohort, topo
 
     if args.search:
