@@ -59,9 +59,15 @@ def export_importances(params: Dict[str, Any], out_dir: str,
                        prefix: str = "ckpt") -> Dict[str, np.ndarray]:
     os.makedirs(out_dir, exist_ok=True)
     out = {}
+    # bias_n: the guide family's Bernoulli mask logits ((rois*H_0, 2);
+    # softmax[:, 1] = keep-probability). The reference's export for this
+    # family is commented-out dead code (`train_eval_guide_img_snps.py:314`
+    # would crash — GUIDE_IMGSNP has no snps_prob/prob_bias tensors); rebuilt
+    # as intended with the family's own artifact name.
     for key, fname in (("prob", "node_importance"),
                        ("snps_prob", "snps_importance"),
-                       ("prob_bias", "edge_prob_bias")):
+                       ("prob_bias", "edge_prob_bias"),
+                       ("bias_n", "mask_importance")):
         if key in params:
             arr = np.asarray(params[key])
             out[key] = arr

@@ -127,3 +127,118 @@ def test_explain_tool_exports_recovered_importances(trained, tmp_path):
     snps = np.load(out_dir / "snps_importance_planted.npy")
     assert snps.shape == (1, 54)
     np.testing.assert_array_equal(snps, np.asarray(params["snps_prob"]))
+
+
+# ---------------------------------------------------------------------------
+# Guide family: the Gumbel-ST mask is its interpretability artifact
+# (`kernel/guide_img_snp.py:93-101,118-120` — learned Bernoulli
+# keep-probabilities over the rois*H_0 flattened imaging features).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def trained_guide(topo):
+    """Train GUIDE_IMGSNP full-batch on the planted-ROI cohort with the real
+    stochastic Gumbel mask; returns (params, planted feature indices)."""
+    from iggcn_tpu.models.guide import GuideImgSnp
+    from iggcn_tpu.train.steps import guide_objective
+
+    feat_dim = 3
+    # planted_snps=[] NEUTRALIZES the SNP class signal (the default
+    # synthetic cohort gives SNPs class-dependent means): with informative
+    # SNPs the guide model rationally classifies from its GO branch and the
+    # KL drives EVERY image keep-probability to rho (measured: all ~0.035)
+    # — correct behavior, useless as a mask-recovery probe. With SNPs as
+    # pure noise, the imaging mask is the only signal path.
+    cohort = synthetic_cohort(
+        np.random.default_rng(7), num_subjects=SUBJECTS, rois=ROIS,
+        planted_rois=PLANTED_ROIS, planted_snps=[], planted_strength=1.5)
+    arrays = cohort_batch_arrays(cohort)
+    arrays.pop("sbj_id")
+    batch = {k: jnp.asarray(v) for k, v in arrays.items()}
+    batch["w"] = jnp.ones((SUBJECTS,), jnp.float32)
+
+    # classification + Bernoulli-KL sparsity: CE keeps informative features
+    # alive, the KL (rho_ref=0.001) pushes everything else toward drop
+    lw = LossWeights(disease=1.0, regr=0.0, prob=0.0, reco=0.0,
+                     simi=0.1, orth=0.0)
+    mcfg = ModelConfig(num_layers=2, hidden=8, rois=ROIS, hidden_linear=32,
+                       dropout_lin=0.0, dropout_regr=0.0, dropout_go=0.0,
+                       dropout_readout=0.0)
+    tcfg = TrainConfig(epochs=STEPS, batch_size=SUBJECTS, lr=5e-3,
+                       lr_decay_step_size=0, loss=lw)
+    model = GuideImgSnp(cfg=mcfg, topo=topo)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), batch["x"],
+                                    batch["adj"], batch["snps"])
+    optimizer = make_optimizer(tcfg)
+    step_fn = make_train_step(model, mcfg, tcfg, optimizer, guide_objective)
+
+    @jax.jit
+    def run(state, batch, rng):
+        def body(carry, _):
+            st, r = carry
+            r, er = jax.random.split(r)
+            st, loss_sum = step_fn(st, batch, er)
+            return (st, r), loss_sum
+
+        (state, _), losses = jax.lax.scan(body, (state, rng), None,
+                                          length=STEPS)
+        return state, losses
+
+    state = TrainState.create(variables, optimizer, steps_per_epoch=1)
+    state, losses = run(state, batch, jax.random.PRNGKey(2))
+    assert float(losses[-1]) / SUBJECTS < 0.5 * float(losses[0]) / SUBJECTS
+    planted_feats = sorted(r * feat_dim + c for r in PLANTED_ROIS
+                           for c in range(feat_dim))
+    return jax.device_get(state.params), planted_feats
+
+
+def test_guide_mask_recovers_planted_signal(trained_guide):
+    params, planted_feats = trained_guide
+    bias_n = np.asarray(params["bias_n"])
+    e = np.exp(bias_n - bias_n.max(axis=1, keepdims=True))
+    keep = (e / e.sum(axis=1, keepdims=True))[:, 1]
+
+    # feature level: the mask is stochastic (hard Gumbel draws), so single
+    # channels carry draw noise — require >= 10/12 planted features in the
+    # top-12 and a 2x-median separation (measured: 12/12, 3.3x)
+    top = set(np.argsort(-keep)[:len(planted_feats)].tolist())
+    assert len(top & set(planted_feats)) >= len(planted_feats) - 2, (
+        f"top-{len(planted_feats)} mask features {sorted(top)} barely "
+        f"overlap planted {planted_feats}; keep-probs {np.round(keep, 3)}")
+    bg = np.delete(keep, planted_feats)
+    assert keep[planted_feats].min() > 2 * np.median(bg), (
+        "planted mask keep-probability does not separate from background")
+
+    # ROI level (channel noise averages out): top-4 ROIs are EXACTLY the
+    # planted ones with 3x-median separation (measured: exact, 4.2x)
+    roi_keep = keep.reshape(ROIS, 3).mean(axis=1)
+    top_roi = set(np.argsort(-roi_keep)[:len(PLANTED_ROIS)].tolist())
+    assert top_roi == set(PLANTED_ROIS), (
+        f"top-{len(PLANTED_ROIS)} mask ROIs {sorted(top_roi)} != planted "
+        f"{PLANTED_ROIS}; ROI keep-probs {np.round(roi_keep, 3)}")
+    bg_roi = np.delete(roi_keep, PLANTED_ROIS)
+    assert roi_keep[PLANTED_ROIS].min() > 3 * np.median(bg_roi), (
+        "planted ROI keep-probability does not separate from background")
+
+
+def test_explain_tool_exports_guide_mask(trained_guide, tmp_path):
+    """The explain CLI exports the guide mask logits (mask_importance_*.npy)
+    from a checkpoint round-trip — the reference's export for this family is
+    commented-out dead code (`train_eval_guide_img_snps.py:314` would crash:
+    GUIDE_IMGSNP has no snps_prob/prob_bias)."""
+    from iggcn_tpu.tools import explain
+    from iggcn_tpu.train.checkpoint import save_checkpoint
+
+    params, planted_feats = trained_guide
+    ckpt = tmp_path / "gcn_state_dict_guide_fold_0.msgpack"
+    save_checkpoint(str(ckpt), params, {})
+    out_dir = tmp_path / "out"
+    explain.main([str(ckpt), "--out", str(out_dir), "--prefix", "guide"])
+
+    mask = np.load(out_dir / "mask_importance_guide.npy")
+    assert mask.shape == (ROIS * 3, 2)
+    np.testing.assert_array_equal(mask, np.asarray(params["bias_n"]))
+    e = np.exp(mask - mask.max(axis=1, keepdims=True))
+    keep = (e / e.sum(axis=1, keepdims=True))[:, 1]
+    top = set(np.argsort(-keep)[:len(planted_feats)].tolist())
+    assert len(top & set(planted_feats)) >= len(planted_feats) - 2
