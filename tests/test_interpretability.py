@@ -242,3 +242,65 @@ def test_explain_tool_exports_guide_mask(trained_guide, tmp_path):
     keep = (e / e.sum(axis=1, keepdims=True))[:, 1]
     top = set(np.argsort(-keep)[:len(planted_feats)].tolist())
     assert len(top & set(planted_feats)) >= len(planted_feats) - 2
+
+
+# ---------------------------------------------------------------------------
+# Image-only SGCN family: its own `prob` (zero-init, kernel/sgcn.py:288)
+# under the image-only objective (lamda_ce*CE + sparsity + lamda_mi*CE_masked)
+# — the third interpretability mechanism, completing the set
+# (flagship prob/snps_prob, guide Gumbel mask, SGCN-image prob).
+# ---------------------------------------------------------------------------
+
+def test_sgcn_image_prob_recovers_planted_signal():
+    from iggcn_tpu.models.sgcn_image import SGCNImage
+    from iggcn_tpu.train.steps import sgcn_image_objective
+
+    cohort = synthetic_cohort(
+        np.random.default_rng(7), num_subjects=SUBJECTS, rois=ROIS,
+        planted_rois=PLANTED_ROIS, planted_snps=[], planted_strength=1.5)
+    arrays = cohort_batch_arrays(cohort)
+    arrays.pop("sbj_id")
+    batch = {k: jnp.asarray(v) for k, v in arrays.items()}
+    batch["w"] = jnp.ones((SUBJECTS,), jnp.float32)
+
+    mcfg = ModelConfig(num_layers=2, hidden=8, rois=ROIS, hidden_linear=32)
+    tcfg = TrainConfig(epochs=STEPS, batch_size=SUBJECTS, lr=5e-3,
+                       lr_decay_step_size=0, loss=LossWeights(disease=1.0))
+    model = SGCNImage(num_layers=2, hidden=8, rois=ROIS, hidden_linear=32,
+                      dropout_lin=0.0)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), batch["x"],
+                                    batch["adj"])
+    optimizer = make_optimizer(tcfg)
+    step_fn = make_train_step(model, mcfg, tcfg, optimizer,
+                              sgcn_image_objective)
+
+    @jax.jit
+    def run(state, batch, rng):
+        def body(carry, _):
+            st, r = carry
+            r, er = jax.random.split(r)
+            st, loss_sum = step_fn(st, batch, er)
+            return (st, r), loss_sum
+
+        (state, _), losses = jax.lax.scan(body, (state, rng), None,
+                                          length=STEPS)
+        return state, losses
+
+    state = TrainState.create(variables, optimizer, steps_per_epoch=1)
+    state, losses = run(state, batch, jax.random.PRNGKey(2))
+    assert float(losses[-1]) / SUBJECTS < 0.3 * float(losses[0]) / SUBJECTS
+
+    # the masked pass shares the conv weights with the plain pass, so the
+    # mask must PASS informative features with positive prob — sigmoid(prob)
+    # is the family's importance reading (kernel/sgcn.py:88-91)
+    imp = np.asarray(jax.nn.sigmoid(state.params["prob"])).mean(axis=1)
+    top = set(np.argsort(-imp)[:len(PLANTED_ROIS)].tolist())
+    assert top == set(PLANTED_ROIS), (
+        f"top-{len(PLANTED_ROIS)} ROIs {sorted(top)} != planted "
+        f"{PLANTED_ROIS}; importances {np.round(imp, 3)}")
+    bg = np.delete(imp, PLANTED_ROIS)
+    # measured: planted min 0.557, bg median 0.176 (3.2x), bg max 0.295
+    assert imp[PLANTED_ROIS].min() > 2.5 * np.median(bg), (
+        "planted ROI importance does not separate from background")
+    assert imp[PLANTED_ROIS].min() > 1.5 * bg.max(), (
+        "planted ROI importance does not clear the background maximum")
