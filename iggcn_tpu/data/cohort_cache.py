@@ -45,15 +45,20 @@ def cohort_key(kind: str, **params) -> str:
 
 
 def dir_fingerprint(path: str) -> Tuple[Tuple[str, int, int], ...]:
-    """(name, size, mtime_ns) of every regular file directly under `path` —
-    the real-loader cache key component; any edited/replaced source file
-    changes the key."""
+    """(relpath, size, mtime_ns) of every regular file under `path`,
+    RECURSIVELY — the real-loader cache key component. Recursion matters:
+    `load_adni874` reads its sources from subdirectories
+    (`<data_path>/knn/<k>/*.mat`, `center_<c>/clusters_pred_label.npy`,
+    multi-fusion `<MOD>/knn/<k>/...`), so a top-level-only listing would
+    never invalidate on a replaced source file."""
     entries = []
-    for name in sorted(os.listdir(path)):
-        full = os.path.join(path, name)
-        if os.path.isfile(full):
+    for root, dirs, files in os.walk(path):
+        dirs.sort()
+        for name in sorted(files):
+            full = os.path.join(root, name)
             st = os.stat(full)
-            entries.append((name, st.st_size, st.st_mtime_ns))
+            entries.append((os.path.relpath(full, path), st.st_size,
+                            st.st_mtime_ns))
     return tuple(entries)
 
 
@@ -110,7 +115,13 @@ def load_or_build(cache_dir: str, key: str,
             print(f"[data] cohort cache entry {path} unreadable ({e}); "
                   f"rebuilding")
     cohort = builder()
-    save_cohort(cohort, path)
+    try:
+        save_cohort(cohort, path)
+    except OSError as e:
+        # best-effort cache: an unwritable/full cache dir must not kill a
+        # run whose cohort is already built and in memory
+        print(f"[data] cohort cache write to {path} failed ({e}); "
+              f"continuing uncached")
     return cohort, False
 
 

@@ -316,9 +316,12 @@ def main(argv=None):
                 files=cohort_cache.dir_fingerprint(args.data_path),
                 data_path=os.path.abspath(args.data_path),
                 disease_id=dcfg.disease_id, knn=dcfg.knn,
+                num_cluster=dcfg.num_cluster,
                 clinical_score_index=dcfg.clinical_score_index,
                 is_ppr=dcfg.is_ppr, is_topk=dcfg.is_topk, top_k=dcfg.top_k,
+                ppr_alpha=dcfg.ppr_alpha, heat_t=dcfg.heat_t,
                 is_multimodal4similarity=dcfg.is_multimodal4similarity,
+                is_use_tsne4similar=dcfg.is_use_tsne4similar,
                 is_multi_fusion=dcfg.is_multi_fusion,
                 is_permut_test=dcfg.is_permut_test,
                 seed4permut_test=dcfg.seed4permut_test)

@@ -99,6 +99,31 @@ def test_dir_fingerprint_tracks_source_files(tmp_path):
     (tmp_path / "b.csv").write_bytes(b"z")      # new file
     f3 = cohort_cache.dir_fingerprint(str(tmp_path))
     assert f1 != f2 and f2 != f3
+    # RECURSIVE: load_adni874 reads from subdirectories (knn/<k>/*.mat,
+    # center_<c>/...), so nested source changes must change the key too
+    sub = tmp_path / "knn" / "10"
+    sub.mkdir(parents=True)
+    (sub / "corr_data.mat").write_bytes(b"m1")
+    f4 = cohort_cache.dir_fingerprint(str(tmp_path))
+    (sub / "corr_data.mat").write_bytes(b"m2longer")
+    f5 = cohort_cache.dir_fingerprint(str(tmp_path))
+    assert f3 != f4 and f4 != f5
+
+
+def test_cache_write_failure_degrades_to_uncached(tmp_path, small_cohort,
+                                                  capsys):
+    """An unwritable cache dir must not kill a run whose cohort is already
+    built (caching is default-on)."""
+    # a FILE where the cache dir's parent should be -> makedirs raises
+    # NotADirectoryError (permission bits don't stop a root test runner)
+    blocker = tmp_path / "blocker"
+    blocker.write_bytes(b"")
+    cohort, hit = cohort_cache.load_or_build(
+        str(blocker / "cache"), cohort_cache.cohort_key("synthetic", seed=3),
+        lambda: small_cohort)
+    assert not hit
+    assert cohort_cache.equal_cohorts(cohort, small_cohort)
+    assert "continuing uncached" in capsys.readouterr().out
 
 
 def test_cli_second_run_hits_cache(tmp_path, monkeypatch, capsys):

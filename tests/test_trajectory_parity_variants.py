@@ -51,13 +51,12 @@ from iggcn_tpu.train.steps import (TrainState, clusterlabel_objective,
                                    sgcn_image_objective)
 
 from tests.conftest import device_batch
-from tests.test_trajectory_parity import _consist, _ent
+# the training window (and therefore every measured tolerance in this file)
+# is SHARED with the fused suite — import its constants so retuning one
+# suite cannot silently invalidate the other's calibration
+from tests.test_trajectory_parity import (B, DECAY_EVERY, FACTOR, LR, STEPS,
+                                          _consist, _ent)
 
-STEPS = 6
-B = 8
-LR = 3e-3
-DECAY_EVERY = 2   # two StepLR boundary crossings inside the 6-step window
-FACTOR = 0.5
 # Adam noise-walk bound for gradient-degenerate leaves (see the fused test's
 # analysis: true-zero gradients become full-lr steps of arbitrary sign under
 # Adam's m/sqrt(v) normalization — in BOTH frameworks)
