@@ -41,6 +41,9 @@ class GCNFlat(nn.Module):
     hidden: int = 16
     num_classes: int = 2
     hidden_linear: int = 64
+    # head dropout rate (reference hardcodes 0.5, kernel/gcn.py:117) as an
+    # attribute so the trajectory-parity test can zero it
+    dropout_lin: float = 0.5
 
     @nn.compact
     def __call__(self, x, adj, *, train: bool = False):
@@ -58,7 +61,7 @@ class GCNFlat(nn.Module):
         z = jnp.concatenate(feats, -1).reshape(b, -1)
         z = nn.relu(TorchLinear(self.hidden_linear, name="lin1")(z))
         if train:
-            z = dropout(self.make_rng("dropout"), z, 0.5)
+            z = dropout(self.make_rng("dropout"), z, self.dropout_lin)
         return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
 
 

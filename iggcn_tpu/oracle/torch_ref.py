@@ -733,3 +733,53 @@ def load_sgcn_image_params(tm: TorchSgcnImage, params: Dict[str, Any]) -> None:
     with torch.no_grad():
         for _, t, a in iter_sgcn_image_param_pairs(tm, params):
             t.copy_(_t(a))
+
+
+class TorchGcnFlat(nn.Module):
+    """Mirror of GCNFlat (`kernel/gcn.py:87-123` as rebuilt in
+    `models/baselines.py`): JK-concat GCN + flatten readout + lin1/lin2 —
+    the generic zoo trainer's plain-NLL workhorse."""
+
+    def __init__(self, num_layers=2, hidden=16, rois=90, feat_dim=3,
+                 num_classes=2, hidden_linear=64):
+        super().__init__()
+        self.num_layers = num_layers
+        dims = [feat_dim] + [hidden] * num_layers
+        self.conv_w = nn.ParameterList(
+            [nn.Parameter(torch.zeros(dims[i], dims[i + 1]))
+             for i in range(num_layers)])
+        self.conv_b = nn.ParameterList(
+            [nn.Parameter(torch.zeros(dims[i + 1])) for i in range(num_layers)])
+        self.lin1 = nn.Linear(rois * hidden * num_layers, hidden_linear)
+        self.lin2 = nn.Linear(hidden_linear, num_classes)
+        self.drop = 0.5
+
+    def forward(self, x, adj):
+        b = x.shape[0]
+        prop = TorchFused.gcn_prop(adj)
+        h = x
+        feats = []
+        for i in range(self.num_layers):
+            h = F.relu(torch.einsum("bij,bjf,fk->bik", prop, h,
+                                    self.conv_w[i]) + self.conv_b[i])
+            feats.append(h)
+        z = torch.cat(feats, dim=-1).reshape(b, -1)
+        z = F.dropout(F.relu(self.lin1(z)), self.drop, self.training)
+        return F.log_softmax(self.lin2(z), dim=-1)
+
+
+def iter_gcn_flat_param_pairs(tm: TorchGcnFlat, params: Dict[str, Any]):
+    for i in range(tm.num_layers):
+        yield f"conv_w_{i}", tm.conv_w[i], params[f"conv_w_{i}"]
+        yield f"conv_b_{i}", tm.conv_b[i], params[f"conv_b_{i}"]
+    for name in ["lin1", "lin2"]:
+        lin = getattr(tm, name)
+        yield (f"{name}.weight", lin.weight,
+               np.asarray(params[name]["kernel"]).T)
+        yield f"{name}.bias", lin.bias, params[name]["bias"]
+
+
+def load_gcn_flat_params(tm: TorchGcnFlat, params: Dict[str, Any]) -> None:
+    with torch.no_grad():
+        for _, t, a in iter_gcn_flat_param_pairs(tm, params):
+            t.copy_(_t(a))

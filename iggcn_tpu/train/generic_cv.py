@@ -65,44 +65,18 @@ def _model_forward(model, variables, batch, train, rng, needs_mask,
     return out, None
 
 
-def cross_validation_generic(dataset: GraphDataset, model, *,
-                             folds: int = 5, epochs: int = 50,
-                             batch_size: int = 32, lr: float = 1e-3,
-                             lr_decay_factor: float = 0.5,
-                             lr_decay_step_size: int = 50,
-                             weight_decay: float = 0.0, seed: int = 1000,
-                             no_val: bool = False,
-                             needs_mask: bool = True,
-                             needs_assign: bool = False,
-                             adj_only: bool = False,
-                             aux_loss: bool = False,
-                             takes_weight: bool = False,
-                             verbose: bool = False) -> GenericCVResult:
-    """Run k-fold CV of a baseline model over a dense padded GraphDataset."""
-    y_all = dataset.y
-    extra_keys = [k for k in ("z", "rd")
-                  if getattr(dataset, k, None) is not None]
-    splits = k_fold(y_all, folds, seed)
-    b = batch_size
+def build_generic_steps(model, optimizer, *, needs_mask: bool,
+                        needs_assign: bool, adj_only: bool, aux_loss: bool,
+                        takes_weight: bool, has_stats: bool):
+    """Jitted (train_step, eval_batch) of the generic zoo trainer.
 
-    def pad(arr, total):
-        p = [(0, total - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
-        return np.pad(arr, p)
-
-    # The reference decays the LR per-epoch per-fold (StepLR). Expressing the
-    # schedule in optimizer steps would tie it to one fold's steps_per_epoch
-    # (folds can differ by a batch multiple), so instead the current LR is an
-    # explicit step argument computed host-side: lr * factor**(epoch // size).
-    if weight_decay:
-        optimizer = optax.chain(optax.add_decayed_weights(weight_decay),
-                                optax.scale_by_adam())
-    else:
-        optimizer = optax.scale_by_adam()
-
-    has_stats = None
-    accs = np.zeros((folds, epochs))
-    val_losses = np.full((folds, epochs), np.inf)
-    losses: List[float] = []
+    Hoisted from the `cross_validation_generic` closure so the
+    trajectory-parity test can drive the EXACT production step against a
+    torch replica (same pattern as `snps_trainer.build_snps_steps`). Loss:
+    plain NLL over the padded batch with zero-weight padding rows
+    (parity `kernel/train_eval.py:278-314`); `aux_loss` adds DiffPool's
+    link/entropy terms when opted in.
+    """
 
     @jax.jit
     def train_step(variables, opt_state, batch, rng, lr_t):
@@ -143,6 +117,49 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
         correct = jnp.sum((pred == batch["y"]) * batch["w"])
         return loss * jnp.sum(batch["w"]), correct
 
+    return train_step, eval_batch
+
+
+def cross_validation_generic(dataset: GraphDataset, model, *,
+                             folds: int = 5, epochs: int = 50,
+                             batch_size: int = 32, lr: float = 1e-3,
+                             lr_decay_factor: float = 0.5,
+                             lr_decay_step_size: int = 50,
+                             weight_decay: float = 0.0, seed: int = 1000,
+                             no_val: bool = False,
+                             needs_mask: bool = True,
+                             needs_assign: bool = False,
+                             adj_only: bool = False,
+                             aux_loss: bool = False,
+                             takes_weight: bool = False,
+                             verbose: bool = False) -> GenericCVResult:
+    """Run k-fold CV of a baseline model over a dense padded GraphDataset."""
+    y_all = dataset.y
+    extra_keys = [k for k in ("z", "rd")
+                  if getattr(dataset, k, None) is not None]
+    splits = k_fold(y_all, folds, seed)
+    b = batch_size
+
+    def pad(arr, total):
+        p = [(0, total - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, p)
+
+    # The reference decays the LR per-epoch per-fold (StepLR). Expressing the
+    # schedule in optimizer steps would tie it to one fold's steps_per_epoch
+    # (folds can differ by a batch multiple), so instead the current LR is an
+    # explicit step argument computed host-side: lr * factor**(epoch // size).
+    if weight_decay:
+        optimizer = optax.chain(optax.add_decayed_weights(weight_decay),
+                                optax.scale_by_adam())
+    else:
+        optimizer = optax.scale_by_adam()
+
+    has_stats = None
+    accs = np.zeros((folds, epochs))
+    val_losses = np.full((folds, epochs), np.inf)
+    losses: List[float] = []
+    train_step = eval_batch = None   # built after the first init (has_stats)
+
     for fold, (train_idx, test_idx, val_idx) in enumerate(splits):
         if no_val:
             train_idx = np.concatenate([train_idx, val_idx])
@@ -166,6 +183,11 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
         variables = dict(variables)
         if has_stats is None:
             has_stats = "batch_stats" in variables
+            train_step, eval_batch = build_generic_steps(
+                model, optimizer, needs_mask=needs_mask,
+                needs_assign=needs_assign, adj_only=adj_only,
+                aux_loss=aux_loss, takes_weight=takes_weight,
+                has_stats=has_stats)
         opt_state = optimizer.init(variables["params"])
         host_rng = np.random.default_rng(seed * 31 + fold)
 

@@ -530,3 +530,72 @@ def test_sgcn_ori_one_step_matches_torch(cohort):
                {n: (getattr(tm, n).running_mean.numpy().copy(),
                     getattr(tm, n).running_var.numpy().copy())
                 for n in ["bn1", "bn2"]}, 2e-3, "step1")
+
+
+def test_generic_zoo_trajectory_matches_torch(cohort):
+    """The LAST trainer family: the generic zoo driver
+    (`kernel/train_eval.py:278-314`, plain NLL) — six steps of the exact
+    production step (`generic_cv.build_generic_steps`, hoisted like
+    `snps_trainer.build_snps_steps`) on the GCNFlat baseline vs a torch
+    replica. GCNFlat has no batch norms, so every parameter holds
+    elementwise, and the ragged-batch `w` mask is exercised with one
+    zero-weight padding row (the torch side trains on the REAL rows only —
+    the framework's padded math must equal the smaller torch batch)."""
+    import optax
+
+    from iggcn_tpu.models.baselines import GCNFlat
+    from iggcn_tpu.oracle.torch_ref import (TorchGcnFlat,
+                                            iter_gcn_flat_param_pairs,
+                                            load_gcn_flat_params)
+    from iggcn_tpu.train.generic_cv import build_generic_steps
+    from iggcn_tpu.train.steps import steplr_host
+
+    batch = device_batch(cohort, B)
+    # last row = padding: w=0, garbage-but-finite content
+    w = np.ones((B,), np.float32)
+    w[-1] = 0.0
+    batch["w"] = jax.numpy.asarray(w)
+
+    model = GCNFlat(num_layers=2, hidden=16, dropout_lin=0.0)
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(41), batch["x"],
+                                         batch["adj"]))
+    init_params = jax.device_get(variables["params"])
+    optimizer = optax.scale_by_adam(b1=0.9, b2=0.999)
+    train_step, eval_batch = build_generic_steps(
+        model, optimizer, needs_mask=False, needs_assign=False,
+        adj_only=False, aux_loss=False, takes_weight=False, has_stats=False)
+    opt_state = optimizer.init(variables["params"])
+
+    losses_jax = []
+    rng = jax.random.PRNGKey(99)
+    for epoch in range(STEPS):
+        lr_t = jax.numpy.float32(steplr_host(LR, FACTOR, DECAY_EVERY, epoch))
+        rng, srng = jax.random.split(rng)
+        variables, opt_state, loss = train_step(variables, opt_state, batch,
+                                                srng, lr_t)
+        losses_jax.append(float(loss))
+    final_params = jax.device_get(variables["params"])
+
+    tm = TorchGcnFlat(num_layers=2, hidden=16)
+    load_gcn_flat_params(tm, init_params)
+    tm.drop = 0.0   # dropout zeroed on both sides (PRNGs cannot align)
+    tm.train()
+    import torch as _torch
+    x_t = _torch.from_numpy(np.asarray(batch["x"])[:-1].copy())
+    adj_t = _torch.from_numpy(np.asarray(batch["adj"])[:-1].copy())
+    y_t = _torch.from_numpy(np.asarray(batch["y"])[:-1].copy()).long()
+    opt = _torch.optim.Adam(tm.parameters(), lr=LR)
+    losses_torch = []
+    for epoch in range(STEPS):
+        for g in opt.param_groups:
+            g["lr"] = steplr_host(LR, FACTOR, DECAY_EVERY, epoch)
+        opt.zero_grad()
+        loss = F.nll_loss(tm(x_t, adj_t), y_t)
+        loss.backward()
+        opt.step()
+        losses_torch.append(float(loss.detach()))
+
+    np.testing.assert_allclose(losses_jax, losses_torch, rtol=2e-4,
+                               err_msg="per-step generic-zoo losses diverged")
+    assert abs(losses_jax[0] - losses_jax[-1]) > 1e-3
+    _assert_params(iter_gcn_flat_param_pairs(tm, final_params))
