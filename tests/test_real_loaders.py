@@ -14,31 +14,33 @@ from iggcn_tpu.data.adni import load_adni874, load_adni_csv
 S, N, D, SNPS = 24, 12, 3, 54
 
 
-def _write_mat_cohort(base, rng):
-    """Fabricate the reference .mat layout under <base>/knn/5/."""
+def _write_mat_cohort(base, rng, s=S, n=N, d=D, num_snps=SNPS):
+    """Fabricate the reference .mat layout under <base>/knn/5/.
+    Dims are parameterizable: the CLI integration test
+    (`test_cli_real_data.py`) needs the reference's hardcoded 90 ROIs."""
     kdir = os.path.join(base, "knn", "5")
     os.makedirs(os.path.join(kdir, "center_2"), exist_ok=True)
     sio.savemat(os.path.join(kdir, "sbjID_int.mat"),
-                {"sbjID_int": np.arange(S).reshape(-1, 1)})
-    scores = rng.normal(size=(S, 9))
+                {"sbjID_int": np.arange(s).reshape(-1, 1)})
+    scores = rng.normal(size=(s, 9))
     scores[2, 5] = np.nan   # demographics carry NaNs pre-imputation
     sio.savemat(os.path.join(kdir, "score_excel_val_adni874.mat"),
                 {"info_score_val_subs": scores})
     sio.savemat(os.path.join(kdir, "score_excel_val_adni874_fill.mat"),
-                {"info_score_val_fill": rng.normal(size=(S, 9))})
+                {"info_score_val_fill": rng.normal(size=(s, 9))})
     np.save(os.path.join(kdir, "center_2", "clusters_pred_label.npy"),
-            rng.integers(0, 2, S))
+            rng.integers(0, 2, s))
     np.save(os.path.join(kdir, "pet_for_similarity.npy"),
-            rng.normal(size=(S, 8)).astype(np.float32))
+            rng.normal(size=(s, 8)).astype(np.float32))
     sio.savemat(os.path.join(kdir, "SNPS_data.mat"),
-                {"SNPS_data": rng.random((S, SNPS))})
+                {"SNPS_data": rng.random((s, num_snps))})
     # raw labels 1..5 in the mat; loader subtracts 1 -> {HC..AD}
-    labels = np.array([1, 5] * (S // 2)).reshape(-1, 1)
+    labels = np.array([1, 5] * (s // 2)).reshape(-1, 1)
     sio.savemat(os.path.join(kdir, "BL_DXGrp_label.mat"),
                 {"BL_DXGrp_label": labels})
-    corr = np.abs(rng.normal(size=(S, N, N))) + 0.1
+    corr = np.abs(rng.normal(size=(s, n, n))) + 0.1
     sio.savemat(os.path.join(kdir, "corr_data.mat"), {"corr_data": corr})
-    img = rng.normal(size=(S, N, D))
+    img = rng.normal(size=(s, n, d))
     img[0, 0, 0] = np.nan   # loader zero-fills NaNs
     sio.savemat(os.path.join(kdir, "imgData_mat_normalized_fix.mat"),
                 {"imgData_mat_normalized": img})
