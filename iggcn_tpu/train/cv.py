@@ -44,6 +44,17 @@ from iggcn_tpu.train.steps import (OBJECTIVES, TrainState,
 from iggcn_tpu.utils.fetch import device_get_tree
 
 
+def gather_rows(full_d, idx, clini, w):
+    """Device-side fold assembly: gather a fold's rows out of the uploaded
+    cohort; `idx` may be (T,) (sequential path) or (folds, T) (fold-parallel
+    stacked path) — padding rows carry row-0 content under w=0. ONE body for
+    both paths so the device-gather contract cannot drift between them."""
+    out = {k: jnp.take(v, idx, axis=0) for k, v in full_d.items()}
+    out["clini"] = clini
+    out["w"] = w
+    return out
+
+
 @dataclasses.dataclass
 class CVResult:
     mean_test_loss: float
@@ -121,7 +132,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                      tcfg: TrainConfig, *,
                      res_dir: Optional[str] = None,
                      result_file_name: str = "result",
-                     clinical_score_index: int = -1,
+                     clinical_score_index: Optional[int] = None,
                      logger: Optional[Callable[[str], None]] = None,
                      model_kind: str = "sgcn_imgsnp",
                      external_test: Optional[AdniCohort] = None,
@@ -143,6 +154,17 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     fold, for deployment hosts without the training data. Only for model
     families that carry a GO topology (the fused/SNP families)."""
     use_val = not tcfg.no_val
+    if clinical_score_index is None:
+        # default to the config field — a separate kwarg default would let
+        # TrainConfig(clinical_score_index=...) silently drift from what
+        # imputation/score_names actually use
+        clinical_score_index = tcfg.clinical_score_index
+    if tcfg.fold_parallel and not tcfg.use_fold_scan:
+        raise ValueError(
+            "fold_parallel requires use_fold_scan: the fold axis is vmapped "
+            "over whole-fold scan programs (the CLI rejects this combination "
+            "too; silently falling back to sequential folds would contradict "
+            "the config)")
     if model_kind not in MODEL_FAMILIES:
         raise ValueError(f"unknown model_kind {model_kind}; "
                          f"one of {sorted(MODEL_FAMILIES)}")
@@ -249,13 +271,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                     gathers=gathers)
 
     dev_cache: Dict[str, Any] = {}
-
-    @jax.jit
-    def _gather(full_d, idx, clini, w):
-        out = {k: jnp.take(v, idx, axis=0) for k, v in full_d.items()}
-        out["clini"] = clini
-        out["w"] = w
-        return out
+    _gather = jax.jit(gather_rows)
 
     def fold_to_device(p):
         """Place one fold's arrays on device. With `tcfg.device_gather` the
@@ -357,21 +373,22 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
             gkeys = ("x", "adj", "snps", "y", "clust_y", "tsne")
             full_dev = {kk: jnp.asarray(full[kk]) for kk in gkeys}
 
-            def gather_stacked(fd, idx, clini, w):
-                out = {kk: jnp.take(fd[kk], idx, axis=0) for kk in gkeys}
-                out["clini"] = clini
-                out["w"] = w
-                return out
-
             stacked_dev, host_shim = {}, {}
-            for kind in ("train", "val", "test"):
+            for kind in ("train", "test", "val"):
+                if kind == "val" and not use_val:
+                    # no-val mode: the runner tracks best on test and never
+                    # reads val_data — alias the test buffers instead of
+                    # gathering a full duplicate into HBM
+                    stacked_dev["val"] = stacked_dev["test"]
+                    host_shim["val"] = host_shim["test"]
+                    continue
                 idx, w, clini, yh = stacked_kind(kind)
                 args = (full_dev, jnp.asarray(idx), jnp.asarray(clini),
                         jnp.asarray(w))
                 out_spec = stacked_data_specs(
-                    mesh, jax.eval_shape(gather_stacked, *args))
+                    mesh, jax.eval_shape(gather_rows, *args))
                 stacked_dev[kind] = jax.jit(
-                    gather_stacked, out_shardings=out_spec)(*args)
+                    gather_rows, out_shardings=out_spec)(*args)
                 host_shim[kind] = (w, clini, yh)
             trains, vals, tests = (stacked_dev["train"], stacked_dev["val"],
                                    stacked_dev["test"])
@@ -397,8 +414,12 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
             real_spes = [p["train_data"]["y"].shape[0] // b for p in prepped]
             # equalize shapes across folds (zero-weight padding)
             trains = pad_fold_data([p["train_data"] for p in prepped])
-            vals = pad_fold_data([p["val_data"] for p in prepped])
             tests = pad_fold_data([p["test_data"] for p in prepped])
+            # no-val mode: prep_fold aliases val_data=test_data per fold;
+            # alias the stacked copy too instead of re-stacking ~test-split
+            # bytes the runner never reads
+            vals = (pad_fold_data([p["val_data"] for p in prepped])
+                    if use_val else tests)
             target = trains[0]["y"].shape[0]
             perms_list = [extend_perms(p["perms"], target) for p in prepped]
             for p, tr, va, te, pe in zip(prepped, trains, vals, tests,
@@ -547,8 +568,11 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                           log_probs, y_pred, reg_pred, has_regr)
 
             track_loss = val_loss if use_val else test_loss
-            if track_loss < best_loss or (tcfg.is_permut_test and
-                                          epoch == tcfg.epochs):
+            # `best_bundle is None` keeps epoch 1 when every loss is NaN
+            # (divergent run): the fold still contributes artifacts, same
+            # fallback the fold-scan path has (fold_scan.py init bundle)
+            if (best_bundle is None or track_loss < best_loss
+                    or (tcfg.is_permut_test and epoch == tcfg.epochs)):
                 best_loss = min(best_loss, track_loss)
                 best_bundle = {
                     "hidden": (np.asarray(test_out["out_lin"])[wmask]
@@ -579,6 +603,13 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
         accs.extend(fold_accs)
         all_score_results.append(score_result_epoch)
 
+        # Parity quirk, matched deliberately: for GCN_IMGSNP the reference
+        # model registers prob/prob_bias/snps_prob it never uses
+        # (kernel/gcn_img_snp.py:92-101 — no cal_probability call) yet its
+        # trainer still exports them (train_eval_gcn_img_snps.py:314), so
+        # that family's importance npys hold UNTRAINED init values there and
+        # here. The trained-importance guarantees live with the families
+        # that optimize them (tests/test_interpretability.py).
         if res_dir is not None and "prob" in state.params:
             pr = device_get_tree(state.params)
             artifacts.output_importance(

@@ -24,7 +24,7 @@ from iggcn_tpu.data.sampler import (imbalanced_sample_indices,
 from iggcn_tpu.data.splits import k_fold
 from iggcn_tpu.data.tu import GraphDataset
 from iggcn_tpu.train.losses import nll_loss
-from iggcn_tpu.train.steps import steplr_host
+from iggcn_tpu.train.steps import adam_transform, steplr_host
 
 
 @dataclasses.dataclass
@@ -148,11 +148,7 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
     # schedule in optimizer steps would tie it to one fold's steps_per_epoch
     # (folds can differ by a batch multiple), so instead the current LR is an
     # explicit step argument computed host-side: lr * factor**(epoch // size).
-    if weight_decay:
-        optimizer = optax.chain(optax.add_decayed_weights(weight_decay),
-                                optax.scale_by_adam())
-    else:
-        optimizer = optax.scale_by_adam()
+    optimizer = adam_transform(weight_decay)
 
     has_stats = None
     accs = np.zeros((folds, epochs))
@@ -188,7 +184,10 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
                 needs_assign=needs_assign, adj_only=adj_only,
                 aux_loss=aux_loss, takes_weight=takes_weight,
                 has_stats=has_stats)
-        opt_state = optimizer.init(variables["params"])
+        # jitted init: eager optax init is one zeros_like device op PER
+        # param leaf — serialized tunnel round trips on a remote backend
+        # (same rationale as steps.TrainState.create)
+        opt_state = jax.jit(optimizer.init)(variables["params"])
         host_rng = np.random.default_rng(seed * 31 + fold)
 
         def eval_set(idx):

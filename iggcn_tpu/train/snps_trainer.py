@@ -23,7 +23,7 @@ from iggcn_tpu.data.sampler import (imbalanced_sample_indices,
 from iggcn_tpu.data.splits import k_fold
 from iggcn_tpu.models.go_network import GeneOntologyNetwork
 from iggcn_tpu.train import metrics
-from iggcn_tpu.train.steps import steplr_host
+from iggcn_tpu.train.steps import adam_transform, steplr_host
 
 
 def build_snps_steps(model, optimizer, lambda0: float, use_mlp: bool):
@@ -141,7 +141,7 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
     # StepLR(50, 0.7) parity: decay per EPOCH per FOLD — the LR is an
     # explicit train_step argument computed host-side, not a step-indexed
     # optax schedule (which would be tied to one fold's steps_per_epoch).
-    optimizer = optax.scale_by_adam(b1=0.9, b2=0.999)
+    optimizer = adam_transform()   # bare coupled-L2 Adam, shared def
     train_step, eval_batch = build_snps_steps(model, optimizer, lambda0,
                                               use_mlp)
 
@@ -168,7 +168,9 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
                     init_rng, jnp.zeros((batch_size, topo.num_snps)))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        opt_state = optimizer.init(params)
+        # jitted init: eager optax init dispatches one zeros_like per
+        # param leaf (serialized round trips on a remote backend)
+        opt_state = jax.jit(optimizer.init)(params)
         host_rng = np.random.default_rng(seed * 77 + fold)
 
         best_fold = (-1.0, None, None)   # (acc, params, batch_stats)

@@ -72,8 +72,18 @@ def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int = 0):
     TPU — XLA already fuses the per-leaf scalar chains, and the ravel/unravel
     copies cost more than they save. Kept per-leaf.
     """
-    if tcfg.weight_decay:
-        return optax.chain(optax.add_decayed_weights(tcfg.weight_decay),
+    return adam_transform(tcfg.weight_decay)
+
+
+def adam_transform(weight_decay: float = 0.0):
+    """The ONE Adam transform every trainer shares (coupled-L2, no baked-in
+    LR) — `make_optimizer` for config-driven callers, this for the trainers
+    that take a bare weight_decay float (generic_cv, snps_trainer). A single
+    definition keeps the coupled-vs-decoupled decay semantics (and the
+    measured per-leaf-vs-flatten decision above) from drifting between
+    trainers — the trajectory-parity suite assumes they are identical."""
+    if weight_decay:
+        return optax.chain(optax.add_decayed_weights(weight_decay),
                            optax.scale_by_adam())
     return optax.scale_by_adam()
 

@@ -105,3 +105,47 @@ def test_make_mesh_rejects_oversubscription():
     import pytest
     with pytest.raises(ValueError, match="device"):
         make_mesh(10_000)
+
+
+def test_fold_parallel_no_val_matches_sequential(cohort, topo):
+    """no-val fold-parallel: the stacked val split is an ALIAS of the test
+    buffers (no duplicate gather/upload — the runner tracks best on test and
+    never reads val); results must still match the sequential no-val path."""
+    import dataclasses as dc
+
+    from iggcn_tpu.config import LossWeights
+    from iggcn_tpu.train.cv import cross_validation
+
+    mcfg = ModelConfig(num_layers=2, hidden=4, rois=90, feat_dim=3,
+                       num_classes=2, num_regr=3, hidden_linear=8, l_dim=8)
+    tcfg = TrainConfig(epochs=2, batch_size=8, lr=1e-3, folds=4, seed=7,
+                       no_val=True,
+                       loss=LossWeights(disease=0.0, regr=1.0, prob=0.5,
+                                        reco=1.5e-6, simi=0.1, orth=0.0))
+    res_seq = cross_validation(cohort, topo, mcfg, tcfg, res_dir=None,
+                               verbose=False)
+    res_par = cross_validation(
+        cohort, topo, mcfg, dc.replace(tcfg, fold_parallel=True),
+        res_dir=None, verbose=False)
+    np.testing.assert_allclose(res_par.mean_test_loss, res_seq.mean_test_loss,
+                               rtol=1e-3)
+    np.testing.assert_allclose(res_par.score_result, res_seq.score_result,
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_fold_parallel_requires_fold_scan(cohort, topo):
+    """fold_parallel without use_fold_scan must raise, not silently run the
+    sequential python-epoch path (the CLI rejects the combination too)."""
+    import dataclasses as dc
+
+    import pytest as _pytest
+
+    from iggcn_tpu.train.cv import cross_validation
+
+    mcfg = ModelConfig(num_layers=2, hidden=4, rois=90, feat_dim=3,
+                       num_classes=2, num_regr=3, hidden_linear=8, l_dim=8)
+    tcfg = TrainConfig(epochs=1, batch_size=8, folds=2, fold_parallel=True,
+                       use_fold_scan=False)
+    with _pytest.raises(ValueError, match="fold_parallel requires"):
+        cross_validation(cohort, topo, mcfg, tcfg, res_dir=None,
+                         verbose=False)
