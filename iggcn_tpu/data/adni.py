@@ -161,7 +161,9 @@ def load_adni874(cfg: DataConfig) -> AdniCohort:
     under cfg.data_path, parity `sgcn_data.py:113-292`)."""
     import scipy.io as sio
 
-    base = cfg.data_path + f"knn/{cfg.knn}/"
+    # os.path.join tolerates data_path with or without a trailing
+    # slash (string concatenation mangled slashless paths)
+    base = os.path.join(cfg.data_path, f"knn/{cfg.knn}/")
     sbj_id = sio.loadmat(base + "sbjID_int.mat")["sbjID_int"]
     scores_fill = sio.loadmat(base + "score_excel_val_adni874_fill.mat")[
         "info_score_val_fill"]
@@ -205,8 +207,9 @@ def load_adni874(cfg: DataConfig) -> AdniCohort:
         n = img.shape[1]
         mats = []
         for mod in ["MRI", "FDG-PET", "AV45-PET"]:
-            m = sio.loadmat(cfg.data_path + f"{mod}/knn/{cfg.knn}/corr_data.mat"
-                            )["corr_data"][sel]
+            m = sio.loadmat(os.path.join(
+                cfg.data_path, f"{mod}/knn/{cfg.knn}/corr_data.mat")
+                )["corr_data"][sel]
             mats.append(m)
         s = len(sel)
         big = np.zeros((s, 3 * n, 3 * n))
@@ -306,6 +309,11 @@ def synthetic_cohort(rng: np.random.Generator, *, num_subjects: int = 96,
     `kernel/sgcn_img_snp.py:88-97`) can be checked for recovering exactly
     these features.
     """
+    if num_regr > len(CLINICAL_SELECT_INDEX):
+        raise ValueError(
+            f"synthetic cohort supports at most {len(CLINICAL_SELECT_INDEX)} "
+            f"regression targets (tau/adas13/mmse, CLINICAL_SELECT_INDEX); "
+            f"got num_regr={num_regr}")
     s = num_subjects
     y = rng.integers(0, num_classes, size=s)
     # class axis in [-1, 1] for planted-signal construction

@@ -30,7 +30,8 @@ def _default_fetch(url: str) -> List[str]:  # pragma: no cover - needs net
     import requests
     from bs4 import BeautifulSoup
 
-    r = requests.get(url)
+    # bounded: one hung CTD page must not stall the whole crawl forever
+    r = requests.get(url, timeout=60)
     soup = BeautifulSoup(r.content, "html.parser")
     out = []
     for row_index in range(1, 5):

@@ -73,10 +73,9 @@ def spd_labels(nodes: np.ndarray, adj: np.ndarray, h: int,
                 nxt.append(int(v))
             if len(lst) < num_spd and (not lst or lst[-1] != hop):
                 lst.append(hop)
-        frontier = np.asarray(nxt if nxt else [],
-                              dtype=np.int64) if nxt else np.empty(0, int)
-        if frontier.size == 0:
+        if not nxt:
             break
+        frontier = np.asarray(nxt, dtype=np.int64)
     z = np.zeros((len(nodes), num_spd), np.int64)
     for i, v in enumerate(nodes):
         dists = reached.get(int(v), [])[:num_spd]

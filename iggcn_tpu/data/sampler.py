@@ -27,8 +27,9 @@ def pad_epoch_indices(idx, batch_size):
     DataLoader keeps the smaller last batch rather than dropping samples).
     Consumers must keep the w=0 rows out of any cross-sample statistics
     (BatchNorm, auxiliary batch means)."""
-    import numpy as np
-
+    if len(idx) == 0:
+        raise ValueError("empty training split: no indices to pad into "
+                         "epoch batches (check folds vs cohort size)")
     b = batch_size
     nb = -(-len(idx) // b)
     n_real = len(idx)

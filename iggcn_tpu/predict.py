@@ -124,12 +124,25 @@ def batched_forward_snps(model, params, batch_stats, snps: np.ndarray, *,
                          batch_size: int = 256,
                          dtype: Optional[Any] = None,
                          forward_scan=None,
-                         fixed_batch: bool = False) -> Dict[str, np.ndarray]:
+                         fixed_batch: bool = False,
+                         expected_width: Optional[int] = None
+                         ) -> Dict[str, np.ndarray]:
     """Serve a SNP-only cohort: (S, P) host matrix -> prob (S,), pred (S,).
     Same pad/split/trim recipe (and `dtype` contract: bf16 casts the
     params/stats/input after padding) as `batched_forward`. The input's own
     dtype is preserved otherwise, so a caller pre-casting params once (the
-    HTTP daemon) can pass already-bf16 inputs with `dtype=None`."""
+    HTTP daemon) can pass already-bf16 inputs with `dtype=None`.
+
+    `expected_width`: fail fast with the expected SNP count instead of a
+    ScopeParamShapeError from deep inside flax (the SNP-only analogue of
+    `validate_cohort_shapes`)."""
+    snps = np.asarray(snps)
+    if snps.ndim != 2:
+        raise ValueError(f"snps matrix must be 2-D (subjects, snps); got "
+                         f"shape {snps.shape}")
+    if expected_width is not None and snps.shape[1] != expected_width:
+        raise ValueError(f"snps matrix has width {snps.shape[1]} but this "
+                         f"model expects {expected_width}")
     n = snps.shape[0]
     b = batch_size if fixed_batch else (min(batch_size, n) if n
                                         else batch_size)

@@ -164,8 +164,12 @@ def load_bundle(path: str) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
             go_genes=[list(g) for g in meta["topo"]["go_genes"]])
     # JSON turns tuples into lists; coerce back per the dataclass defaults
     if "config" in meta:
+        # same version-skew contract as the ctor branch below: drop config
+        # keys this host's ModelConfig doesn't know, so bundles written by
+        # a NEWER producer stay loadable
+        known_cfg = {f.name for f in dataclasses.fields(ModelConfig)}
         cfg_dict = {k: tuple(v) if isinstance(v, list) else v
-                    for k, v in meta["config"].items()}
+                    for k, v in meta["config"].items() if k in known_cfg}
         model = cls(cfg=ModelConfig(**cfg_dict), topo=topo)
     else:
         # drop ctor keys this host's model class doesn't know (bundles
@@ -179,18 +183,24 @@ def load_bundle(path: str) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
 
 
 def _infer_input_width(params) -> int:
-    """Input feature width of a topo-less serving bundle, read off the
-    shallowest 2-D `kernel` leaf in key order (lazy `nn.compact` modules
-    like `MLPModel` have no width attribute — the trained params fix it).
-    Flax registers submodules in call order, so the first such kernel is
-    the input layer's (fan_in, features)."""
-    for key in sorted(params):
-        node = params[key]
-        if isinstance(node, dict) and "kernel" in node \
-                and getattr(node["kernel"], "ndim", 0) == 2:
-            return int(node["kernel"].shape[0])
-    raise ValueError("could not infer the input width from the bundle's "
-                     "params (no 2-D kernel leaf found)")
+    """Input feature width of a topo-less serving bundle (lazy `nn.compact`
+    modules like `MLPModel` have no width attribute — the trained params fix
+    it). Structural inference, not name order: in a chain of dense layers
+    the INPUT layer is the one whose fan-in is not any other layer's output
+    width, so this holds regardless of how the layer names sort. Falls back
+    to key order only if the structure is ambiguous (e.g. coincidental
+    dimension matches)."""
+    kernels = {key: node["kernel"] for key, node in params.items()
+               if isinstance(node, dict)
+               and getattr(node.get("kernel"), "ndim", 0) == 2}
+    if not kernels:
+        raise ValueError("could not infer the input width from the bundle's "
+                         "params (no 2-D kernel leaf found)")
+    out_widths = {int(k.shape[1]) for k in kernels.values()}
+    roots = [k for k in kernels.values() if int(k.shape[0]) not in out_widths]
+    if len(roots) == 1:
+        return int(roots[0].shape[0])
+    return int(kernels[sorted(kernels)[0]].shape[0])
 
 
 # request-body ceiling for the HTTP daemon: ~10x a 256-subject fp32 cohort
@@ -260,7 +270,8 @@ def build_http_server(model, params, batch_stats, *, host="127.0.0.1",
                 return batched_forward_snps(model, params, batch_stats,
                                             snps, batch_size=batch,
                                             forward_scan=scan,
-                                            fixed_batch=True)
+                                            fixed_batch=True,
+                                            expected_width=num_snps)
     else:
         def forward(x, adj, snps):
             if np_dtype is not None:  # inputs are per-request; params not
@@ -398,9 +409,13 @@ def main(argv=None):
         from iggcn_tpu.predict import batched_forward_snps
         with np.load(args.npz) as zf:
             snps = np.asarray(zf["snps"], np.float32)
+        topo = getattr(model, "topo", None)
+        width = (int(topo.num_snps) if topo is not None
+                 else _infer_input_width(params))
         out = batched_forward_snps(model, params, batch_stats, snps,
                                    batch_size=args.batch,
-                                   dtype=jnp.bfloat16 if args.bf16 else None)
+                                   dtype=jnp.bfloat16 if args.bf16 else None,
+                                   expected_width=width)
     else:
         with np.load(args.npz) as zf:
             x, adj, snps = (np.asarray(zf[k], np.float32)

@@ -228,3 +228,15 @@ def test_metrics_match_sklearn():
     np.testing.assert_allclose(M.r2_score(a, b), sk_r2(a, b), rtol=1e-10)
     np.testing.assert_allclose(M.rmse(a, b), np.sqrt(((a - b) ** 2).mean()),
                                rtol=1e-12)
+
+
+def test_pad_epoch_indices_empty_split_errors():
+    from iggcn_tpu.data.sampler import pad_epoch_indices
+    with pytest.raises(ValueError, match="empty training split"):
+        pad_epoch_indices(np.array([], np.int64), 8)
+
+
+def test_synthetic_cohort_rejects_wide_num_regr():
+    from iggcn_tpu.data.adni import synthetic_cohort
+    with pytest.raises(ValueError, match="at most 3"):
+        synthetic_cohort(np.random.default_rng(0), num_subjects=4, num_regr=4)

@@ -292,3 +292,30 @@ def test_bundle_ctor_meta_survives_version_skew(tmp_path):
     assert type(model2) is GeneOntologyNetwork
     # and the loaded model still serves: same ctor-relevant structure
     assert model2.n_l == model.n_l and model2.l_dim == model.l_dim
+
+
+def test_batched_forward_snps_shape_fail_fast(topo):
+    """Wrong-width / wrong-rank SNP matrices fail with a clear message
+    instead of a flax ScopeParamShapeError (the SNP-only analogue of
+    validate_cohort_shapes)."""
+    import pytest as _pytest
+
+    from iggcn_tpu.predict import batched_forward_snps
+
+    with _pytest.raises(ValueError, match="expects 54"):
+        batched_forward_snps(None, {}, {}, np.zeros((4, 7), np.float32),
+                             expected_width=54)
+    with _pytest.raises(ValueError, match="must be 2-D"):
+        batched_forward_snps(None, {}, {}, np.zeros((4,), np.float32),
+                             expected_width=54)
+
+
+def test_infer_input_width_is_structural():
+    """The input layer is found structurally (fan-in not any layer's output
+    width), not by name order: a chain whose input layer sorts LAST must
+    still resolve to the true input width."""
+    from iggcn_tpu.tools.serve import _infer_input_width
+
+    k = lambda i, o: {"kernel": np.zeros((i, o), np.float32)}
+    params = {"a_head": k(16, 1), "b_mid": k(32, 16), "z_input": k(54, 32)}
+    assert _infer_input_width(params) == 54

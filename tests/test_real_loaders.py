@@ -176,3 +176,13 @@ def test_load_snps_csv(tmp_path):
     res = cross_validation_snps(x54, y, topo, folds=3, epochs=1,
                                 batch_size=4, model_kind="go")
     assert np.isfinite(res.mean_loss)
+
+
+def test_load_adni874_without_trailing_slash(tmp_path):
+    """Path assembly must tolerate a --data_path with no trailing slash
+    (string concatenation used to mangle it into <path>knn/5/)."""
+    base = str(tmp_path / "pre")          # no trailing separator
+    os.makedirs(base)
+    _write_mat_cohort(base + os.sep, np.random.default_rng(2))
+    cohort = load_adni874(DataConfig(data_path=base, knn=5, disease_id=0))
+    assert len(cohort) == S
