@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from iggcn_tpu.models.nn_compat import (BatchNorm1d, TorchLinear, dropout,
+                                        torch_linear_init,
                                         pyg_glorot, pyg_glorot_att)
 from iggcn_tpu.ops import pool as P
 from iggcn_tpu.ops.gat import GATParams, gat_conv
@@ -218,7 +219,9 @@ class TopK(nn.Module):
             h = nn.relu(P.sage_conv(h, adj, ws, wn, bb)) * mask[..., None]
             readouts.append(P.mean_pool(h, mask))
             if i % 2 == 0:
-                pw = self.param(f"pool_w_{i}", nn.initializers.normal(0.1),
+                # PyG TopKPooling weight init: U(+-1/sqrt(in_channels))
+                pw = self.param(f"pool_w_{i}",
+                                torch_linear_init(self.hidden),
                                 (self.hidden,))
                 res = P.topk_pool(h, adj, mask, pw, self.ratio)
                 h, adj, mask = res.x, res.adj, res.mask
@@ -279,13 +282,14 @@ class Set2SetNet(nn.Module):
             bb = self.param(f"b_{i}", nn.initializers.zeros, (self.hidden,))
             h = nn.relu(P.sage_conv(h, adj, ws, wn, bb)) * mask[..., None]
         hdim = self.hidden
+        # torch LSTM init: EVERY weight and bias is U(+-1/sqrt(hidden))
+        # (nn.LSTM.reset_parameters; PyG Set2Set wraps a plain nn.LSTM)
+        lstm_init = torch_linear_init(hdim)
         params = P.Set2SetParams(
-            w_ih=self.param("lstm_w_ih", nn.initializers.normal(0.1),
-                            (4 * hdim, 2 * hdim)),
-            w_hh=self.param("lstm_w_hh", nn.initializers.normal(0.1),
-                            (4 * hdim, hdim)),
-            b_ih=self.param("lstm_b_ih", nn.initializers.zeros, (4 * hdim,)),
-            b_hh=self.param("lstm_b_hh", nn.initializers.zeros, (4 * hdim,)))
+            w_ih=self.param("lstm_w_ih", lstm_init, (4 * hdim, 2 * hdim)),
+            w_hh=self.param("lstm_w_hh", lstm_init, (4 * hdim, hdim)),
+            b_ih=self.param("lstm_b_ih", lstm_init, (4 * hdim,)),
+            b_hh=self.param("lstm_b_hh", lstm_init, (4 * hdim,)))
         z = P.set2set(h, mask, params, processing_steps=4)
         z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
         if train:

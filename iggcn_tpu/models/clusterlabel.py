@@ -14,9 +14,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from iggcn_tpu.config import ModelConfig
-from iggcn_tpu.models.fused_sgcn import _glorot_uniform, _kaiming_uniform_a5
 from iggcn_tpu.models.go_network import GeneOntologyNetwork
 from iggcn_tpu.models.nn_compat import (TorchLinear, dropout,
+                                        kaiming_uniform_a5, pyg_glorot,
                                         torch_linear_init)
 from iggcn_tpu.ops.attention import MHAParams, multihead_cross_attention
 from iggcn_tpu.ops.gcn import gcn_conv, gcn_propagation_matrix
@@ -37,16 +37,16 @@ class ClusterLabelSGCN(nn.Module):
     def setup(self):
         cfg = self.cfg
         hidden = cfg.hidden
-        self.conv_w = [self.param(f"conv_w_{i}", _glorot_uniform,
+        self.conv_w = [self.param(f"conv_w_{i}", pyg_glorot,
                                   (cfg.feat_dim if i == 0 else hidden, hidden))
                        for i in range(cfg.num_layers)]
         self.conv_b = [self.param(f"conv_b_{i}", nn.initializers.zeros,
                                   (hidden,)) for i in range(cfg.num_layers)]
-        self.prob = self.param("prob", _kaiming_uniform_a5,
+        self.prob = self.param("prob", kaiming_uniform_a5,
                                (cfg.rois, cfg.feat_dim))
-        self.prob_bias = self.param("prob_bias", _kaiming_uniform_a5,
+        self.prob_bias = self.param("prob_bias", kaiming_uniform_a5,
                                     (2 * cfg.feat_dim, 1))
-        self.snps_prob = self.param("snps_prob", _kaiming_uniform_a5,
+        self.snps_prob = self.param("snps_prob", kaiming_uniform_a5,
                                     (1, cfg.num_snps))
         dim_atten = cfg.jk_dim
         self.go_network = GeneOntologyNetwork(

@@ -51,8 +51,10 @@ def gat_conv(x: jax.Array, adj: jax.Array, p: GATParams,
     adj_sl = jnp.where(eye, mean_in[:, None, :] * eye, w_off)
     mask_sl = mask_off | eye
 
-    e_feat = adj_sl[..., None] * p.lin_edge[0]         # (B, N, N, F)
-    a_edge = e_feat @ p.att_edge                       # (B, N, N)
+    # per-edge attention term: PyG computes sum_f((w*lin_edge_f)*att_f)
+    # per edge; with edge_dim=1 that factorizes to w * <lin_edge, att_edge>,
+    # one F-length dot instead of a (B, N, N, F) broadcast intermediate
+    a_edge = adj_sl * jnp.dot(p.lin_edge[0], p.att_edge)   # (B, N, N)
 
     logits = jax.nn.leaky_relu(
         a_src[:, :, None] + a_dst[:, None, :] + a_edge, negative_slope)

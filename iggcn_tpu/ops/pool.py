@@ -105,10 +105,16 @@ def sort_pool(x: jax.Array, mask: jax.Array, k: int) -> jax.Array:
     """global_sort_pool parity: sort valid nodes by the LAST feature channel
     (descending), take the first k (zero-padded), return (B, k, F)."""
     key = jnp.where(mask, x[..., -1], NEG)
-    order = jnp.argsort(-key, axis=1)[:, :k]              # (B, k)
+    order = jnp.argsort(-key, axis=1)[:, :k]              # (B, min(k, N))
     gathered = jnp.take_along_axis(x, order[..., None], axis=1)
     valid = jnp.take_along_axis(mask, order, axis=1)
-    return jnp.where(valid[..., None], gathered, 0.0)
+    out = jnp.where(valid[..., None], gathered, 0.0)
+    n = x.shape[1]
+    if n < k:
+        # PyG global_sort_pool always pads the node axis to k with zeros —
+        # downstream Conv1d layers depend on the fixed length
+        out = jnp.pad(out, ((0, 0), (0, k - n), (0, 0)))
+    return out
 
 
 class Set2SetParams(NamedTuple):

@@ -52,6 +52,12 @@ def test_sort_pool_order():
     mask = jnp.asarray(np.array([[True] * 6]))
     out = np.asarray(P.sort_pool(x, mask, k=3))
     np.testing.assert_allclose(out[0, :, -1], [5, 4, 3])
+    # k > N: PyG global_sort_pool zero-pads the node axis to k (a
+    # downstream Conv1d depends on the fixed length)
+    out = np.asarray(P.sort_pool(x, mask, k=9))
+    assert out.shape == (1, 9, 3)
+    np.testing.assert_allclose(out[0, :6, -1], [5, 4, 3, 2, 1, 0])
+    np.testing.assert_allclose(out[0, 6:], 0.0)
 
 
 def test_greedy_matching_covers_all_nodes():
