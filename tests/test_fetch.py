@@ -58,3 +58,26 @@ def test_mixed_host_tree_falls_back():
     assert device_get_tree({}) == {}
 
 
+def test_packed_fetch_of_mesh_sharded_leaves():
+    """fold_parallel fetches results whose leaves are sharded over the
+    (fold, data) mesh; the packing jit must gather them without a mesh
+    context and round-trip exactly (incl. a bf16 leaf, the serving dtype)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from iggcn_tpu.train.fold_parallel import fold_mesh
+
+    mesh = fold_mesh(4)
+    rng = np.random.default_rng(1)
+    host = {
+        "fold_metrics": rng.normal(size=(4, 6, 5)).astype(np.float32),
+        "fold_ints": rng.integers(0, 9, (4, 16)).astype(np.int32),
+        "bf16": jnp.asarray(rng.normal(size=(4, 8)), jnp.bfloat16),
+    }
+    spec = NamedSharding(mesh, P(mesh.axis_names[0]))
+    tree = {k: jax.device_put(jnp.asarray(v), spec) for k, v in host.items()}
+    got = device_get_tree(tree)
+    for k in host:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(jax.device_get(tree[k])))
+
+
