@@ -387,12 +387,35 @@ def _measure_once(topo, cohort):
 from iggcn_tpu.utils.platform import probe_backend as _probe_backend  # noqa: E402
 
 
+def _probe_with_retries():
+    """Bounded retry around the backend probe: the axon tunnel has been
+    observed down for MINUTES at a time (and fully dead for hours) — if the
+    round-end bench lands in a transient outage, one failed probe would
+    forfeit the round's artifact. Retry on a short probe timeout for
+    ~15 min total, then give up loudly. Returns None when reachable.
+    Knobs: IGGCN_BENCH_PROBE_RETRIES (0 disables retrying),
+    IGGCN_BENCH_PROBE_RETRY_SLEEP_S."""
+    err = _probe_backend()
+    if err is None:
+        return None
+    retries = int(os.environ.get("IGGCN_BENCH_PROBE_RETRIES", "6"))
+    sleep_s = float(os.environ.get("IGGCN_BENCH_PROBE_RETRY_SLEEP_S", "60"))
+    for attempt in range(1, retries + 1):
+        print(f"[bench] backend unreachable ({err}); retry "
+              f"{attempt}/{retries} in {sleep_s:.0f}s", file=sys.stderr)
+        time.sleep(sleep_s)
+        err = _probe_backend(timeout_s=60.0)
+        if err is None:
+            return None
+    return err
+
+
 def main():
     from iggcn_tpu.utils.cache import enable_compilation_cache
     from iggcn_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
-    err = _probe_backend()
+    err = _probe_with_retries()
     if err is not None:
         # one parseable line + nonzero exit beats an unbounded hang
         print(json.dumps({"metric": "fused_sgcn_go_train_throughput",

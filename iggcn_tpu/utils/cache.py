@@ -17,30 +17,59 @@ STALE_CACHE_DAYS = 14.0
 
 
 def _host_cpu_fingerprint() -> str:
-    """Short stable hash of this host's CPU feature set (see the SIGILL
-    note at the call site). x86 /proc/cpuinfo lists them under 'flags',
-    ARM under 'Features'; off-Linux falls back to the platform tuple (no
-    feature granularity, but distinct machine kinds stay distinct)."""
-    import hashlib
+    """Short stable hash of this host's CPU identity (see the SIGILL note
+    at the call site). Hashes the first /proc/cpuinfo block's feature set
+    ('flags' on x86, 'Features' on ARM) PLUS its identity lines (model
+    name, family/model/stepping, microcode, bugs): XLA:CPU derives LLVM
+    features from more than the flag set — microcode-dependent tuning like
+    the gather-slowdown (GDS) mitigation shows up in `microcode`/`bugs`,
+    not `flags`. Off-Linux falls back to the platform tuple (no feature
+    granularity, but distinct machine kinds stay distinct).
 
-    feats = None
+    Note: cpu_aot_loader warnings about `+prefer-no-scatter` /
+    `+prefer-no-gather` are NOT cross-host drift — XLA embeds those LLVM
+    tuning *preferences* at compile time and its loader compares them
+    against the host's raw ISA list, which never contains pseudo-features,
+    so the warning fires even when loading an entry compiled seconds
+    earlier on the same machine (observed live). Benign log noise; the
+    fingerprint guards the real ISA mismatches (e.g. amx-avx512)."""
     try:
         with open("/proc/cpuinfo") as fh:
-            feats = next(line for line in fh
-                         if line.startswith(("flags", "Features")))
-    except (OSError, StopIteration):
+            text = fh.read()
+    except OSError:
+        text = ""
+    return _fingerprint_from_cpuinfo(text)
+
+
+def _fingerprint_from_cpuinfo(text: str) -> str:
+    import hashlib
+
+    _IDENT = ("flags", "Features", "model name", "cpu family", "model",
+              "stepping", "microcode", "bugs")
+    parts = []
+    for line in text.splitlines():
+        if not line.strip():
+            break   # first CPU block only (all cores identical)
+        key, _, val = line.partition(":")
+        key = key.strip()
+        if key in _IDENT:
+            if key in ("flags", "Features", "bugs"):
+                # set order is kernel-stable within a boot but not
+                # across kernels; sort so equal SETS share a cache
+                val = " ".join(sorted(val.split()))
+            parts.append(f"{key}:{val.strip()}")
+    if not parts:
         import platform
 
-        feats = f": {platform.machine()} {platform.processor()}"
-    # flag order is kernel-stable within a boot but not guaranteed across
-    # kernels; sort so equal feature SETS share a cache
-    return hashlib.sha1(
-        " ".join(sorted(feats.split(":", 1)[1].split())).encode()
-    ).hexdigest()[:10]
+        parts = [f"{platform.machine()} {platform.processor()}"]
+    return hashlib.sha1("\n".join(sorted(parts)).encode()).hexdigest()[:10]
 
 
 def _prune_stale_siblings(parent: str, keep: str) -> None:
-    """Remove sibling fingerprint dirs not touched in STALE_CACHE_DAYS."""
+    """Remove sibling fingerprint dirs not touched in STALE_CACHE_DAYS —
+    and stale loose cache FILES sitting directly in `parent` (strays from
+    before per-host keying pointed the cache at `parent` itself; they are
+    never read again once the cache dir is `parent/<fingerprint>`)."""
     import shutil
     import time
 
@@ -51,9 +80,13 @@ def _prune_stale_siblings(parent: str, keep: str) -> None:
         return
     for name in names:
         full = os.path.join(parent, name)
-        if name == keep or not os.path.isdir(full):
+        if name == keep:
             continue
         try:
+            if not os.path.isdir(full):
+                if os.stat(full).st_mtime < cutoff:
+                    os.unlink(full)
+                continue
             newest = max((e.stat().st_mtime for e in os.scandir(full)),
                          default=os.stat(full).st_mtime)
             if newest < cutoff:

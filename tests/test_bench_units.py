@@ -44,3 +44,36 @@ def test_probe_backend_times_out_loudly():
     from bench import _probe_backend
     err = _probe_backend(timeout_s=0.05)
     assert err is not None and "did not respond" in err
+
+
+def test_probe_retry_recovers_from_transient_outage(monkeypatch):
+    """A tunnel outage during the first probe must not forfeit the round's
+    bench artifact: the retry loop probes again (without the retry sleeps
+    eating real time here) and returns None once the backend answers."""
+    import bench
+
+    calls = {"probe": 0, "sleeps": []}
+
+    def fake_probe(timeout_s=180.0):
+        calls["probe"] += 1
+        return None if calls["probe"] >= 3 else "tunnel down"
+
+    monkeypatch.setattr(bench, "_probe_backend", fake_probe)
+    monkeypatch.setattr(bench.time, "sleep",
+                        lambda s: calls["sleeps"].append(s))
+    monkeypatch.setenv("IGGCN_BENCH_PROBE_RETRIES", "6")
+    assert bench._probe_with_retries() is None
+    assert calls["probe"] == 3 and len(calls["sleeps"]) == 2
+
+
+def test_probe_retry_gives_up_loudly(monkeypatch):
+    import bench
+
+    monkeypatch.setattr(bench, "_probe_backend",
+                        lambda timeout_s=180.0: "still down")
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setenv("IGGCN_BENCH_PROBE_RETRIES", "2")
+    assert bench._probe_with_retries() == "still down"
+
+    monkeypatch.setenv("IGGCN_BENCH_PROBE_RETRIES", "0")  # retrying disabled
+    assert bench._probe_with_retries() == "still down"
