@@ -382,32 +382,14 @@ def _measure_once(topo, cohort):
             torch_gps, canary_pre, canary_post)
 
 
-# probe_backend moved to iggcn_tpu.utils.platform (shared with the
-# driver entry points); imported under the old name for the tests
-from iggcn_tpu.utils.platform import probe_backend as _probe_backend  # noqa: E402
-
-
 def _probe_with_retries():
-    """Bounded retry around the backend probe: the axon tunnel has been
-    observed down for MINUTES at a time (and fully dead for hours) — if the
-    round-end bench lands in a transient outage, one failed probe would
-    forfeit the round's artifact. Retry on a short probe timeout for
-    ~15 min total, then give up loudly. Returns None when reachable.
-    Knobs: IGGCN_BENCH_PROBE_RETRIES (0 disables retrying),
-    IGGCN_BENCH_PROBE_RETRY_SLEEP_S."""
-    err = _probe_backend()
-    if err is None:
-        return None
-    retries = int(os.environ.get("IGGCN_BENCH_PROBE_RETRIES", "6"))
-    sleep_s = float(os.environ.get("IGGCN_BENCH_PROBE_RETRY_SLEEP_S", "60"))
-    for attempt in range(1, retries + 1):
-        print(f"[bench] backend unreachable ({err}); retry "
-              f"{attempt}/{retries} in {sleep_s:.0f}s", file=sys.stderr)
-        time.sleep(sleep_s)
-        err = _probe_backend(timeout_s=60.0)
-        if err is None:
-            return None
-    return err
+    """Bounded retry around the backend probe (shared helper in
+    utils/platform.py) so a transient tunnel outage at round end doesn't
+    forfeit the round's bench artifact."""
+    from iggcn_tpu.utils.platform import probe_backend_with_retries
+    return probe_backend_with_retries(
+        log=lambda msg: print(msg.replace("[iggcn]", "[bench]"),
+                              file=sys.stderr))
 
 
 def main():

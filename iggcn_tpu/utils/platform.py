@@ -88,3 +88,32 @@ def probe_backend(timeout_s: float = 180.0):
         return "jax backend init failed: " + (" | ".join(tail) or
                                               f"rc={r.returncode}")
     return None
+
+
+def probe_backend_with_retries(log=None):
+    """Bounded retry around `probe_backend`: the axon tunnel has been
+    observed down for minutes at a time (and fully dead for hours) — if a
+    round-end artifact run (bench.py, the driver's entry() compile check)
+    lands in a transient outage, one failed probe would forfeit it. Retry
+    on a short probe timeout for ~15 min total, then give up loudly.
+    Returns None when reachable, else the last error string.
+    Knobs: IGGCN_BENCH_PROBE_RETRIES (0 disables retrying),
+    IGGCN_BENCH_PROBE_RETRY_SLEEP_S."""
+    import sys
+    import time
+
+    if log is None:
+        log = lambda msg: print(msg, file=sys.stderr)  # noqa: E731
+    err = probe_backend()
+    if err is None:
+        return None
+    retries = int(os.environ.get("IGGCN_BENCH_PROBE_RETRIES", "6"))
+    sleep_s = float(os.environ.get("IGGCN_BENCH_PROBE_RETRY_SLEEP_S", "60"))
+    for attempt in range(1, retries + 1):
+        log(f"[iggcn] backend unreachable ({err}); retry "
+            f"{attempt}/{retries} in {sleep_s:.0f}s")
+        time.sleep(sleep_s)
+        err = probe_backend(timeout_s=60.0)
+        if err is None:
+            return None
+    return err

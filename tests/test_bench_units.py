@@ -35,14 +35,14 @@ def test_bench_infer_tiny():
 
 
 def test_probe_backend_ok_on_cpu(monkeypatch):
-    from bench import _probe_backend
+    from iggcn_tpu.utils.platform import probe_backend
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
-    assert _probe_backend(timeout_s=120.0) is None
+    assert probe_backend(timeout_s=120.0) is None
 
 
 def test_probe_backend_times_out_loudly():
-    from bench import _probe_backend
-    err = _probe_backend(timeout_s=0.05)
+    from iggcn_tpu.utils.platform import probe_backend
+    err = probe_backend(timeout_s=0.05)
     assert err is not None and "did not respond" in err
 
 
@@ -50,7 +50,9 @@ def test_probe_retry_recovers_from_transient_outage(monkeypatch):
     """A tunnel outage during the first probe must not forfeit the round's
     bench artifact: the retry loop probes again (without the retry sleeps
     eating real time here) and returns None once the backend answers."""
-    import bench
+    import time as time_mod
+
+    from iggcn_tpu.utils import platform as plat
 
     calls = {"probe": 0, "sleeps": []}
 
@@ -58,22 +60,26 @@ def test_probe_retry_recovers_from_transient_outage(monkeypatch):
         calls["probe"] += 1
         return None if calls["probe"] >= 3 else "tunnel down"
 
-    monkeypatch.setattr(bench, "_probe_backend", fake_probe)
-    monkeypatch.setattr(bench.time, "sleep",
+    monkeypatch.setattr(plat, "probe_backend", fake_probe)
+    monkeypatch.setattr(time_mod, "sleep",
                         lambda s: calls["sleeps"].append(s))
     monkeypatch.setenv("IGGCN_BENCH_PROBE_RETRIES", "6")
-    assert bench._probe_with_retries() is None
+    assert plat.probe_backend_with_retries() is None
     assert calls["probe"] == 3 and len(calls["sleeps"]) == 2
 
 
 def test_probe_retry_gives_up_loudly(monkeypatch):
-    import bench
+    import time as time_mod
 
-    monkeypatch.setattr(bench, "_probe_backend",
+    import bench
+    from iggcn_tpu.utils import platform as plat
+
+    monkeypatch.setattr(plat, "probe_backend",
                         lambda timeout_s=180.0: "still down")
-    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(time_mod, "sleep", lambda s: None)
     monkeypatch.setenv("IGGCN_BENCH_PROBE_RETRIES", "2")
+    # through bench.py's wrapper: same helper, bench-labelled logging
     assert bench._probe_with_retries() == "still down"
 
     monkeypatch.setenv("IGGCN_BENCH_PROBE_RETRIES", "0")  # retrying disabled
-    assert bench._probe_with_retries() == "still down"
+    assert plat.probe_backend_with_retries() == "still down"
