@@ -1,0 +1,123 @@
+"""Pre-flight data doctor (`tools/doctor.py`): the checks must pass on a
+well-formed reference-layout fixture and pinpoint each broken-layout mode
+(missing file, renamed mat variable, subject-count disagreement, SNP-width
+mismatch vs the GO incidence, malformed csv cohort) with a FAIL — the
+failure modes the reference only surfaces as deep scipy KeyErrors."""
+import os
+
+import numpy as np
+import pytest
+import scipy.io as sio
+
+from iggcn_tpu.tools import doctor
+from tests.test_real_loaders import S, SNPS, _write_mat_cohort
+
+GO_FIX = os.path.join(os.path.dirname(__file__), "fixtures", "go")
+GO_ARGS = (os.path.join(GO_FIX, "analysis.json"),
+           os.path.join(GO_FIX, "go_root_connection.txt"),
+           os.path.join(GO_FIX, "snps_to_gene.txt"))
+
+
+def _fails(findings):
+    return [msg for level, msg in findings if level == "fail"]
+
+
+@pytest.fixture()
+def mat_dir(tmp_path):
+    base = str(tmp_path) + "/"
+    _write_mat_cohort(base, np.random.default_rng(0))
+    return base
+
+
+def test_doctor_passes_on_good_layout(mat_dir, capsys):
+    findings, info = doctor.check_adni874(mat_dir, knn=5)
+    assert not _fails(findings)
+    assert info["subjects"] == S and info["snp_width"] == SNPS
+    # CLI wrapper: exit code 0, summary line printed
+    assert doctor.main(["--data_path", mat_dir]) == 0
+    assert "0 failure(s)" in capsys.readouterr().out
+
+
+def test_doctor_flags_missing_and_renamed_files(mat_dir):
+    os.remove(os.path.join(mat_dir, "knn/5/corr_data.mat"))
+    sio.savemat(os.path.join(mat_dir, "knn/5/SNPS_data.mat"),
+                {"WRONG_NAME": np.zeros((S, SNPS))})
+    findings, _ = doctor.check_adni874(mat_dir, knn=5)
+    fails = _fails(findings)
+    assert any("corr_data.mat" in m and "missing" in m for m in fails)
+    assert any("SNPS_data" in m and "WRONG_NAME" in m for m in fails)
+    assert doctor.main(["--data_path", mat_dir]) == 1
+
+
+def test_doctor_flags_subject_count_and_label_range(mat_dir):
+    kdir = os.path.join(mat_dir, "knn/5")
+    # labels: wrong count AND already-0-based values
+    sio.savemat(os.path.join(kdir, "BL_DXGrp_label.mat"),
+                {"BL_DXGrp_label": np.zeros((S - 3, 1), int)})
+    findings, _ = doctor.check_adni874(mat_dir, knn=5)
+    fails = _fails(findings)
+    assert any("subject counts disagree" in m for m in fails)
+    assert any("1..5" in m for m in fails)
+
+
+def test_doctor_flags_multifusion_modality_gaps(mat_dir):
+    findings, _ = doctor.check_adni874(mat_dir, knn=5, multi_fusion=True)
+    missing = [m for m in _fails(findings) if "missing file" in m]
+    assert len(missing) == 3      # MRI / FDG-PET / AV45-PET all absent
+    # add one modality with a wrong subject count -> shape fail, not missing
+    mdir = os.path.join(mat_dir, "MRI", "knn", "5")
+    os.makedirs(mdir)
+    sio.savemat(os.path.join(mdir, "corr_data.mat"),
+                {"corr_data": np.zeros((S + 1, 12, 12))})
+    findings, _ = doctor.check_adni874(mat_dir, knn=5, multi_fusion=True)
+    assert any("MRI" in m and "subjects" in m for m in _fails(findings))
+
+
+def test_doctor_go_sources_and_width_crosscheck(mat_dir):
+    findings, topo = doctor.check_go_sources(*GO_ARGS)
+    assert topo is not None and not _fails(findings)
+    # the committed GO fixture has a tiny SNP panel, the cohort 54 -> FAIL
+    assert _fails(doctor.check_snps_width(topo, SNPS))
+    assert not _fails(doctor.check_snps_width(topo, topo.num_snps))
+    # end-to-end through the CLI: layout ok but widths disagree -> exit 1
+    rc = doctor.main(["--data_path", mat_dir,
+                      "--json_path", GO_ARGS[0],
+                      "--go_connection_path", GO_ARGS[1],
+                      "--snps_to_gene_path", GO_ARGS[2]])
+    assert rc == 1
+
+
+def test_doctor_go_sources_unparseable(tmp_path):
+    bad = tmp_path / "analysis.json"
+    bad.write_text("{not json")
+    for name in ("go_root_connection.txt", "snps_to_gene.txt"):
+        (tmp_path / name).write_text("")
+    findings, topo = doctor.check_go_sources(
+        str(bad), str(tmp_path / "go_root_connection.txt"),
+        str(tmp_path / "snps_to_gene.txt"))
+    assert topo is None and any("do not parse" in m for m in _fails(findings))
+
+
+def test_doctor_snps_csv(tmp_path):
+    base = tmp_path / "data_AH"
+    base.mkdir()
+    (base / "snp.csv").write_text("a,b\n1,2\n0,1\n2,0\n")
+    (base / "dia.csv").write_text("dia\n0\n1\n1\n")
+    assert not _fails(doctor.check_snps_csv(str(tmp_path), 0))
+    # row-count mismatch
+    (base / "dia.csv").write_text("dia\n0\n1\n")
+    assert any("labels" in m for m in _fails(
+        doctor.check_snps_csv(str(tmp_path), 0)))
+    # non-binary labels
+    (base / "dia.csv").write_text("dia\n0\n2\n1\n")
+    assert any("binary" in m for m in _fails(
+        doctor.check_snps_csv(str(tmp_path), 0)))
+    # absent task dir
+    assert _fails(doctor.check_snps_csv(str(tmp_path), 1))
+
+
+def test_doctor_cli_requires_a_target():
+    with pytest.raises(SystemExit):
+        doctor.main([])
+    with pytest.raises(SystemExit):   # partial GO args are a usage error
+        doctor.main(["--json_path", "x.json"])
