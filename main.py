@@ -325,11 +325,30 @@ def main(argv=None):
                 is_multi_fusion=dcfg.is_multi_fusion,
                 is_permut_test=dcfg.is_permut_test,
                 seed4permut_test=dcfg.seed4permut_test)
-            cohort, hit = cohort_cache.load_or_build(
-                args.cohort_cache_dir, key, lambda: adni.load_adni874(dcfg))
-            topo = go_graph.parse_go_json(dcfg.json_path,
-                                          dcfg.go_connection_path,
-                                          dcfg.snps_to_gene_path)
+            try:
+                cohort, hit = cohort_cache.load_or_build(
+                    args.cohort_cache_dir, key,
+                    lambda: adni.load_adni874(dcfg))
+                topo = go_graph.parse_go_json(dcfg.json_path,
+                                              dcfg.go_connection_path,
+                                              dcfg.snps_to_gene_path)
+            except Exception as e:
+                # a malformed real-data layout should point at the doctor,
+                # not die as a bare deep scipy error (the data dir EXISTS
+                # here — a missing dir already fell back to the synthetic
+                # cohort). The original exception re-raises unchanged so
+                # genuine code bugs keep their traceback.
+                print(
+                    f"[data] failed to load the ADNI cohort/GO sources "
+                    f"({type(e).__name__}: {e}).\n"
+                    f"Diagnose the layout with:\n"
+                    f"  python -m iggcn_tpu.tools.doctor "
+                    f"--data_path {args.data_path} --knn {args.knn} "
+                    f"--json_path {args.json_path} "
+                    f"--go_connection_path {args.go_connection_path} "
+                    f"--snps_to_gene_path {args.snps_to_gene_path}",
+                    file=sys.stderr)
+                raise
         if hit:
             print(f"[data] cohort loaded from cache ({key})")
         return cohort, topo

@@ -116,6 +116,23 @@ def test_doctor_snps_csv(tmp_path):
     assert _fails(doctor.check_snps_csv(str(tmp_path), 1))
 
 
+def test_main_cli_points_at_doctor_on_malformed_real_data(tmp_path, capsys):
+    """A data dir that EXISTS but is malformed must print the doctor hint
+    before re-raising (a missing dir falls back to the synthetic cohort
+    instead and is not this path; the original traceback is preserved so
+    code bugs stay diagnosable)."""
+    import main as main_mod
+
+    bad = tmp_path / "pre"
+    (bad / "knn" / "5").mkdir(parents=True)
+    (bad / "knn" / "5" / "sbjID_int.mat").write_bytes(b"not a mat file")
+    with pytest.raises(Exception, match="truncated"):
+        main_mod.main(["--data_path", str(bad), "--no-search",
+                       "--epochs", "1", "--cohort_cache_dir", "",
+                       "--save_appendix", "_doctorhint"])
+    assert "iggcn_tpu.tools.doctor" in capsys.readouterr().err
+
+
 def test_doctor_cli_requires_a_target():
     with pytest.raises(SystemExit):
         doctor.main([])
