@@ -221,6 +221,50 @@ def check_snps_width(topo: Any, snp_width: int) -> List[Finding]:
     return [("ok", f"SNP width agrees: {snp_width}")]
 
 
+def check_adni_csv(data_path: str, disease_id: int,
+                   knn: int = 5) -> List[Finding]:
+    """Validate the per-task CSV/mat cohort layout `load_adni_csv` reads
+    (`data_AH|MH|AM/snp.csv` + `knn/<k>/` imaging mats with ALREADY-binary
+    labels, parity sgcn_data.py:62-111)."""
+    out: List[Finding] = []
+    sub = {0: "data_AH", 1: "data_MH"}.get(disease_id, "data_AM")
+    base = os.path.join(data_path, sub)
+    snp = os.path.join(base, "snp.csv")
+    if not os.path.isfile(snp):
+        out.append(("fail", f"missing file: {snp}"))
+        x = None
+    else:
+        x = np.atleast_2d(np.genfromtxt(snp, delimiter=",", skip_header=1))
+        out.append(("ok", f"{sub}/snp.csv: {x.shape[0]} subjects x "
+                          f"{x.shape[1]} SNPs"))
+    img_dir = os.path.join(base, f"knn/{knn}/")
+    arrays = {}
+    for fname, key, desc in _MAT_FILES:
+        if fname not in ("BL_DXGrp_label.mat", "corr_data.mat",
+                         "imgData_mat_normalized_fix.mat"):
+            continue
+        arr = _load_mat(os.path.join(img_dir, fname), key, out)
+        if arr is not None:
+            arrays[fname] = arr
+            out.append(("ok", f"{sub}/knn/{knn}/{fname} [{desc}]: "
+                              f"{arr.shape}"))
+    counts = {f: int(a.shape[0]) for f, a in arrays.items()}
+    if x is not None:
+        counts["snp.csv"] = int(x.shape[0])
+    if counts and len(set(counts.values())) > 1:
+        out.append(("fail", "subject counts disagree: "
+                            + ", ".join(f"{f}={n}" for f, n in
+                                        sorted(counts.items()))))
+    labels = arrays.get("BL_DXGrp_label.mat")
+    if labels is not None:
+        vals = set(np.unique(labels).tolist())
+        if not vals <= {0, 1}:
+            out.append(("fail", f"this layout's labels must be ALREADY "
+                                f"binary 0/1 (unlike the adni874 layout's "
+                                f"raw 1..5), found {sorted(vals)}"))
+    return out
+
+
 def check_snps_csv(root: str, disease_id: int) -> List[Finding]:
     """Validate the standalone SNP csv cohort layout `load_snps_csv` reads."""
     out: List[Finding] = []
@@ -274,6 +318,11 @@ def main(argv=None) -> int:
     p.add_argument("--num_cluster", type=int, default=2)
     p.add_argument("--disease_id", type=int, default=0)
     p.add_argument("--isMultiFusion", action="store_true", default=False)
+    p.add_argument("--csv_layout", action="store_true", default=False,
+                   help="--data_path holds the per-task CSV/mat layout "
+                        "(data_AH|MH|AM/snp.csv + knn/<k>/ mats, the "
+                        "load_adni_csv variant) instead of the adni874 "
+                        ".mat layout")
     p.add_argument("--isUseTsne4Similar", action="store_true", default=False)
     p.add_argument("--isMultilModal4Similarity", action="store_true",
                    default=False)
@@ -295,7 +344,10 @@ def main(argv=None) -> int:
 
     findings: List[Finding] = []
     snp_width = None
-    if args.data_path:
+    if args.data_path and args.csv_layout:
+        findings += check_adni_csv(args.data_path, args.disease_id,
+                                   knn=args.knn)
+    elif args.data_path:
         fs, info = check_adni874(
             args.data_path, knn=args.knn, num_cluster=args.num_cluster,
             multi_fusion=args.isMultiFusion,

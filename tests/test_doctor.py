@@ -116,6 +116,37 @@ def test_doctor_snps_csv(tmp_path):
     assert _fails(doctor.check_snps_csv(str(tmp_path), 1))
 
 
+def test_doctor_csv_layout(tmp_path):
+    """The per-task CSV/mat layout check (--csv_layout / load_adni_csv):
+    binary labels required, subject counts cross-checked vs snp.csv."""
+    base = tmp_path / "data_AH"
+    kdir = base / "knn" / "5"
+    kdir.mkdir(parents=True)
+    n, s = 6, 4
+    rng = np.random.default_rng(3)
+    (base / "snp.csv").write_text(
+        "a,b,c\n" + "\n".join("1,0,2" for _ in range(s)) + "\n")
+    sio.savemat(str(kdir / "BL_DXGrp_label.mat"),
+                {"BL_DXGrp_label": np.array([0, 1] * (s // 2)).reshape(-1, 1)})
+    sio.savemat(str(kdir / "corr_data.mat"),
+                {"corr_data": np.abs(rng.normal(size=(s, n, n)))})
+    sio.savemat(str(kdir / "imgData_mat_normalized_fix.mat"),
+                {"imgData_mat_normalized": rng.normal(size=(s, n, 3))})
+    findings = doctor.check_adni_csv(str(tmp_path), disease_id=0, knn=5)
+    assert not _fails(findings)
+    assert doctor.main(["--data_path", str(tmp_path), "--csv_layout"]) == 0
+    # raw 1..5 labels are WRONG for this layout (binary required)
+    sio.savemat(str(kdir / "BL_DXGrp_label.mat"),
+                {"BL_DXGrp_label": np.array([1, 5] * (s // 2)).reshape(-1, 1)})
+    assert any("binary" in m for m in _fails(
+        doctor.check_adni_csv(str(tmp_path), 0, knn=5)))
+    # subject-count disagreement with snp.csv
+    sio.savemat(str(kdir / "BL_DXGrp_label.mat"),
+                {"BL_DXGrp_label": np.zeros((s + 2, 1), int)})
+    assert any("disagree" in m for m in _fails(
+        doctor.check_adni_csv(str(tmp_path), 0, knn=5)))
+
+
 def test_main_cli_points_at_doctor_on_malformed_real_data(tmp_path, capsys):
     """A data dir that EXISTS but is malformed must print the doctor hint
     before re-raising (a missing dir falls back to the synthetic cohort
