@@ -205,6 +205,38 @@ def _build_zoo_model(name: str, num_layers: int, hidden: int, dataset):
     raise ValueError(name)
 
 
+def _write_env_manifest(res_dir: str) -> None:
+    """Reproducibility manifest alongside cmd_input.txt (exceeds the
+    reference, which records only the command line): package versions,
+    backend/device, and the repo commit, so any results dir states the
+    environment that produced it. Best-effort — never fails the run."""
+    import platform
+    import subprocess
+    try:
+        import jax
+
+        lines = [
+            f"python {platform.python_version()} ({platform.platform()})",
+            f"jax {jax.__version__}",
+            f"numpy {np.__version__}",
+            f"backend {jax.default_backend()} "
+            f"({jax.devices()[0].device_kind} x{jax.device_count()})",
+        ]
+        try:
+            sha = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=5).stdout.strip()
+            if sha:
+                lines.append(f"commit {sha}")
+        except Exception:
+            pass
+        with open(os.path.join(res_dir, "env.txt"), "a") as fh:
+            fh.write("\n".join(lines) + "\n---\n")
+    except Exception as e:  # pragma: no cover - never block the experiment
+        print(f"[env] manifest skipped ({e})", file=sys.stderr)
+
+
 def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -260,6 +292,7 @@ def main(argv=None):
     os.makedirs(res_dir, exist_ok=True)
     with open(os.path.join(res_dir, "cmd_input.txt"), "a") as fh:
         fh.write("python " + " ".join(sys.argv) + "\n")
+    _write_env_manifest(res_dir)
 
     def logger(info):
         with open(os.path.join(res_dir, "log.txt"), "a") as fh:

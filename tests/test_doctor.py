@@ -157,11 +157,19 @@ def test_main_cli_points_at_doctor_on_malformed_real_data(tmp_path, capsys):
     bad = tmp_path / "pre"
     (bad / "knn" / "5").mkdir(parents=True)
     (bad / "knn" / "5" / "sbjID_int.mat").write_bytes(b"not a mat file")
+    import shutil
+
     with pytest.raises(Exception, match="truncated"):
         main_mod.main(["--data_path", str(bad), "--no-search",
                        "--epochs", "1", "--cohort_cache_dir", "",
                        "--save_appendix", "_doctorhint"])
     assert "iggcn_tpu.tools.doctor" in capsys.readouterr().err
+    # the reproducibility manifest is written before data loading, so even
+    # this failed run records its environment
+    res = os.path.join(os.getcwd(), "results", "ADNI_doctorhint")
+    env = open(os.path.join(res, "env.txt")).read()
+    assert "jax " in env and "backend " in env
+    shutil.rmtree(res, ignore_errors=True)
 
 
 def test_doctor_cli_requires_a_target():
