@@ -222,11 +222,13 @@ def check_snps_width(topo: Any, snp_width: int) -> List[Finding]:
 
 
 def check_adni_csv(data_path: str, disease_id: int,
-                   knn: int = 5) -> List[Finding]:
+                   knn: int = 5) -> Tuple[List[Finding], dict]:
     """Validate the per-task CSV/mat cohort layout `load_adni_csv` reads
     (`data_AH|MH|AM/snp.csv` + `knn/<k>/` imaging mats with ALREADY-binary
-    labels, parity sgcn_data.py:62-111)."""
+    labels, parity sgcn_data.py:62-111). Returns (findings, info) like
+    `check_adni874`."""
     out: List[Finding] = []
+    info: dict = {}
     sub = {0: "data_AH", 1: "data_MH"}.get(disease_id, "data_AM")
     base = os.path.join(data_path, sub)
     snp = os.path.join(base, "snp.csv")
@@ -237,6 +239,7 @@ def check_adni_csv(data_path: str, disease_id: int,
         x = np.atleast_2d(np.genfromtxt(snp, delimiter=",", skip_header=1))
         out.append(("ok", f"{sub}/snp.csv: {x.shape[0]} subjects x "
                           f"{x.shape[1]} SNPs"))
+        info["snp_width"] = int(x.shape[1])
     img_dir = os.path.join(base, f"knn/{knn}/")
     arrays = {}
     for fname, key, desc in _MAT_FILES:
@@ -262,7 +265,8 @@ def check_adni_csv(data_path: str, disease_id: int,
             out.append(("fail", f"this layout's labels must be ALREADY "
                                 f"binary 0/1 (unlike the adni874 layout's "
                                 f"raw 1..5), found {sorted(vals)}"))
-    return out
+    info["subjects"] = next(iter(counts.values()), None)
+    return out, info
 
 
 def check_snps_csv(root: str, disease_id: int) -> List[Finding]:
@@ -345,8 +349,10 @@ def main(argv=None) -> int:
     findings: List[Finding] = []
     snp_width = None
     if args.data_path and args.csv_layout:
-        findings += check_adni_csv(args.data_path, args.disease_id,
-                                   knn=args.knn)
+        fs, info = check_adni_csv(args.data_path, args.disease_id,
+                                  knn=args.knn)
+        findings += fs
+        snp_width = info.get("snp_width")
     elif args.data_path:
         fs, info = check_adni874(
             args.data_path, knn=args.knn, num_cluster=args.num_cluster,

@@ -132,19 +132,19 @@ def test_doctor_csv_layout(tmp_path):
                 {"corr_data": np.abs(rng.normal(size=(s, n, n)))})
     sio.savemat(str(kdir / "imgData_mat_normalized_fix.mat"),
                 {"imgData_mat_normalized": rng.normal(size=(s, n, 3))})
-    findings = doctor.check_adni_csv(str(tmp_path), disease_id=0, knn=5)
-    assert not _fails(findings)
+    findings, info = doctor.check_adni_csv(str(tmp_path), disease_id=0, knn=5)
+    assert not _fails(findings) and info["snp_width"] == 3
     assert doctor.main(["--data_path", str(tmp_path), "--csv_layout"]) == 0
     # raw 1..5 labels are WRONG for this layout (binary required)
     sio.savemat(str(kdir / "BL_DXGrp_label.mat"),
                 {"BL_DXGrp_label": np.array([1, 5] * (s // 2)).reshape(-1, 1)})
     assert any("binary" in m for m in _fails(
-        doctor.check_adni_csv(str(tmp_path), 0, knn=5)))
+        doctor.check_adni_csv(str(tmp_path), 0, knn=5)[0]))
     # subject-count disagreement with snp.csv
     sio.savemat(str(kdir / "BL_DXGrp_label.mat"),
                 {"BL_DXGrp_label": np.zeros((s + 2, 1), int)})
     assert any("disagree" in m for m in _fails(
-        doctor.check_adni_csv(str(tmp_path), 0, knn=5)))
+        doctor.check_adni_csv(str(tmp_path), 0, knn=5)[0]))
 
 
 def test_main_cli_points_at_doctor_on_malformed_real_data(tmp_path, capsys):
