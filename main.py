@@ -107,6 +107,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sweep the reference's (layers, hiddens, h) triples "
                         "(main.py:146-155); --no-search runs the single "
                         "(--layers, --hiddens, --h) configuration")
+    # device-selection + dead flags, accepted for drop-in compatibility with
+    # the reference README's exact command lines (`python main.py --epochs
+    # 200 --lr 0.001 --search --cuda 0`). --cuda/--cpu are n/a under jax
+    # placement (a notice is printed); --clean/--keep_old/--reprocess are
+    # parsed but never consumed anywhere in the reference either
+    # (main.py:82,107-112 — dead upstream, dead here).
+    p.add_argument("--cuda", type=int, default=None,
+                   help="ignored (reference compat): jax places on the "
+                        "available TPU/CPU; use JAX_PLATFORMS to force")
+    p.add_argument("--cpu", action="store_true", default=False,
+                   help="ignored (reference compat): set JAX_PLATFORMS=cpu "
+                        "instead")
+    p.add_argument("--clean", action="store_true", default=False,
+                   help="ignored (dead flag in the reference too)")
+    p.add_argument("--keep_old", action="store_true", default=False,
+                   help="ignored (dead flag in the reference too)")
+    p.add_argument("--reprocess", action="store_true", default=False,
+                   help="ignored (dead flag in the reference too)")
     p.add_argument("--save_appendix", default="")
     p.add_argument("--synthetic", action="store_true", default=False,
                    help="use the synthetic ADNI-shaped cohort")
@@ -248,6 +266,10 @@ def main(argv=None):
     if args.fold_parallel and args.no_fold_scan:
         parser.error("--fold_parallel requires the whole-fold scan; drop "
                      "--no_fold_scan")
+    if args.cuda is not None or args.cpu:
+        print("[device] --cuda/--cpu are reference-compat no-ops: jax "
+              "places on the available TPU/CPU (force with "
+              "JAX_PLATFORMS=cpu)", file=sys.stderr)
     if args.export_bundle:
         # refuse up front rather than training for minutes and silently
         # writing no bundle (cv.py's guard would skip topo-less models)

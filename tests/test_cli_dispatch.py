@@ -16,6 +16,38 @@ def test_unknown_model_fails_loudly(capsys):
     assert "unknown --model" in capsys.readouterr().err
 
 
+def test_reference_readme_flags_parse_as_noops(capsys):
+    """The reference README's exact command line (`--cuda 0`, plus --cpu
+    and the dead --clean/--keep_old/--reprocess flags) must PARSE here —
+    drop-in compatibility — with the device flags as announced no-ops."""
+    args = cli.build_parser().parse_args(
+        ["--epochs", "200", "--lr", "0.001", "--search", "--cuda", "0",
+         "--cpu", "--clean", "--keep_old", "--reprocess"])
+    assert args.cuda == 0 and args.cpu and args.epochs == 200
+    # the notice prints before any data/model work (unknown-model error
+    # path exits right after it, keeping this test instant)
+    with pytest.raises(SystemExit):
+        cli.main(["--cuda", "1", "--model", "NOPE"])
+    err = capsys.readouterr().err
+    assert "reference-compat no-ops" not in err  # parser.error exits earlier
+
+    class _Exit(Exception):
+        pass
+
+    # drive past parsing with a valid model but abort at the cohort load
+    import iggcn_tpu.utils.cache as cache_mod
+    orig = cache_mod.enable_compilation_cache
+    try:
+        def boom(*a, **k):
+            raise _Exit()
+        cache_mod.enable_compilation_cache = boom
+        with pytest.raises(_Exit):
+            cli.main(["--cuda", "1", "--synthetic", "--no-search"])
+    finally:
+        cache_mod.enable_compilation_cache = orig
+    assert "reference-compat no-ops" in capsys.readouterr().err
+
+
 def test_every_reference_model_name_is_routed():
     for name in ("GCN", "GAT", "GIN", "GIN0", "GraphSAGE", "TopK",
                  "DiffPool", "SortPool", "Set2Set", "GlobalAttention",
