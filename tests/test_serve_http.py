@@ -140,6 +140,33 @@ def test_requests_up_to_batch_reuse_one_compiled_program(server_and_truth):
     assert traces == 3
 
 
+def test_concurrent_requests_all_succeed_and_agree(server_and_truth):
+    """The daemon serializes device work behind a lock while threads overlap
+    request I/O (ThreadingHTTPServer): a burst of parallel clients must all
+    get 200s with predictions identical to the single-request truth."""
+    addr, cohort, want = server_and_truth
+    buf = io.BytesIO()
+    np.savez(buf, x=cohort.x.astype(np.float32),
+             adj=cohort.adj.astype(np.float32),
+             snps=cohort.snps.astype(np.float32))
+    body = buf.getvalue()
+    results = [None] * 8
+
+    def hit(i):
+        results[i] = _post_npz(addr, "/predict", body)
+
+    threads = [threading.Thread(target=hit, args=(i,))
+               for i in range(len(results))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for status, data in results:
+        assert status == 200
+        with np.load(io.BytesIO(data)) as zf:
+            np.testing.assert_array_equal(zf["pred"], want["pred"])
+
+
 def test_bf16_daemon_agrees_with_fp32_and_casts_params_once(tmp_path):
     from iggcn_tpu.config import ModelConfig
     from iggcn_tpu.data.adni import synthetic_cohort
