@@ -314,7 +314,9 @@ def _report(findings: List[Finding]) -> int:
     return 1 if fails else 0
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
+    """Parser construction hoisted from main() so the CLI reference
+    (tools/gen_docs.py) can render it without side effects."""
     p = argparse.ArgumentParser(description=__doc__.split("\n\n")[0])
     p.add_argument("--data_path", default=None,
                    help="ADNI preprocessing dir (holds knn/<k>/)")
@@ -335,6 +337,11 @@ def main(argv=None) -> int:
     p.add_argument("--snps_to_gene_path", default=None)
     p.add_argument("--snps_csv_root", default=None,
                    help="root of the standalone SNP csv cohorts")
+    return p
+
+
+def main(argv=None) -> int:
+    p = build_parser()
     args = p.parse_args(argv)
 
     go_args = (args.json_path, args.go_connection_path,

@@ -236,13 +236,9 @@ def export_grad_cam(params: Dict[str, Any], batch_stats: Dict[str, Any],
     return cam
 
 
-def main(argv=None):
-    from iggcn_tpu.utils.platform import honor_platform_env
-
-    honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
-    from iggcn_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()  # warm compiles + dead-tunnel watchdog
+def build_parser() -> argparse.ArgumentParser:
+    """Parser construction hoisted from main() so the CLI reference
+    (tools/gen_docs.py) can render it without side effects."""
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("checkpoint",
                    help="gcn_state_dict_*.msgpack checkpoint or a "
@@ -260,7 +256,17 @@ def main(argv=None):
     p.add_argument("--gradcam_hidden", type=int, default=None,
                    help="override hidden width (default: infer from ckpt)")
     p.add_argument("--gradcam_class", type=int, default=None)
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    from iggcn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
+    from iggcn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # warm compiles + dead-tunnel watchdog
+    args = build_parser().parse_args(argv)
     payload = load_payload(args.checkpoint)
     params = payload["params"]
     out = export_importances(params, args.out, args.prefix)

@@ -123,17 +123,23 @@ def _read_xspace(trace_dir: str) -> bytes:
         return fh.read()
 
 
-def main(argv=None):
-    from iggcn_tpu.utils.platform import honor_platform_env
-
-    honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
+def build_parser() -> argparse.ArgumentParser:
+    """Parser construction hoisted from main() so the CLI reference
+    (tools/gen_docs.py) can render it without side effects."""
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--top", type=int, default=20)
     p.add_argument("--out", default=None,
                    help="trace directory (default: a temp dir)")
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    from iggcn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
+    args = build_parser().parse_args(argv)
 
     import jax
 

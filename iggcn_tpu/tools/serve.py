@@ -354,13 +354,9 @@ def build_http_server(model, params, batch_stats, *, host="127.0.0.1",
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def main(argv=None):
-    from iggcn_tpu.utils.platform import honor_platform_env
-
-    honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
-    from iggcn_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()  # warm compiles + dead-tunnel watchdog
+def build_parser() -> argparse.ArgumentParser:
+    """Parser construction hoisted from main() so the CLI reference
+    (tools/gen_docs.py) can render it without side effects."""
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("bundle", help="npz written by save_bundle")
     p.add_argument("--npz", help="cohort npz with x/adj/snps arrays")
@@ -375,6 +371,17 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="serve in bfloat16 (fp32 agreement pinned by "
                         "tests/test_predict.py)")
+    return p
+
+
+def main(argv=None):
+    from iggcn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
+    from iggcn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # warm compiles + dead-tunnel watchdog
+    p = build_parser()
     args = p.parse_args(argv)
     if args.http is None and (args.npz is None or args.out is None):
         p.error("--npz and --out are required unless --http is given")

@@ -15,25 +15,46 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native GNN for ADNI graphs")
-    p.add_argument("--model", type=str, default="SGCN_GCN_IMGSNP")
+    p.add_argument("--model", type=str, default="SGCN_GCN_IMGSNP",
+                   help="model family by reference name (see the routing "
+                        "tables in docs/cli.md; unknown names abort with "
+                        "the full list)")
     p.add_argument("--isTestAdnitype", action="store_true", default=False,
                    help="train on CV folds, test on a held-out ADNI type")
-    p.add_argument("--adnitype_id", type=int, default=0)
-    p.add_argument("--disease_id4Adnitype", type=int, default=0)
-    p.add_argument("--knn", type=int, default=5)
-    p.add_argument("--no_val", action="store_true", default=False)
+    p.add_argument("--adnitype_id", type=int, default=0,
+                   help="ADNI study-phase id held out as the external test "
+                        "cohort under --isTestAdnitype")
+    p.add_argument("--disease_id4Adnitype", type=int, default=0,
+                   help="disease task filtering the TRAIN side of the "
+                        "held-out-type split (labels binarized)")
+    p.add_argument("--knn", type=int, default=5,
+                   help="k of the preprocessed kNN layout: mats are read "
+                        "under <data_path>/knn/<k>/")
+    p.add_argument("--no_val", action="store_true", default=False,
+                   help="train/test folds only (no validation split; "
+                        "model selection falls back to max-over-epochs)")
     # reference quirk fixed deliberately: these were store_true with
     # default=True upstream (unreachable False); BooleanOptionalAction makes
     # --no-isPPr / --no-isTopK / ... reachable (heat-kernel diffusion,
     # cluster-mode consistency, no-prob4regr variants).
     p.add_argument("--isPPr", action=argparse.BooleanOptionalAction,
-                   default=True)
+                   default=True,
+                   help="PPR graph-diffusion pre-transform "
+                        "(--no-isPPr switches to the heat kernel)")
     p.add_argument("--isTopK", action=argparse.BooleanOptionalAction,
-                   default=True)
-    p.add_argument("--top_k", type=int, default=3)
-    p.add_argument("--disease_id", type=int, default=3)
+                   default=True,
+                   help="sparsify the diffused adjacency by per-row top-k "
+                        "(--no-isTopK uses the epsilon threshold)")
+    p.add_argument("--top_k", type=int, default=3,
+                   help="k for the diffusion top-k sparsifier")
+    p.add_argument("--disease_id", type=int, default=3,
+                   help="diagnosis task over raw labels {HC,SMC,EMCI,LMCI,"
+                        "AD}: 0=HC-vs-AD, 1=HC-vs-prodromal, 2=MCI-vs-AD "
+                        "(binary), 3=HC/prodromal/AD 3-class")
     p.add_argument("--isCrossAtten", action=argparse.BooleanOptionalAction,
-                   default=True)
+                   default=True,
+                   help="cross-modal multihead attention between the "
+                        "imaging and GO branches in the fused models")
     p.add_argument("--use_pallas_gcn", action="store_true", default=False,
                    help="run the imaging GCN stack as a fused Pallas kernel")
     p.add_argument("--no_fold_scan", action="store_true", default=False,
@@ -48,55 +69,109 @@ def build_parser() -> argparse.ArgumentParser:
                         "(config+topology+params; serve with "
                         "iggcn_tpu.tools.serve)")
     p.add_argument("--isSoftSimilarity", action=argparse.BooleanOptionalAction,
-                   default=True)
+                   default=True,
+                   help="soft RBF subject-similarity consistency loss on "
+                        "the embedding; --no-isSoftSimilarity uses hard "
+                        "per-cluster membership consistency instead")
     p.add_argument("--isMultilModal4Similarity", action="store_true",
-                   default=False)
-    p.add_argument("--rbf_gamma", type=float, default=0.01)
-    p.add_argument("--clinical_score_index", type=int, default=-1)
+                   default=False,
+                   help="use the precomputed multimodal similarity features "
+                        "(multimodal_for_similarity.npy) instead of the PET "
+                        "features")
+    p.add_argument("--rbf_gamma", type=float, default=0.01,
+                   help="RBF bandwidth of the subject-similarity weights")
+    p.add_argument("--clinical_score_index", type=int, default=-1,
+                   help="regress ONE clinical score by index (forces "
+                        "--num_regr 1); -1 regresses all three")
     p.add_argument("--num_regr", type=int, default=None,
                    help="number of clinical-score regression targets "
                         "(default 3; must be 1 when --clinical_score_index "
                         "selects a single score)")
-    p.add_argument("--model4eachregr", action="store_true", default=False)
-    p.add_argument("--isPermutTest", action="store_true", default=False)
-    p.add_argument("--isMultiFusion", action="store_true", default=False)
+    p.add_argument("--model4eachregr", action="store_true", default=False,
+                   help="one regression head per clinical score instead of "
+                        "a shared multi-output head")
+    p.add_argument("--isPermutTest", action="store_true", default=False,
+                   help="permutation-test control: shuffle the subject-to-"
+                        "score pairing (seed --Seed4PermutTest); results go "
+                        "to results_permuttest/ and importance npys are "
+                        "suppressed")
+    p.add_argument("--isMultiFusion", action="store_true", default=False,
+                   help="fuse all three imaging modalities as one 270-node "
+                        "graph (90 ROIs x {MRI, FDG-PET, AV45-PET})")
     p.add_argument("--isuseProb4Regr", action=argparse.BooleanOptionalAction,
-                   default=True)
+                   default=True,
+                   help="append the importance-weighted raw ROI features to "
+                        "the regression head input")
     p.add_argument("--temperature", type=float, default=0.1,
                    help="Gumbel/softmax temperature (GUIDE and fused models)")
-    p.add_argument("--isImageOnly", action="store_true", default=False)
-    p.add_argument("--isSNPsOnly", action="store_true", default=False)
-    p.add_argument("--Seed4PermutTest", type=int, default=1)
-    p.add_argument("--lambda_disease", type=float, default=0.0)
-    p.add_argument("--lambda_regr", type=float, default=1.0)
-    p.add_argument("--lambda_prob", type=float, default=0.5)
-    p.add_argument("--lambda_reco", type=float, default=0.0000015)
-    p.add_argument("--lambda_simi", type=float, default=0.1)
-    p.add_argument("--lambda_orth", type=float, default=0.0)
-    p.add_argument("--data", type=str, default="ADNI")
-    p.add_argument("--layers", type=int, default=2)
-    p.add_argument("--hiddens", type=int, default=5)
+    p.add_argument("--isImageOnly", action="store_true", default=False,
+                   help="ablation: drop the GO/SNP branch from the fused "
+                        "model (imaging features only)")
+    p.add_argument("--isSNPsOnly", action="store_true", default=False,
+                   help="ablation: drop the imaging branch from the fused "
+                        "model (GO/SNP features only)")
+    p.add_argument("--Seed4PermutTest", type=int, default=1,
+                   help="seed of the label permutation under --isPermutTest "
+                        "(vary it to build the null distribution)")
+    p.add_argument("--lambda_disease", type=float, default=0.0,
+                   help="weight of the diagnosis NLL loss term")
+    p.add_argument("--lambda_regr", type=float, default=1.0,
+                   help="weight of the clinical-score MSE loss term")
+    p.add_argument("--lambda_prob", type=float, default=0.5,
+                   help="weight of the importance-sparsity loss "
+                        "(L1 + entropy over ROI/edge/SNP probabilities)")
+    p.add_argument("--lambda_reco", type=float, default=0.0000015,
+                   help="weight of the SNP autoencoder reconstruction loss")
+    p.add_argument("--lambda_simi", type=float, default=0.1,
+                   help="weight of the subject-similarity consistency loss")
+    p.add_argument("--lambda_orth", type=float, default=0.0,
+                   help="weight of the embedding orthogonality loss")
+    p.add_argument("--data", type=str, default="ADNI",
+                   help="dataset: ADNI (cohort experiments) or a TU "
+                        "benchmark name under --tu_root (zoo models, "
+                        "e.g. MUTAG)")
+    p.add_argument("--layers", type=int, default=2,
+                   help="GNN depth for the single configuration "
+                        "(--no-search)")
+    p.add_argument("--hiddens", type=int, default=5,
+                   help="hidden width for the single configuration "
+                        "(--no-search)")
     p.add_argument("--h", type=int, default=2,
                    help="hop count for Nested* subgraph extraction")
     # nested-GNN flags (reference main.py:54-57)
     p.add_argument("--node_label", type=str, default="hop",
-                   choices=["hop", "spd", "spd2", "spd3", "drnl"])
+                   choices=["hop", "spd", "spd2", "spd3", "drnl"],
+                   help="structural node-label scheme for Nested* "
+                        "subgraphs (hop distance, shortest-path distance, "
+                        "or DRNL)")
     p.add_argument("--use_rd", action="store_true", default=False,
                    help="append resistance-distance features (Nested*)")
     p.add_argument("--use_rp", type=int, default=None,
                    help="random-walk return-probability feature steps")
-    p.add_argument("--max_nodes_per_hop", type=int, default=None)
+    p.add_argument("--max_nodes_per_hop", type=int, default=None,
+                   help="subsample each BFS frontier to this many nodes "
+                        "during Nested* subgraph extraction")
     p.add_argument("--tu_root", type=str, default="./data",
                    help="root directory holding raw TU datasets "
                         "(<root>/<name>/<name>_A.txt ...)")
-    p.add_argument("--weight_decay", type=float, default=0.0)
-    p.add_argument("--epochs", type=int, default=200)
-    p.add_argument("--batch_size", type=int, default=32)
-    p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--lr_decay_factor", type=float, default=0.5)
-    p.add_argument("--lr_decay_step_size", type=int, default=50)
-    p.add_argument("--fold", type=int, default=5)
-    p.add_argument("--seed", type=int, default=1000)
+    p.add_argument("--weight_decay", type=float, default=0.0,
+                   help="Adam coupled-L2 weight decay (torch semantics)")
+    p.add_argument("--epochs", type=int, default=200,
+                   help="training epochs per fold")
+    p.add_argument("--batch_size", type=int, default=32,
+                   help="graphs per training step (throughput peaks at 256 "
+                        "on one chip; BASELINE.md batch sweep)")
+    p.add_argument("--lr", type=float, default=1e-3,
+                   help="Adam learning rate")
+    p.add_argument("--lr_decay_factor", type=float, default=0.5,
+                   help="StepLR multiplicative decay")
+    p.add_argument("--lr_decay_step_size", type=int, default=50,
+                   help="StepLR decay interval in epochs")
+    p.add_argument("--fold", type=int, default=5,
+                   help="number of stratified CV folds")
+    p.add_argument("--seed", type=int, default=1000,
+                   help="seed for splits, init, shuffling, and the "
+                        "synthetic cohort")
     # reference parity: --search defaults to TRUE (reference main.py:103 is
     # store_true with default=True — an un-disablable always-search quirk);
     # BooleanOptionalAction makes --no-search reachable, so a bare reference
@@ -125,17 +200,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ignored (dead flag in the reference too)")
     p.add_argument("--reprocess", action="store_true", default=False,
                    help="ignored (dead flag in the reference too)")
-    p.add_argument("--save_appendix", default="")
+    p.add_argument("--save_appendix", default="",
+                   help="suffix of the results dir "
+                        "(results/ADNI<appendix>; default: a timestamp)")
     p.add_argument("--synthetic", action="store_true", default=False,
                    help="use the synthetic ADNI-shaped cohort")
-    p.add_argument("--synthetic_subjects", type=int, default=256)
+    p.add_argument("--synthetic_subjects", type=int, default=256,
+                   help="subject count of the synthetic cohort")
     p.add_argument("--data_path", type=str,
-                   default="./data/snps/data/preprocessing/")
-    p.add_argument("--json_path", type=str, default="./data/snps/analysis.json")
+                   default="./data/snps/data/preprocessing/",
+                   help="ADNI preprocessing dir holding knn/<k>/ (falls "
+                        "back to the synthetic cohort when absent; "
+                        "validate with iggcn-doctor)")
+    p.add_argument("--json_path", type=str, default="./data/snps/analysis.json",
+                   help="PANTHER GO analysis json (GO term hierarchy)")
     p.add_argument("--go_connection_path", type=str,
-                   default="./data/go_root_connection.txt")
+                   default="./data/go_root_connection.txt",
+                   help="scraped GO root-connection list "
+                        "(build with iggcn_tpu.data.go_scraper)")
     p.add_argument("--snps_to_gene_path", type=str,
-                   default="./data/snps_to_gene.txt")
+                   default="./data/snps_to_gene.txt",
+                   help="SNP-to-gene mapping table")
     p.add_argument("--cohort_cache_dir", type=str, default="./cohort_cache",
                    help="directory for the processed-cohort npz cache "
                         "(parity: ADNIDataset caches its pre_transformed "
