@@ -19,6 +19,7 @@ Re-design of `cross_validation_with_val_set` / `cross_validation_without_val_set
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Callable, Dict, List, Optional
 
@@ -137,7 +138,8 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                      model_kind: str = "sgcn_imgsnp",
                      external_test: Optional[AdniCohort] = None,
                      verbose: bool = True,
-                     export_bundle: bool = False) -> CVResult:
+                     export_bundle: bool = False,
+                     resume: bool = False) -> CVResult:
     """Run the full CV experiment. `tcfg.no_val` selects the without-val
     variant; `model_kind` selects the model family and its objective
     (sgcn_imgsnp | gcn_imgsnp | guide_imgsnp | clusterlabel | sgcn_image |
@@ -152,7 +154,18 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     `export_bundle`: additionally write a self-contained serving bundle
     (`tools/serve.save_bundle`: config + GO topology + best-val params) per
     fold, for deployment hosts without the training data. Only for model
-    families that carry a GO topology (the fused/SNP families)."""
+    families that carry a GO topology (the fused/SNP families).
+
+    `resume`: skip folds whose `fold_result_*_fold_<k>.npz` already exists
+    in `res_dir` (written atomically after each completed fold), so an
+    interrupted k-fold experiment restarts at the first unfinished fold
+    with identical final aggregates. New capability — the reference loses
+    everything on a crash (its per-fold results live only in process
+    memory until the end, `kernel/train_eval_sgcn_img_snps.py:440-470`).
+    Saved folds are validated against (epochs, folds, seed, batch_size);
+    mismatches are discarded loudly and retrained. Under `fold_parallel`
+    all folds train in ONE program, so a partial set of saved folds
+    retrains everything (only a fully-complete set is skippable)."""
     use_val = not tcfg.no_val
     if clinical_score_index is None:
         # default to the config field — a separate kwarg default would let
@@ -316,7 +329,40 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     parallel_out = None
     parallel_dt = 0.0
 
-    if tcfg.fold_parallel and tcfg.use_fold_scan:
+    def fold_result_path(fold: int) -> str:
+        return os.path.join(
+            res_dir, f"fold_result_{result_file_name}_fold_{fold}.npz")
+
+    # resume: load completed folds (validated against the run config)
+    done_folds: Dict[int, Dict[str, np.ndarray]] = {}
+    if resume and res_dir is not None:
+        want_meta = np.asarray(
+            [tcfg.epochs, tcfg.folds, tcfg.seed, tcfg.batch_size], np.int64)
+        for f in range(tcfg.folds):
+            path = fold_result_path(f)
+            if not os.path.exists(path):
+                continue
+            try:
+                with np.load(path) as zf:
+                    if not np.array_equal(zf["meta"], want_meta):
+                        print(f"[resume] {path} was written by a different "
+                              f"config (epochs/folds/seed/batch_size "
+                              f"{zf['meta'].tolist()} vs "
+                              f"{want_meta.tolist()}); retraining fold {f}")
+                        continue
+                    done_folds[f] = {k: zf[k] for k in zf.files}
+            except Exception as e:
+                print(f"[resume] ignoring unreadable {path} ({e}); "
+                      f"retraining fold {f}")
+        if done_folds and tcfg.fold_parallel and len(done_folds) < tcfg.folds:
+            print(f"[resume] fold_parallel trains all folds in one program; "
+                  f"{len(done_folds)}/{tcfg.folds} saved folds is not a "
+                  "complete set — retraining everything (drop "
+                  "--fold_parallel to resume fold-by-fold)")
+            done_folds = {}
+
+    if (tcfg.fold_parallel and tcfg.use_fold_scan
+            and len(done_folds) < tcfg.folds):
         # ---- all folds in ONE sharded device program --------------------
         optimizer = make_optimizer(tcfg)
         fold_runner = make_fold_runner(
@@ -434,6 +480,29 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
         parallel_out = tuple(parallel_out)
 
     for fold, (train_idx, test_idx, val_idx) in enumerate(splits):
+        if fold in done_folds:
+            d = done_folds[fold]
+            test_losses.extend(d["test_losses"].tolist())
+            accs.extend(d["accs"].tolist())
+            all_score_results.append(d["score_result_epoch"])
+            for dst, key in ((best_hidden, "hidden"),
+                             (best_subids, "subid"),
+                             (best_linear, "linear"),
+                             (best_true_scores, "true_scores"),
+                             (best_true_labels, "true_labels"),
+                             (best_pred_scores, "pred_scores")):
+                dst.append(d[key])
+            # nothing trained: excluded from steady-state throughput
+            durations.append(0.0)
+            fold_graphs.append(0)
+            fold_cold.append(True)
+            msg = (f"[resume] fold {fold} restored from "
+                   f"{fold_result_path(fold)} (training skipped)")
+            if verbose:
+                print(msg)
+            if logger is not None:
+                logger(msg)
+            continue
         p = prepped[fold] if prepped is not None else prep_fold(
             fold, train_idx, test_idx, val_idx)
         n_train, n_test, n_val = p["n_train"], p["n_test"], p["n_val"]
@@ -636,6 +705,28 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
             best_true_scores.append(best_bundle["true_scores"])
             best_true_labels.append(best_bundle["true_labels"])
             best_pred_scores.append(best_bundle["pred_scores"])
+            if res_dir is not None:
+                # atomic per-fold result record: everything the final
+                # aggregation needs, so `resume=True` can skip this fold
+                # after an interruption (params live in the checkpoint
+                # written above; this stays small)
+                path = fold_result_path(fold)
+                tmp = path + ".tmp.npz"   # savez appends .npz when absent
+                np.savez(
+                    tmp,
+                    score_result_epoch=np.asarray(score_result_epoch,
+                                                  np.float64),
+                    test_losses=np.asarray(fold_test_losses, np.float64),
+                    accs=np.asarray(fold_accs, np.float64),
+                    hidden=best_bundle["hidden"],
+                    linear=best_bundle["linear"],
+                    subid=best_bundle["subid"],
+                    true_scores=best_bundle["true_scores"],
+                    true_labels=best_bundle["true_labels"],
+                    pred_scores=best_bundle["pred_scores"],
+                    meta=np.asarray([tcfg.epochs, tcfg.folds, tcfg.seed,
+                                     tcfg.batch_size], np.int64))
+                os.replace(tmp, path)
 
     # aggregate (parity :209-213: max over epochs of fold-mean accuracy)
     loss_arr = np.asarray(test_losses).reshape(tcfg.folds, tcfg.epochs)

@@ -203,6 +203,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_appendix", default="",
                    help="suffix of the results dir "
                         "(results/ADNI<appendix>; default: a timestamp)")
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="resume an interrupted experiment: folds with a "
+                        "fold_result_*.npz already in the results dir are "
+                        "restored instead of retrained (requires "
+                        "--save_appendix of the interrupted run; fused/"
+                        "image families)")
     p.add_argument("--synthetic", action="store_true", default=False,
                    help="use the synthetic ADNI-shaped cohort")
     p.add_argument("--synthetic_subjects", type=int, default=256,
@@ -370,6 +376,15 @@ def main(argv=None):
             parser.error("--export_bundle with --isPermutTest: permutation "
                          "runs train on shuffled labels; refusing to export "
                          "serving bundles from them")
+    if args.resume:
+        if args.model in ZOO_MODELS or args.model in SNP_MODELS:
+            parser.error("--resume supports the families routed through "
+                         "train.cv (fused imaging-genetics and image-only "
+                         f"SGCN): {', '.join(FUSION_MODELS)}")
+        if args.save_appendix == "":
+            parser.error("--resume needs --save_appendix naming the results "
+                         "dir of the interrupted run (a fresh timestamped "
+                         "dir has nothing to resume from)")
     if args.clinical_score_index != -1:
         # a single selected clinical score means ONE regression target; a
         # 3-wide head against a (B, 1) target would broadcast silently in
@@ -690,7 +705,8 @@ def main(argv=None):
                 external_test=ext_test,
                 result_file_name=result_file_name,
                 clinical_score_index=args.clinical_score_index, logger=logger,
-                model_kind=model_kind, export_bundle=args.export_bundle)
+                model_kind=model_kind, export_bundle=args.export_bundle,
+                resume=args.resume)
         print(f"[throughput] {res.throughput_graphs_per_sec:.1f} graphs/s")
         if res.mean_test_loss < best[0]:
             best = (res.mean_test_loss, res.best_acc, res.best_acc_std)

@@ -1,0 +1,128 @@
+"""Experiment resume: an interrupted CV run restarts at the first
+unfinished fold and reproduces the uninterrupted run's aggregates exactly.
+
+New capability (no reference equivalent — upstream keeps per-fold results
+only in process memory until the end, `kernel/train_eval_sgcn_img_snps.py:
+440-470`, so a crash loses everything). The per-fold record is
+`fold_result_<name>_fold_<k>.npz`, written atomically after each fold.
+"""
+import dataclasses
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from iggcn_tpu.config import LossWeights, ModelConfig, TrainConfig
+from iggcn_tpu.train import cv as cv_mod
+from iggcn_tpu.train.cv import cross_validation
+
+
+@pytest.fixture(scope="module")
+def cfgs():
+    mcfg = ModelConfig(num_layers=1, hidden=4, rois=90, feat_dim=3,
+                       num_classes=2, num_regr=3, hidden_linear=8, l_dim=8)
+    tcfg = TrainConfig(epochs=2, batch_size=8, lr=1e-3, folds=3, seed=7,
+                       loss=LossWeights(disease=1.0, regr=1.0, prob=0.5,
+                                        reco=1.5e-6, simi=0.1))
+    return mcfg, tcfg
+
+
+def _run(cohort, topo, mcfg, tcfg, res_dir, **kw):
+    return cross_validation(cohort, topo, mcfg, tcfg, res_dir=res_dir,
+                            result_file_name="res", verbose=False, **kw)
+
+
+def _assert_same(a, b, rtol=1e-6, atol=0.0):
+    np.testing.assert_allclose(a.mean_test_loss, b.mean_test_loss,
+                               rtol=rtol, atol=atol)
+    np.testing.assert_allclose(a.score_result, b.score_result,
+                               rtol=rtol, atol=atol)
+    np.testing.assert_allclose(a.best_acc, b.best_acc, rtol=rtol, atol=atol)
+    for nm in a.regression_summary:
+        np.testing.assert_allclose(
+            a.regression_summary[nm]["corr"],
+            b.regression_summary[nm]["corr"], rtol=max(rtol, 1e-5),
+            atol=max(atol, 1e-7))
+
+
+def test_full_resume_skips_all_training(cohort, topo, cfgs, tmp_path,
+                                        monkeypatch):
+    mcfg, tcfg = cfgs
+    d = str(tmp_path)
+    base = _run(cohort, topo, mcfg, tcfg, d)
+    assert len(glob.glob(os.path.join(d, "fold_result_res_fold_*.npz"))) == 3
+
+    # resuming a COMPLETE run must never build a fold runner or train
+    def boom(*a, **k):
+        raise AssertionError("training was attempted on a complete resume")
+
+    monkeypatch.setattr(cv_mod, "make_fold_runner", boom)
+    monkeypatch.setattr(cv_mod, "make_epoch_fns", boom)
+    resumed = _run(cohort, topo, mcfg, tcfg, d, resume=True)
+    _assert_same(base, resumed)
+    # nothing trained -> no steady-state throughput claim
+    assert resumed.throughput_graphs_per_sec == 0.0
+
+
+def test_partial_resume_reproduces_uninterrupted_run(cohort, topo, cfgs,
+                                                     tmp_path):
+    mcfg, tcfg = cfgs
+    d = str(tmp_path)
+    base = _run(cohort, topo, mcfg, tcfg, d)
+    # simulate an interruption after fold 1: folds 1-2 never finished
+    for f in (1, 2):
+        os.remove(os.path.join(d, f"fold_result_res_fold_{f}.npz"))
+    resumed = _run(cohort, topo, mcfg, tcfg, d, resume=True)
+    _assert_same(base, resumed)
+    # the retrained folds re-wrote their records
+    assert len(glob.glob(os.path.join(d, "fold_result_res_fold_*.npz"))) == 3
+
+
+def test_resume_discards_mismatched_config(cohort, topo, cfgs, tmp_path,
+                                           capsys):
+    mcfg, tcfg = cfgs
+    d = str(tmp_path)
+    _run(cohort, topo, mcfg, tcfg, d)
+    # a different seed invalidates every saved fold (splits differ)
+    tcfg2 = dataclasses.replace(tcfg, seed=8)
+    resumed = _run(cohort, topo, mcfg, tcfg2, d, resume=True)
+    out = capsys.readouterr().out
+    assert "different config" in out
+    # everything retrained -> real throughput again
+    assert resumed.throughput_graphs_per_sec > 0.0
+
+
+def test_resume_ignores_corrupt_record(cohort, topo, cfgs, tmp_path, capsys):
+    mcfg, tcfg = cfgs
+    d = str(tmp_path)
+    base = _run(cohort, topo, mcfg, tcfg, d)
+    with open(os.path.join(d, "fold_result_res_fold_0.npz"), "wb") as fh:
+        fh.write(b"not an npz")
+    resumed = _run(cohort, topo, mcfg, tcfg, d, resume=True)
+    assert "unreadable" in capsys.readouterr().out
+    _assert_same(base, resumed)
+
+
+def test_fold_parallel_partial_set_retrains_all(cohort, topo, cfgs, tmp_path,
+                                                capsys):
+    mcfg, tcfg = cfgs
+    d = str(tmp_path)
+    base = _run(cohort, topo, mcfg, tcfg, d)
+    os.remove(os.path.join(d, "fold_result_res_fold_2.npz"))
+    tcfg_par = dataclasses.replace(tcfg, fold_parallel=True)
+    resumed = _run(cohort, topo, mcfg, tcfg_par, d, resume=True)
+    assert "retraining everything" in capsys.readouterr().out
+    # fold-parallel == sequential only to its own documented tolerance
+    # (test_parallel.py: one vmapped program, different reduction order)
+    _assert_same(base, resumed, rtol=1e-3, atol=2e-3)
+
+
+def test_cli_resume_flag_validation():
+    import main
+
+    with pytest.raises(SystemExit):
+        main.main(["--resume", "--synthetic", "--no-search"])  # no appendix
+    with pytest.raises(SystemExit):
+        main.main(["--resume", "--model", "GIN", "--save_appendix", "_x",
+                   "--synthetic", "--no-search"])  # zoo family
