@@ -12,7 +12,8 @@ objective — NOT reference behavior (the reference discards them,
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+import os
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -132,8 +133,19 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
                              adj_only: bool = False,
                              aux_loss: bool = False,
                              takes_weight: bool = False,
+                             record_dir: Optional[str] = None,
+                             record_tag: str = "",
+                             resume: bool = False,
                              verbose: bool = False) -> GenericCVResult:
-    """Run k-fold CV of a baseline model over a dense padded GraphDataset."""
+    """Run k-fold CV of a baseline model over a dense padded GraphDataset.
+
+    `record_dir` + `resume`: same interrupted-experiment contract as
+    `cv.cross_validation(resume=...)` — each completed fold writes an
+    atomic `fold_result_generic_<tag>_fold_<k>.npz`, and `resume=True`
+    restores saved folds instead of retraining. `record_tag` must identify
+    the model + hyperparameter combo (the CLI uses
+    `<model>_layers<L>_hidden<H>_h<h>`) so grid-search combos sharing a
+    results dir cannot collide."""
     y_all = dataset.y
     extra_keys = [k for k in ("z", "rd")
                   if getattr(dataset, k, None) is not None]
@@ -156,7 +168,38 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
     losses: List[float] = []
     train_step = eval_batch = None   # built after the first init (has_stats)
 
+    def record_path(fold: int) -> str:
+        return os.path.join(
+            record_dir, f"fold_result_generic_{record_tag}_fold_{fold}.npz")
+
+    want_meta = np.asarray([epochs, folds, seed, batch_size, int(no_val)],
+                           np.int64)
+    done_folds = {}
+    if resume and record_dir is not None:
+        for f in range(folds):
+            path = record_path(f)
+            if not os.path.exists(path):
+                continue
+            try:
+                with np.load(path) as zf:
+                    if not np.array_equal(zf["meta"], want_meta):
+                        print(f"[resume] {path} was written by a different "
+                              f"config; retraining fold {f}")
+                        continue
+                    done_folds[f] = {k: zf[k] for k in zf.files}
+            except Exception as e:
+                print(f"[resume] ignoring unreadable {path} ({e}); "
+                      f"retraining fold {f}")
+
     for fold, (train_idx, test_idx, val_idx) in enumerate(splits):
+        if fold in done_folds:
+            d = done_folds[fold]
+            accs[fold] = d["accs"]
+            val_losses[fold] = d["val_losses"]
+            losses.extend(d["losses"].tolist())
+            print(f"[resume] fold {fold} restored from "
+                  f"{record_path(fold)} (training skipped)")
+            continue
         if no_val:
             train_idx = np.concatenate([train_idx, val_idx])
         rng = jax.random.PRNGKey(seed + fold)
@@ -254,6 +297,15 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
                 val_losses[fold, epoch], _ = run_eval(va, total_va, n_va)
             if verbose:
                 print(f"fold {fold} epoch {epoch}: acc {accs[fold, epoch]:.3f}")
+
+        if record_dir is not None:
+            # atomic per-fold record for resume
+            path = record_path(fold)
+            tmp = path + ".tmp.npz"   # savez appends .npz when absent
+            np.savez(tmp, accs=accs[fold], val_losses=val_losses[fold],
+                     losses=np.asarray(losses[-epochs:], np.float64),
+                     meta=want_meta)
+            os.replace(tmp, path)
 
     if no_val:
         # reference without-val selection: max over epochs of fold-mean acc

@@ -11,6 +11,7 @@ imbalance-weighted resampling of the train split each epoch.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -114,6 +115,8 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
                           model_kind: str = "go",
                           result_path: str = None,
                           bundle_dir: str = None,
+                          record_dir: str = None,
+                          resume: bool = False,
                           verbose: bool = False) -> SnpsCVResult:
     """Binary SNP classification with the bare GO network + its head, or the
     plain MLP baseline (`model_kind='mlp'`, parity
@@ -127,7 +130,13 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
     parity). Note the reported `best_acc` picks ONE epoch by
     mean-across-folds accuracy, so a fold's bundle may come from a
     different — at least as accurate for that fold — epoch than the
-    reported surface."""
+    reported surface.
+
+    `record_dir` + `resume`: same interrupted-experiment contract as
+    `cv.cross_validation(resume=...)` — each completed fold writes an
+    atomic `fold_result_snps_<kind>_fold_<k>.npz` into `record_dir`, and
+    `resume=True` restores saved folds (validated against
+    epochs/folds/seed/batch_size/model_kind) instead of retraining."""
     labels = np.asarray(labels, np.float32).reshape(-1)
     use_mlp = model_kind == "mlp"
     if use_mlp:
@@ -149,7 +158,40 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
     accs = np.zeros((folds, epochs))
     score_result = np.zeros((folds, epochs, 5))
     losses = []
+
+    def record_path(fold: int) -> str:
+        return os.path.join(
+            record_dir, f"fold_result_snps_{model_kind}_fold_{fold}.npz")
+
+    want_meta = np.asarray([epochs, folds, seed, batch_size], np.int64)
+    done_folds = {}
+    if resume and record_dir is not None:
+        for f in range(folds):
+            path = record_path(f)
+            if not os.path.exists(path):
+                continue
+            try:
+                with np.load(path) as zf:
+                    if (not np.array_equal(zf["meta"], want_meta)
+                            or str(zf["model_kind"]) != model_kind):
+                        print(f"[resume] {path} was written by a different "
+                              f"config; retraining fold {f}")
+                        continue
+                    done_folds[f] = {k: zf[k] for k in zf.files}
+            except Exception as e:
+                print(f"[resume] ignoring unreadable {path} ({e}); "
+                      f"retraining fold {f}")
+
     for fold, (train_idx, test_idx, val_idx) in enumerate(splits):
+        if fold in done_folds:
+            d = done_folds[fold]
+            score_result[fold] = d["score_result_epoch"]
+            accs[fold] = d["score_result_epoch"][:, 0]
+            losses.extend(d["losses"].tolist())
+            msg = (f"[resume] fold {fold} restored from "
+                   f"{record_path(fold)} (training skipped)")
+            print(msg)
+            continue
         train_idx = np.concatenate([train_idx, val_idx])
         rng = jax.random.PRNGKey(seed + fold)
         init_rng, rng = jax.random.split(rng)
@@ -228,6 +270,18 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
             save_bundle(
                 f"{bundle_dir}/serving_bundle_snps_{model_kind}_fold_{fold}.npz",
                 model, best_fold[1], best_fold[2])
+
+        if record_dir is not None:
+            # atomic per-fold record for resume (losses slice = this fold's
+            # per-epoch mean test losses, appended in fold order above)
+            path = record_path(fold)
+            tmp = path + ".tmp.npz"   # savez appends .npz when absent
+            np.savez(tmp,
+                     score_result_epoch=score_result[fold],
+                     losses=np.asarray(losses[-epochs:], np.float64),
+                     model_kind=np.asarray(model_kind),
+                     meta=want_meta)
+            os.replace(tmp, path)
 
     if result_path is not None:
         np.save(result_path, score_result)

@@ -207,8 +207,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume an interrupted experiment: folds with a "
                         "fold_result_*.npz already in the results dir are "
                         "restored instead of retrained (requires "
-                        "--save_appendix of the interrupted run; fused/"
-                        "image families)")
+                        "--save_appendix of the interrupted run; all "
+                        "model families)")
     p.add_argument("--synthetic", action="store_true", default=False,
                    help="use the synthetic ADNI-shaped cohort")
     p.add_argument("--synthetic_subjects", type=int, default=256,
@@ -376,15 +376,10 @@ def main(argv=None):
             parser.error("--export_bundle with --isPermutTest: permutation "
                          "runs train on shuffled labels; refusing to export "
                          "serving bundles from them")
-    if args.resume:
-        if args.model in ZOO_MODELS or args.model in SNP_MODELS:
-            parser.error("--resume supports the families routed through "
-                         "train.cv (fused imaging-genetics and image-only "
-                         f"SGCN): {', '.join(FUSION_MODELS)}")
-        if args.save_appendix == "":
-            parser.error("--resume needs --save_appendix naming the results "
-                         "dir of the interrupted run (a fresh timestamped "
-                         "dir has nothing to resume from)")
+    if args.resume and args.save_appendix == "":
+        parser.error("--resume needs --save_appendix naming the results "
+                     "dir of the interrupted run (a fresh timestamped "
+                     "dir has nothing to resume from)")
     if args.clinical_score_index != -1:
         # a single selected clinical score means ONE regression target; a
         # 3-wide head against a (B, 1) target would broadcast silently in
@@ -575,7 +570,11 @@ def main(argv=None):
                 lr_decay_factor=args.lr_decay_factor,
                 lr_decay_step_size=args.lr_decay_step_size,
                 weight_decay=args.weight_decay, seed=args.seed,
-                no_val=args.no_val, verbose=True, **cv_kw)
+                no_val=args.no_val, verbose=True,
+                record_dir=res_dir,
+                record_tag=(f"{args.model}_layers{num_layers}"
+                            f"_hidden{hidden}_h{h}"),
+                resume=args.resume, **cv_kw)
             if res.mean_loss < best[0]:
                 best = (res.mean_loss, res.best_acc, res.best_acc_std)
                 best_hyper = (num_layers, hidden, h)
@@ -633,6 +632,7 @@ def main(argv=None):
             model_kind=kind,
             result_path=os.path.join(res_dir, f"result_snps_{kind}.npy"),
             bundle_dir=res_dir if args.export_bundle else None,
+            record_dir=res_dir, resume=args.resume,
             verbose=True)
         log = (f"Result - {res.best_acc:.3f} +/- {res.best_acc_std:.3f} "
                f"(SNP-only, {args.model})")

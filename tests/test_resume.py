@@ -123,6 +123,63 @@ def test_cli_resume_flag_validation():
 
     with pytest.raises(SystemExit):
         main.main(["--resume", "--synthetic", "--no-search"])  # no appendix
-    with pytest.raises(SystemExit):
-        main.main(["--resume", "--model", "GIN", "--save_appendix", "_x",
-                   "--synthetic", "--no-search"])  # zoo family
+
+
+def test_snps_trainer_resume(topo, tmp_path, monkeypatch, capsys):
+    from iggcn_tpu.train import snps_trainer as st
+    from iggcn_tpu.train.snps_trainer import cross_validation_snps
+
+    rng = np.random.default_rng(0)
+    y = (rng.random(36) < 0.5).astype(np.int64)
+    snps = rng.random((36, topo.num_snps)).astype(np.float32)
+    d = str(tmp_path)
+    kw = dict(folds=3, epochs=2, batch_size=8, model_kind="mlp",
+              record_dir=d)
+    base = cross_validation_snps(snps, y, topo, **kw)
+    assert len(glob.glob(os.path.join(d, "fold_result_snps_mlp_*.npz"))) == 3
+    # partial resume: fold 1 lost
+    os.remove(os.path.join(d, "fold_result_snps_mlp_fold_1.npz"))
+    resumed = cross_validation_snps(snps, y, topo, resume=True, **kw)
+    out = capsys.readouterr().out
+    assert "fold 0 restored" in out and "fold 2 restored" in out
+    np.testing.assert_allclose(base.score_result, resumed.score_result,
+                               rtol=1e-6)
+    np.testing.assert_allclose(base.mean_loss, resumed.mean_loss, rtol=1e-6)
+
+    # a complete resume must never CALL a step function (they are built
+    # once up front, before the fold loop — that stays)
+    def build_exploding_steps(*a, **k):
+        def boom(*a2, **k2):
+            raise AssertionError("training attempted on a complete resume")
+        return boom, boom
+
+    monkeypatch.setattr(st, "build_snps_steps", build_exploding_steps)
+    full = cross_validation_snps(snps, y, topo, resume=True, **kw)
+    np.testing.assert_allclose(base.score_result, full.score_result,
+                               rtol=1e-6)
+
+
+def test_generic_trainer_resume(tmp_path, capsys):
+    from iggcn_tpu.data.tu import synthetic_tu_dataset
+    from iggcn_tpu.models.baselines import GIN
+    from iggcn_tpu.train.generic_cv import cross_validation_generic
+
+    ds = synthetic_tu_dataset(np.random.default_rng(3), num_graphs=36)
+    d = str(tmp_path)
+
+    def run(**kw):
+        return cross_validation_generic(
+            ds, GIN(num_layers=2, hidden=8, num_classes=ds.num_classes),
+            folds=3, epochs=2, batch_size=8, takes_weight=True,
+            record_dir=d, record_tag="GIN_layers2_hidden8_h2", **kw)
+
+    base = run()
+    assert len(glob.glob(os.path.join(d, "fold_result_generic_*.npz"))) == 3
+    os.remove(os.path.join(d, "fold_result_generic_GIN_layers2_hidden8_h2"
+                              "_fold_2.npz"))
+    resumed = run(resume=True)
+    out = capsys.readouterr().out
+    assert "fold 0 restored" in out and "fold 1 restored" in out
+    np.testing.assert_allclose(base.accs, resumed.accs, rtol=1e-6)
+    np.testing.assert_allclose(base.mean_loss, resumed.mean_loss, rtol=1e-6)
+    np.testing.assert_allclose(base.best_acc, resumed.best_acc, rtol=1e-6)
