@@ -99,7 +99,8 @@ def _import_main_module():
 
 def render_cli_md() -> str:
     main_mod = _import_main_module()
-    from iggcn_tpu.tools import doctor, explain, profile_step, serve
+    from iggcn_tpu.tools import (doctor, explain, profile_step, report,
+                                 serve)
 
     parts: List[str] = [HEADER]
 
@@ -140,6 +141,12 @@ def render_cli_md() -> str:
          "per-op device-time histogram (the megakernel closure memo's "
          "measurement tool, BASELINE.md).",
          profile_step),
+        ("## `iggcn_tpu.tools.report` (`iggcn-report`)",
+         "Aggregate results dirs into a summary table (best epoch by "
+         "fold-mean accuracy, acc ± std, auc/f1/sen/spe) from the per-fold "
+         "result records, and compute permutation p-values of observed "
+         "accuracies against `--isPermutTest` null runs. Host-side only.",
+         report),
     ):
         parts.append("")
         parts.append(title + "\n")

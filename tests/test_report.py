@@ -1,0 +1,130 @@
+"""Results aggregator (`tools/report.py`): summary rows from fold records
+and legacy score npys, and the permutation p-value the reference never
+computes for its own --isPermutTest mode."""
+import os
+
+import numpy as np
+import pytest
+
+from iggcn_tpu.tools import report
+
+
+def _write_records(d, tag, score, kind="fused"):
+    """score: (folds, E, 5). Writes one fold_result npz per fold."""
+    os.makedirs(d, exist_ok=True)
+    for f in range(score.shape[0]):
+        path = os.path.join(d, f"fold_result_{tag}_fold_{f}.npz")
+        if kind == "generic":
+            np.savez(path, accs=score[f, :, 0],
+                     val_losses=np.zeros(score.shape[1]),
+                     losses=np.zeros(score.shape[1]),
+                     meta=np.zeros(5, np.int64))
+        else:
+            np.savez(path, score_result_epoch=score[f],
+                     losses=np.zeros(score.shape[1]),
+                     meta=np.zeros(4, np.int64))
+
+
+def _score(folds=3, epochs=4, best_epoch=2, best=0.9, seed=0):
+    rng = np.random.default_rng(seed)
+    s = rng.uniform(0.4, 0.6, (folds, epochs, 5))
+    s[:, best_epoch, 0] = best         # unambiguous argmax of fold-mean acc
+    return s
+
+
+def test_collect_fused_records(tmp_path):
+    d = str(tmp_path / "run")
+    score = _score()
+    _write_records(d, "result_x_layers2", score)
+    rows = report.collect_dir(d)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["tag"] == "result_x_layers2"
+    assert (r["folds"], r["epochs"], r["best_epoch"]) == (3, 4, 2)
+    np.testing.assert_allclose(r["acc"], 0.9)
+    np.testing.assert_allclose(r["auc"], score[:, 2, 1].mean())
+
+
+def test_collect_generic_records_and_legacy_npy(tmp_path):
+    d = str(tmp_path / "run")
+    _write_records(d, "generic_GIN_layers2_hidden8_h2", _score(best=0.8),
+                   kind="generic")
+    # legacy aggregated npy for a DIFFERENT config
+    legacy = _score(best=0.7, seed=1)
+    os.makedirs(d, exist_ok=True)
+    np.save(os.path.join(d, "result_old_cfg.npy"), legacy)
+    rows = report.collect_dir(d)
+    tags = {r["tag"] for r in rows}
+    assert tags == {"generic_GIN_layers2_hidden8_h2", "result_old_cfg"}
+    gen = next(r for r in rows if r["tag"].startswith("generic"))
+    np.testing.assert_allclose(gen["acc"], 0.8)
+    assert np.isnan(gen["auc"])        # generic records carry acc only
+
+
+def test_legacy_npy_skipped_when_records_exist(tmp_path):
+    d = str(tmp_path / "run")
+    score = _score(best=0.9)
+    _write_records(d, "result_x", score)
+    # a stale aggregate of the same config must not double-report
+    np.save(os.path.join(d, "result_x.npy"), _score(best=0.1, seed=2))
+    rows = report.collect_dir(d)
+    assert len(rows) == 1 and rows[0]["acc"] == pytest.approx(0.9)
+
+
+def test_permutation_pvalue(tmp_path):
+    obs_dir = str(tmp_path / "obs")
+    _write_records(obs_dir, "result_x", _score(best=0.9))
+    null_dirs = []
+    # 4 null runs: best accs 0.95, 0.5, 0.5, 0.5 -> one >= observed
+    for i, best in enumerate((0.95, 0.5, 0.5, 0.5)):
+        nd = str(tmp_path / f"null{i}")
+        _write_records(nd, "result_x", _score(best=best, seed=10 + i))
+        null_dirs.append(nd)
+    obs_rows = report.collect_dir(obs_dir)
+    pv = report.permutation_pvalue(obs_rows, null_dirs)
+    assert len(pv) == 1
+    assert pv[0]["null_n"] == 4
+    assert pv[0]["p_value"] == pytest.approx((1 + 1) / (1 + 4))
+
+
+def test_cli_table_and_csv(tmp_path, capsys):
+    d = str(tmp_path / "run")
+    _write_records(d, "result_x", _score())
+    csv_path = str(tmp_path / "out.csv")
+    rc = report.main([d, "--csv", csv_path])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "result_x" in out and "0.9000" in out
+    with open(csv_path) as fh:
+        header = fh.readline().strip().split(",")
+    assert header == list(report.COLUMNS)
+
+
+def test_cli_empty_dir_fails(tmp_path):
+    assert report.main([str(tmp_path)]) == 1
+
+
+def test_cli_end_to_end_experiment_records(tmp_path):
+    """The records a REAL CLI experiment writes are readable by the report
+    tool (integration with the resume records of test_resume.py's paths)."""
+    from iggcn_tpu.config import LossWeights, ModelConfig, TrainConfig
+    from iggcn_tpu.data.adni import synthetic_cohort
+    from iggcn_tpu.data.go_graph import synthetic_topology
+    from iggcn_tpu.train.cv import cross_validation
+
+    rng = np.random.default_rng(5)
+    cohort = synthetic_cohort(rng, num_subjects=36)
+    topo = synthetic_topology(np.random.default_rng(5))
+    d = str(tmp_path / "res")
+    os.makedirs(d)
+    cross_validation(
+        cohort, topo,
+        ModelConfig(num_layers=1, hidden=4, hidden_linear=8, l_dim=8),
+        TrainConfig(epochs=2, batch_size=8, folds=3, seed=3,
+                    loss=LossWeights(disease=1.0)),
+        res_dir=d, result_file_name="result_e2e", verbose=False)
+    rows = report.collect_dir(d)
+    assert len(rows) == 1
+    assert rows[0]["tag"] == "result_e2e"
+    assert rows[0]["folds"] == 3 and rows[0]["epochs"] == 2
+    assert 0.0 <= rows[0]["acc"] <= 1.0
