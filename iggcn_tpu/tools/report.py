@@ -108,6 +108,73 @@ def collect_dir(res_dir: str) -> List[Dict]:
     return rows
 
 
+def collect_regression(res_dir: str) -> List[Dict]:
+    """Pooled regression metrics per (tag, clinical score) from the fused
+    fold records' best-epoch true/pred score arrays (present even for
+    permutation runs, whose score_{true,pred}_* npys are suppressed).
+    Mirrors the trainer's own pooled summary (`cv.py` regression_summary:
+    concatenate best-epoch test predictions over folds, then corr/r2/rmse
+    per column)."""
+    from iggcn_tpu.train.metrics import regression_metrics
+
+    groups: Dict[str, Dict[int, tuple]] = {}
+    names_by_tag: Dict[str, List[str]] = {}
+    for path in sorted(glob.glob(os.path.join(res_dir, "fold_result_*.npz"))):
+        m = _RECORD_RE.search(os.path.basename(path))
+        if not m:
+            continue
+        tag, fold = m.group(1), int(m.group(2))
+        try:
+            with np.load(path) as zf:
+                if "true_scores" not in zf.files:
+                    continue
+                ts = np.asarray(zf["true_scores"], np.float64)
+                ps = np.asarray(zf["pred_scores"], np.float64)
+                if "score_names" in zf.files:
+                    names_by_tag[tag] = [str(s) for s in zf["score_names"]]
+        except Exception as e:
+            print(f"[report] skipping unreadable {path} ({e})",
+                  file=sys.stderr)
+            continue
+        if ts.ndim != 2 or ts.shape != ps.shape or not np.any(ps):
+            continue          # regression-less family (zero placeholders)
+        groups.setdefault(tag, {})[fold] = (ts, ps)
+    rows: List[Dict] = []
+    for tag, by_fold in sorted(groups.items()):
+        ts = np.concatenate([by_fold[f][0] for f in sorted(by_fold)])
+        ps = np.concatenate([by_fold[f][1] for f in sorted(by_fold)])
+        corr, r2s, rmses = regression_metrics(ts, ps)
+        names = names_by_tag.get(tag, [f"score{i}" for i in range(len(corr))])
+        for i, nm in enumerate(names[:len(corr)]):
+            rows.append({"dir": res_dir, "tag": tag, "score": nm,
+                         "corr": float(corr[i]), "r2": float(r2s[i]),
+                         "rmse": float(rmses[i])})
+    return rows
+
+
+def permutation_pvalue_regression(observed_rows: List[Dict],
+                                  null_dirs: List[str]) -> List[Dict]:
+    """Permutation p-value per (tag, score) on the pooled correlation —
+    the statistic the reference's --isPermutTest mode exists to test (it
+    shuffles the subject->score pairing) but never aggregates."""
+    null_rows: List[Dict] = []
+    for d in null_dirs:
+        null_rows.extend(collect_regression(d))
+    out = []
+    for obs in observed_rows:
+        nulls = [r["corr"] for r in null_rows
+                 if r["tag"] == obs["tag"] and r["score"] == obs["score"]]
+        if not nulls:
+            continue
+        ge = sum(1 for c in nulls if c >= obs["corr"] - 1e-12)
+        out.append({"tag": obs["tag"], "score": obs["score"],
+                    "observed_corr": obs["corr"], "null_n": len(nulls),
+                    "null_mean": float(np.mean(nulls)),
+                    "null_max": float(np.max(nulls)),
+                    "p_value": (1 + ge) / (1 + len(nulls))})
+    return out
+
+
 def _fmt(v) -> str:
     if isinstance(v, float):
         return "nan" if np.isnan(v) else f"{v:.4f}"
@@ -188,17 +255,40 @@ def main(argv=None) -> int:
         with open(args.csv, "w") as fh:
             fh.write(render_csv(rows))
         print(f"[report] wrote {args.csv}", file=sys.stderr)
-    if args.permut_null is not None:
-        pv = permutation_pvalue(rows, args.permut_null)
-        if not pv:
-            return 1
+    reg_rows = []
+    for d in args.results_dirs:
+        reg_rows.extend(collect_regression(d))
+    if reg_rows:
         print()
-        cols = ("tag", "observed_acc", "null_n", "null_mean", "null_max",
-                "p_value")
+        cols = ("dir", "tag", "score", "corr", "r2", "rmse")
         print("| " + " | ".join(cols) + " |")
         print("|" + "---|" * len(cols))
-        for r in pv:
+        for r in reg_rows:
             print("| " + " | ".join(_fmt(r[c]) for c in cols) + " |")
+    if args.permut_null is not None:
+        printed = False
+        pv = permutation_pvalue(rows, args.permut_null)
+        if pv:
+            printed = True
+            print()
+            cols = ("tag", "observed_acc", "null_n", "null_mean", "null_max",
+                    "p_value")
+            print("| " + " | ".join(cols) + " |")
+            print("|" + "---|" * len(cols))
+            for r in pv:
+                print("| " + " | ".join(_fmt(r[c]) for c in cols) + " |")
+        pvr = permutation_pvalue_regression(reg_rows, args.permut_null)
+        if pvr:
+            printed = True
+            print()
+            cols = ("tag", "score", "observed_corr", "null_n", "null_mean",
+                    "null_max", "p_value")
+            print("| " + " | ".join(cols) + " |")
+            print("|" + "---|" * len(cols))
+            for r in pvr:
+                print("| " + " | ".join(_fmt(r[c]) for c in cols) + " |")
+        if not printed:
+            return 1
     return 0
 
 

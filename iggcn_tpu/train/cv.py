@@ -724,6 +724,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                     true_scores=best_bundle["true_scores"],
                     true_labels=best_bundle["true_labels"],
                     pred_scores=best_bundle["pred_scores"],
+                    score_names=np.asarray(score_names),
                     meta=np.asarray([tcfg.epochs, tcfg.folds, tcfg.seed,
                                      tcfg.batch_size], np.int64))
                 os.replace(tmp, path)

@@ -9,9 +9,13 @@ import pytest
 from iggcn_tpu.tools import report
 
 
-def _write_records(d, tag, score, kind="fused"):
-    """score: (folds, E, 5). Writes one fold_result npz per fold."""
+def _write_records(d, tag, score, kind="fused", corr_noise=None, seed=0):
+    """score: (folds, E, 5). Writes one fold_result npz per fold.
+    `corr_noise`: when set, fused records also carry true/pred score
+    arrays with pred = true + N(0, corr_noise) (controls the pooled
+    correlation)."""
     os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
     for f in range(score.shape[0]):
         path = os.path.join(d, f"fold_result_{tag}_fold_{f}.npz")
         if kind == "generic":
@@ -20,9 +24,16 @@ def _write_records(d, tag, score, kind="fused"):
                      losses=np.zeros(score.shape[1]),
                      meta=np.zeros(5, np.int64))
         else:
+            extra = {}
+            if corr_noise is not None:
+                ts = rng.normal(size=(10, 2))
+                extra = dict(
+                    true_scores=ts,
+                    pred_scores=ts + rng.normal(0, corr_noise, ts.shape),
+                    score_names=np.asarray(["tau", "mmse"]))
             np.savez(path, score_result_epoch=score[f],
                      losses=np.zeros(score.shape[1]),
-                     meta=np.zeros(4, np.int64))
+                     meta=np.zeros(4, np.int64), **extra)
 
 
 def _score(folds=3, epochs=4, best_epoch=2, best=0.9, seed=0):
@@ -87,6 +98,27 @@ def test_permutation_pvalue(tmp_path):
     assert pv[0]["p_value"] == pytest.approx((1 + 1) / (1 + 4))
 
 
+def test_collect_regression_and_pvalue(tmp_path):
+    obs = str(tmp_path / "obs")
+    # near-perfect predictions -> corr ~ 1
+    _write_records(obs, "result_x", _score(), corr_noise=0.01)
+    reg = report.collect_regression(obs)
+    assert [r["score"] for r in reg] == ["tau", "mmse"]
+    assert all(r["corr"] > 0.95 for r in reg)
+    # null runs: pure-noise predictions -> corr ~ 0
+    null_dirs = []
+    for i in range(4):
+        nd = str(tmp_path / f"null{i}")
+        _write_records(nd, "result_x", _score(seed=20 + i), corr_noise=50.0,
+                       seed=30 + i)
+        null_dirs.append(nd)
+    pv = report.permutation_pvalue_regression(reg, null_dirs)
+    assert len(pv) == 2
+    for r in pv:
+        assert r["null_n"] == 4
+        assert r["p_value"] == pytest.approx(1 / 5)   # no null beats corr~1
+
+
 def test_cli_table_and_csv(tmp_path, capsys):
     d = str(tmp_path / "run")
     _write_records(d, "result_x", _score())
@@ -128,3 +160,7 @@ def test_cli_end_to_end_experiment_records(tmp_path):
     assert rows[0]["tag"] == "result_e2e"
     assert rows[0]["folds"] == 3 and rows[0]["epochs"] == 2
     assert 0.0 <= rows[0]["acc"] <= 1.0
+    # the real records also carry the pooled-regression surface
+    reg = report.collect_regression(d)
+    assert [r["score"] for r in reg] == ["tau", "adas13", "mmse"]
+    assert all(np.isfinite(r["rmse"]) for r in reg)
