@@ -75,6 +75,41 @@ def export_importances(params: Dict[str, Any], out_dir: str,
     return out
 
 
+def plot_importances(exported: Dict[str, np.ndarray], out_dir: str,
+                     prefix: str = "ckpt") -> list:
+    """Render a sorted importance bar chart per exported tensor, in the
+    tensor's analysis units (matching tests/test_interpretability.py):
+    sigmoid for prob/snps_prob, softmax keep-probability for the guide
+    family's bias_n mask logits. prob_bias (the edge-scorer WEIGHTS, not
+    per-entity scores) is skipped — per-subject edge probabilities get
+    their own heatmap when --x_npy is given."""
+    from iggcn_tpu.utils.plots import plot_importance_bar
+
+    def sigmoid(a):
+        return 1.0 / (1.0 + np.exp(-np.asarray(a, np.float64)))
+
+    pngs = []
+    if "prob" in exported:
+        v = sigmoid(exported["prob"])
+        v = v.mean(axis=-1) if v.ndim > 1 else v      # (rois, D) -> (rois,)
+        pngs.append(plot_importance_bar(
+            v, os.path.join(out_dir, f"node_importance_{prefix}.png"),
+            title="ROI importance sigmoid(prob)"))
+    if "snps_prob" in exported:
+        pngs.append(plot_importance_bar(
+            sigmoid(exported["snps_prob"]).reshape(-1),
+            os.path.join(out_dir, f"snps_importance_{prefix}.png"),
+            title="SNP importance sigmoid(snps_prob)", item_name="SNP"))
+    if "bias_n" in exported:
+        logits = np.asarray(exported["bias_n"], np.float64)
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        keep = (e / e.sum(axis=-1, keepdims=True))[:, 1]
+        pngs.append(plot_importance_bar(
+            keep, os.path.join(out_dir, f"mask_importance_{prefix}.png"),
+            title="Gumbel mask keep-probability", item_name="feature"))
+    return pngs
+
+
 def export_edge_probabilities(params: Dict[str, Any], x: np.ndarray,
                               out_dir: str, prefix: str = "ckpt"
                               ) -> np.ndarray:
@@ -256,6 +291,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gradcam_hidden", type=int, default=None,
                    help="override hidden width (default: infer from ckpt)")
     p.add_argument("--gradcam_class", type=int, default=None)
+    p.add_argument("--plot", action="store_true", default=False,
+                   help="also render figures (png) next to each exported "
+                        "npy: sorted importance bars, subject-mean edge-"
+                        "probability heatmap, grad-CAM saliency bar")
     return p
 
 
@@ -273,12 +312,23 @@ def main(argv=None):
     n_exported = len(out)
     if out:
         print(f"exported {sorted(out)} to {args.out}")
+    if args.plot and out:
+        for png in plot_importances(out, args.out, args.prefix):
+            print(f"figure {png}")
     if args.x_npy is not None:
         if "prob" in params and "prob_bias" in params:
             ep = export_edge_probabilities(params, np.load(args.x_npy),
                                            args.out, args.prefix)
             n_exported += 1
             print(f"edge probabilities {ep.shape} exported")
+            if args.plot:
+                from iggcn_tpu.utils.plots import plot_matrix
+                png = plot_matrix(
+                    ep.mean(axis=0),
+                    os.path.join(args.out,
+                                 f"edge_probability_{args.prefix}.png"),
+                    title="Edge probability (subject mean)")
+                print(f"figure {png}")
         else:
             # e.g. a GUIDE_IMGSNP checkpoint: its importances are the
             # Gumbel mask logits (bias_n), not the SGCN edge scorer
@@ -300,6 +350,18 @@ def main(argv=None):
                 class_index=args.gradcam_class)
             n_exported += 1
             print(f"grad-CAM saliency {cam.shape} exported")
+            if args.plot:
+                from iggcn_tpu.utils.plots import plot_importance_bar
+                sal = np.abs(np.asarray(cam, np.float64))
+                if sal.ndim > 1:
+                    sal = sal.mean(axis=0)      # subject mean -> (rois,)
+                while sal.ndim > 1:             # defensive: extra dims
+                    sal = sal.mean(axis=-1)
+                png = plot_importance_bar(
+                    sal / max(float(sal.max()), 1e-12),
+                    os.path.join(args.out, f"grad_cam_{args.prefix}.png"),
+                    title="Grad-CAM saliency (subject mean, normalized)")
+                print(f"figure {png}")
     if not n_exported:
         # exiting 0 with an empty export would read as success on e.g. a
         # SNP-only GO/MLP bundle, which carries no importance leaves at all
