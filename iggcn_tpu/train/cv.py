@@ -335,9 +335,13 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
 
     # resume: load completed folds (validated against the run config)
     done_folds: Dict[int, Dict[str, np.ndarray]] = {}
+    # the guard covers every config axis that changes the saved surface but
+    # not the record FILENAME (the tag already encodes layers/hidden/h)
+    want_meta = np.asarray(
+        [tcfg.epochs, tcfg.folds, tcfg.seed, tcfg.batch_size,
+         int(tcfg.no_val), int(tcfg.is_permut_test),
+         int(external_test is not None)], np.int64)
     if resume and res_dir is not None:
-        want_meta = np.asarray(
-            [tcfg.epochs, tcfg.folds, tcfg.seed, tcfg.batch_size], np.int64)
         for f in range(tcfg.folds):
             path = fold_result_path(f)
             if not os.path.exists(path):
@@ -725,8 +729,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                     true_labels=best_bundle["true_labels"],
                     pred_scores=best_bundle["pred_scores"],
                     score_names=np.asarray(score_names),
-                    meta=np.asarray([tcfg.epochs, tcfg.folds, tcfg.seed,
-                                     tcfg.batch_size], np.int64))
+                    meta=want_meta)
                 os.replace(tmp, path)
 
     # aggregate (parity :209-213: max over epochs of fold-mean accuracy)

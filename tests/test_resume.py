@@ -79,13 +79,15 @@ def test_partial_resume_reproduces_uninterrupted_run(cohort, topo, cfgs,
     assert len(glob.glob(os.path.join(d, "fold_result_res_fold_*.npz"))) == 3
 
 
+@pytest.mark.parametrize("change", [dict(seed=8), dict(no_val=True)])
 def test_resume_discards_mismatched_config(cohort, topo, cfgs, tmp_path,
-                                           capsys):
+                                           capsys, change):
     mcfg, tcfg = cfgs
     d = str(tmp_path)
     _run(cohort, topo, mcfg, tcfg, d)
-    # a different seed invalidates every saved fold (splits differ)
-    tcfg2 = dataclasses.replace(tcfg, seed=8)
+    # a changed seed (splits differ) or mode (no_val folds val into train)
+    # invalidates every saved fold
+    tcfg2 = dataclasses.replace(tcfg, **change)
     resumed = _run(cohort, topo, mcfg, tcfg2, d, resume=True)
     out = capsys.readouterr().out
     assert "different config" in out
