@@ -303,6 +303,89 @@ def check_snps_csv(root: str, disease_id: int) -> List[Finding]:
     return out
 
 
+def check_tu_dataset(root: str, name: str) -> List[Finding]:
+    """Validate a raw TU benchmark layout (`data/tu.py:read_tu_dir`):
+    required files, 1-based index conventions, cross-file count agreement —
+    then prove it by actually loading the dataset."""
+    out: List[Finding] = []
+    base = os.path.join(root, name)
+    if not os.path.isfile(os.path.join(base, f"{name}_A.txt")):
+        raw = os.path.join(base, "raw")
+        if os.path.isfile(os.path.join(raw, f"{name}_A.txt")):
+            base = raw
+        else:
+            out.append(("fail", f"no {name}_A.txt under {base} or "
+                                f"{base}/raw (--tu_root must hold "
+                                f"<name>/<name>_A.txt, the raw TU dump)"))
+            return out
+
+    def path(suffix):
+        return os.path.join(base, f"{name}_{suffix}.txt")
+
+    for suffix in ("graph_indicator", "graph_labels"):
+        if not os.path.isfile(path(suffix)):
+            out.append(("fail", f"missing file: {path(suffix)}"))
+    if any(level == "fail" for level, _ in out):
+        return out
+    try:
+        indicator = np.loadtxt(path("graph_indicator"), dtype=np.int64,
+                               delimiter=",").reshape(-1)
+        edges = np.loadtxt(path("A"), dtype=np.int64, delimiter=",",
+                           ndmin=2)
+        graph_labels = np.loadtxt(path("graph_labels"), dtype=np.int64,
+                                  delimiter=",").reshape(-1)
+    except Exception as e:
+        out.append(("fail", f"TU files do not parse as int csv: {e}"))
+        return out
+    num_nodes, num_graphs = indicator.shape[0], int(indicator.max())
+    if indicator.min() < 1:
+        out.append(("fail", f"{name}_graph_indicator.txt must be 1-based "
+                            f"(min found: {indicator.min()})"))
+    if set(np.unique(indicator)) != set(range(1, num_graphs + 1)):
+        out.append(("fail", f"{name}_graph_indicator.txt graph ids are not "
+                            f"contiguous 1..{num_graphs}"))
+    if graph_labels.shape[0] != num_graphs:
+        out.append(("fail", f"{name}_graph_labels.txt has "
+                            f"{graph_labels.shape[0]} labels for "
+                            f"{num_graphs} graphs"))
+    if edges.size and (edges.min() < 1 or edges.max() > num_nodes):
+        out.append(("fail", f"{name}_A.txt node ids out of range "
+                            f"[{edges.min()}, {edges.max()}] for "
+                            f"{num_nodes} nodes (must be 1-based)"))
+    for suffix, what in (("node_labels", "per-node int labels"),
+                         ("node_attributes", "per-node float attributes")):
+        if os.path.isfile(path(suffix)):
+            try:
+                rows = sum(1 for line in open(path(suffix)) if line.strip())
+            except Exception as e:
+                out.append(("fail", f"{path(suffix)} unreadable: {e}"))
+                continue
+            if rows != num_nodes:
+                out.append(("fail", f"{path(suffix)}: {rows} rows for "
+                                    f"{num_nodes} nodes"))
+            else:
+                out.append(("ok", f"{name}_{suffix}.txt: {rows} rows "
+                                  f"({what})"))
+    if not (os.path.isfile(path("node_labels"))
+            or os.path.isfile(path("node_attributes"))):
+        out.append(("warn", f"{name} has no node features; the loader "
+                            "falls back to degree features "
+                            "(kernel/datasets.py:55-67 semantics)"))
+    if any(level == "fail" for level, _ in out):
+        return out
+    from iggcn_tpu.data.tu import read_tu_dir
+    try:
+        ds = read_tu_dir(root, name)
+    except Exception as e:
+        out.append(("fail", f"read_tu_dir({name}) failed after structural "
+                            f"checks passed: {e}"))
+        return out
+    out.append(("ok", f"{name}: {len(ds)} graphs, max {ds.x.shape[1]} "
+                      f"nodes, {ds.num_features} features, "
+                      f"{ds.num_classes} classes"))
+    return out
+
+
 def _report(findings: List[Finding]) -> int:
     tag = {"ok": "[ ok ]", "warn": "[warn]", "fail": "[FAIL]"}
     for level, msg in findings:
@@ -337,6 +420,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--snps_to_gene_path", default=None)
     p.add_argument("--snps_csv_root", default=None,
                    help="root of the standalone SNP csv cohorts")
+    p.add_argument("--tu_root", default="./data",
+                   help="root of raw TU benchmark datasets (with --tu_name)")
+    p.add_argument("--tu_name", default=None,
+                   help="validate this raw TU dataset "
+                        "(<tu_root>/<name>/<name>_A.txt family)")
     return p
 
 
@@ -346,9 +434,10 @@ def main(argv=None) -> int:
 
     go_args = (args.json_path, args.go_connection_path,
                args.snps_to_gene_path)
-    if not args.data_path and not any(go_args) and not args.snps_csv_root:
+    if (not args.data_path and not any(go_args) and not args.snps_csv_root
+            and not args.tu_name):
         p.error("nothing to check: give --data_path, the three GO source "
-                "paths, and/or --snps_csv_root")
+                "paths, --snps_csv_root, and/or --tu_name")
     if any(go_args) and not all(go_args):
         p.error("GO validation needs all three of --json_path "
                 "--go_connection_path --snps_to_gene_path")
@@ -376,6 +465,8 @@ def main(argv=None) -> int:
         findings += check_snps_width(topo, snp_width)
     if args.snps_csv_root:
         findings += check_snps_csv(args.snps_csv_root, args.disease_id)
+    if args.tu_name:
+        findings += check_tu_dataset(args.tu_root, args.tu_name)
     return _report(findings)
 
 

@@ -177,3 +177,30 @@ def test_doctor_cli_requires_a_target():
         doctor.main([])
     with pytest.raises(SystemExit):   # partial GO args are a usage error
         doctor.main(["--json_path", "x.json"])
+
+
+def test_doctor_tu_dataset_ok_on_fixture(capsys):
+    rc = doctor.main(["--tu_root", "tests/fixtures", "--tu_name", "TUTEST"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "10 graphs" in out and "2 classes" in out
+
+
+def test_doctor_tu_dataset_failures(tmp_path, capsys):
+    # missing dataset
+    rc = doctor.main(["--tu_root", str(tmp_path), "--tu_name", "NOPE"])
+    assert rc == 1
+    assert "NOPE_A.txt" in capsys.readouterr().out
+
+    # structurally broken: 0-based indicator + label-count mismatch
+    import shutil
+    d = tmp_path / "BROKEN"
+    shutil.copytree("tests/fixtures/TUTEST", d)
+    for f in d.iterdir():  # fixture files are TUTEST_*.txt; rename
+        f.rename(d / f.name.replace("TUTEST", "BROKEN"))
+    ind = np.loadtxt(d / "BROKEN_graph_indicator.txt", dtype=np.int64)
+    np.savetxt(d / "BROKEN_graph_indicator.txt", ind - 1, fmt="%d")
+    rc = doctor.main(["--tu_root", str(tmp_path), "--tu_name", "BROKEN"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "1-based" in out
