@@ -33,6 +33,25 @@ def _run(cohort, topo, mcfg, tcfg, res_dir, **kw):
                             result_file_name="res", verbose=False, **kw)
 
 
+@pytest.fixture(scope="module")
+def base_run(cohort, topo, cfgs, tmp_path_factory):
+    """ONE uninterrupted base run shared by every fused-resume test (each
+    test works on its own copy of the records dir)."""
+    mcfg, tcfg = cfgs
+    d = str(tmp_path_factory.mktemp("resume_base"))
+    res = _run(cohort, topo, mcfg, tcfg, d)
+    return d, res
+
+
+def _copy_base(base_run, tmp_path):
+    import shutil
+
+    src_dir, res = base_run
+    d = str(tmp_path / "run")
+    shutil.copytree(src_dir, d)
+    return d, res
+
+
 def _assert_same(a, b, rtol=1e-6, atol=0.0):
     np.testing.assert_allclose(a.mean_test_loss, b.mean_test_loss,
                                rtol=rtol, atol=atol)
@@ -46,11 +65,10 @@ def _assert_same(a, b, rtol=1e-6, atol=0.0):
             atol=max(atol, 1e-7))
 
 
-def test_full_resume_skips_all_training(cohort, topo, cfgs, tmp_path,
-                                        monkeypatch):
+def test_full_resume_skips_all_training(cohort, topo, cfgs, base_run,
+                                        tmp_path, monkeypatch):
     mcfg, tcfg = cfgs
-    d = str(tmp_path)
-    base = _run(cohort, topo, mcfg, tcfg, d)
+    d, base = _copy_base(base_run, tmp_path)
     assert len(glob.glob(os.path.join(d, "fold_result_res_fold_*.npz"))) == 3
 
     # resuming a COMPLETE run must never build a fold runner or train
@@ -66,10 +84,9 @@ def test_full_resume_skips_all_training(cohort, topo, cfgs, tmp_path,
 
 
 def test_partial_resume_reproduces_uninterrupted_run(cohort, topo, cfgs,
-                                                     tmp_path):
+                                                     base_run, tmp_path):
     mcfg, tcfg = cfgs
-    d = str(tmp_path)
-    base = _run(cohort, topo, mcfg, tcfg, d)
+    d, base = _copy_base(base_run, tmp_path)
     # simulate an interruption after fold 1: folds 1-2 never finished
     for f in (1, 2):
         os.remove(os.path.join(d, f"fold_result_res_fold_{f}.npz"))
@@ -80,11 +97,10 @@ def test_partial_resume_reproduces_uninterrupted_run(cohort, topo, cfgs,
 
 
 @pytest.mark.parametrize("change", [dict(seed=8), dict(no_val=True)])
-def test_resume_discards_mismatched_config(cohort, topo, cfgs, tmp_path,
-                                           capsys, change):
+def test_resume_discards_mismatched_config(cohort, topo, cfgs, base_run,
+                                           tmp_path, capsys, change):
     mcfg, tcfg = cfgs
-    d = str(tmp_path)
-    _run(cohort, topo, mcfg, tcfg, d)
+    d, _ = _copy_base(base_run, tmp_path)
     # a changed seed (splits differ) or mode (no_val folds val into train)
     # invalidates every saved fold
     tcfg2 = dataclasses.replace(tcfg, **change)
@@ -95,10 +111,10 @@ def test_resume_discards_mismatched_config(cohort, topo, cfgs, tmp_path,
     assert resumed.throughput_graphs_per_sec > 0.0
 
 
-def test_resume_ignores_corrupt_record(cohort, topo, cfgs, tmp_path, capsys):
+def test_resume_ignores_corrupt_record(cohort, topo, cfgs, base_run,
+                                       tmp_path, capsys):
     mcfg, tcfg = cfgs
-    d = str(tmp_path)
-    base = _run(cohort, topo, mcfg, tcfg, d)
+    d, base = _copy_base(base_run, tmp_path)
     with open(os.path.join(d, "fold_result_res_fold_0.npz"), "wb") as fh:
         fh.write(b"not an npz")
     resumed = _run(cohort, topo, mcfg, tcfg, d, resume=True)
@@ -106,11 +122,10 @@ def test_resume_ignores_corrupt_record(cohort, topo, cfgs, tmp_path, capsys):
     _assert_same(base, resumed)
 
 
-def test_fold_parallel_partial_set_retrains_all(cohort, topo, cfgs, tmp_path,
-                                                capsys):
+def test_fold_parallel_partial_set_retrains_all(cohort, topo, cfgs, base_run,
+                                                tmp_path, capsys):
     mcfg, tcfg = cfgs
-    d = str(tmp_path)
-    base = _run(cohort, topo, mcfg, tcfg, d)
+    d, base = _copy_base(base_run, tmp_path)
     os.remove(os.path.join(d, "fold_result_res_fold_2.npz"))
     tcfg_par = dataclasses.replace(tcfg, fold_parallel=True)
     resumed = _run(cohort, topo, mcfg, tcfg_par, d, resume=True)
