@@ -26,6 +26,8 @@ and get `prob`/`pred`.
 
 HTTP protocol (wire format is npz — numpy-native, zero client deps):
   GET  /health           -> JSON {model_class, batch, dtype, device, ...}
+  GET  /stats            -> JSON {requests, errors, subjects_scored,
+                            uptime_s, latency_ms {last, p50, p95, window}}
   POST /predict          -> body: npz bytes with x/adj/snps arrays;
                             response: npz bytes with log_probs/pred[/our_reg]
 The daemon holds ONE warmed jitted serving program (`make_forward_scan`);
@@ -294,6 +296,40 @@ def build_http_server(model, params, batch_stats, *, host="127.0.0.1",
                 np.zeros((1, cfg.rois, cfg.rois), np.float32),
                 np.zeros((1, cfg.num_snps), np.float32))
 
+    # request-level observability for GET /stats: counters + a ring of the
+    # last 200 request latencies (wall time around parse+inference, i.e.
+    # what the client experiences minus network)
+    import collections
+    import time as _time
+
+    stats_lock = threading.Lock()
+    started = _time.monotonic()
+    counters = {"requests": 0, "errors": 0, "subjects_scored": 0}
+    latencies: collections.deque = collections.deque(maxlen=200)
+
+    def _record(ok: bool, subjects: int, dt_s: float) -> None:
+        with stats_lock:
+            counters["requests"] += 1
+            if not ok:
+                counters["errors"] += 1
+            counters["subjects_scored"] += subjects
+            latencies.append(dt_s)
+
+    def _stats() -> dict:
+        with stats_lock:
+            lat = sorted(latencies)
+            snap = dict(counters)
+        out = {**snap, "uptime_s": round(_time.monotonic() - started, 1)}
+        if lat:
+            out["latency_ms"] = {
+                "last": round(latencies[-1] * 1e3, 1),
+                "p50": round(lat[len(lat) // 2] * 1e3, 1),
+                "p95": round(lat[min(len(lat) - 1,
+                                     int(len(lat) * 0.95))] * 1e3, 1),
+                "window": len(lat),
+            }
+        return out
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route access logs to stderr
             sys.stderr.write(f"[serve] {self.address_string()} "
@@ -312,6 +348,8 @@ def build_http_server(model, params, batch_stats, *, host="127.0.0.1",
         def do_GET(self):
             if self.path == "/health":
                 self._reply_json(200, health)
+            elif self.path == "/stats":
+                self._reply_json(200, _stats())
             else:
                 self._reply_json(404, {"error": f"no route {self.path}"})
 
@@ -319,17 +357,20 @@ def build_http_server(model, params, batch_stats, *, host="127.0.0.1",
             if self.path != "/predict":
                 self._reply_json(404, {"error": f"no route {self.path}"})
                 return
+            t0 = _time.monotonic()
             try:
                 n = int(self.headers.get("Content-Length", 0))
             except ValueError:
                 n = 0
             if n <= 0:
                 self._reply_json(400, {"error": "missing Content-Length"})
+                _record(False, 0, _time.monotonic() - t0)
                 return
             if n > MAX_BODY_BYTES:
                 self._reply_json(
                     413, {"error": f"body {n} bytes exceeds the "
                                    f"{MAX_BODY_BYTES}-byte cap"})
+                _record(False, 0, _time.monotonic() - t0)
                 return
             want = ("snps",) if snps_only else ("x", "adj", "snps")
             try:
@@ -341,15 +382,18 @@ def build_http_server(model, params, batch_stats, *, host="127.0.0.1",
                 self._reply_json(
                     400, {"error": f"bad request body (want npz with "
                                    f"{'/'.join(want)}): {e}"})
+                _record(False, 0, _time.monotonic() - t0)
                 return
             try:
                 out = forward(*args)
             except Exception as e:
                 self._reply_json(500, {"error": f"inference failed: {e}"})
+                _record(False, 0, _time.monotonic() - t0)
                 return
             buf = io.BytesIO()
             np.savez(buf, **out)
             self._reply(200, buf.getvalue(), "application/octet-stream")
+            _record(True, int(args[-1].shape[0]), _time.monotonic() - t0)
 
     return ThreadingHTTPServer((host, port), Handler)
 
@@ -363,7 +407,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", help="output predictions npz")
     p.add_argument("--http", type=int, metavar="PORT",
                    help="run a long-lived HTTP daemon on this port instead "
-                        "of one-shot scoring (GET /health, POST /predict)")
+                        "of one-shot scoring (GET /health, GET /stats, POST /predict)")
     p.add_argument("--host", default="127.0.0.1",
                    help="HTTP bind address (default loopback; set 0.0.0.0 "
                         "to expose)")

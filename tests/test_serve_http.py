@@ -282,3 +282,30 @@ def test_cli_rejects_http_with_one_shot_flags(tmp_path):
         main(["bundle.npz", "--http", "0", "--npz", "c.npz", "--out", "p.npz"])
     with pytest.raises(SystemExit):
         main(["bundle.npz"])     # neither mode selected
+
+
+def test_stats_endpoint_tracks_requests_and_latency(server_and_truth):
+    import json
+
+    addr, cohort, _ = server_and_truth
+    buf = io.BytesIO()
+    np.savez(buf, x=cohort.x.astype(np.float32),
+             adj=cohort.adj.astype(np.float32),
+             snps=cohort.snps.astype(np.float32))
+    _post_npz(addr, "/predict", buf.getvalue())           # one good request
+    _post_npz(addr, "/predict", b"garbage")               # one error
+    conn = http.client.HTTPConnection(*addr, timeout=60)
+    conn.request("GET", "/stats")
+    resp = conn.getresponse()
+    stats = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 200
+    # >= because the module-scoped server is shared across tests
+    assert stats["requests"] >= 2
+    assert stats["errors"] >= 1
+    assert stats["subjects_scored"] >= len(cohort.y)
+    assert stats["uptime_s"] >= 0
+    lat = stats["latency_ms"]
+    assert lat["window"] >= 2
+    assert 0 <= lat["p50"] <= lat["p95"]
+    assert lat["last"] >= 0
