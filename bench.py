@@ -10,6 +10,7 @@ identical dense math and objective on the same host (the reference repo
 publishes no numbers and PyG is not installable here — see BASELINE.md). If
 torch timing fails, a previously measured constant is used.
 """
+import functools
 import json
 import os
 import sys
@@ -62,7 +63,13 @@ def bench_jax(topo, cohort, batch=BATCH, **tcfg_overrides):
     optimizer = make_optimizer(tcfg, steps)
     train_epoch, _ = _epoch_fns(model, mcfg, tcfg, optimizer)
 
-    @jax.jit
+    # IGGCN_BENCH_DONATE=1: donate the state buffers to the epoch program
+    # (params+opt state update in place instead of allocating a second copy
+    # in HBM). A/B knob for the TPU window; XLA may already reuse the
+    # buffers, so measure rather than assume.
+    donate = (0,) if os.environ.get("IGGCN_BENCH_DONATE", "0") == "1" else ()
+
+    @functools.partial(jax.jit, donate_argnums=donate)
     def run_epochs(state, data, perms, rng):
         def body(carry, perm):
             st, r = carry
