@@ -99,8 +99,8 @@ def _import_main_module():
 
 def render_cli_md() -> str:
     main_mod = _import_main_module()
-    from iggcn_tpu.tools import (doctor, explain, profile_step, report,
-                                 serve)
+    from iggcn_tpu.tools import (doctor, explain, export_cohort,
+                                 profile_step, report, serve)
 
     parts: List[str] = [HEADER]
 
@@ -147,6 +147,12 @@ def render_cli_md() -> str:
          "result records, and compute permutation p-values of observed "
          "accuracies against `--isPermutTest` null runs. Host-side only.",
          report),
+        ("## `iggcn_tpu.tools.export_cohort` (`iggcn-export-cohort`)",
+         "Convert a reference-layout data dir into a serving cohort npz "
+         "using the training loaders themselves (same diffusion/scaling), "
+         "ready for `iggcn-serve --npz` or the daemon's `/predict`. "
+         "Host-side only.",
+         export_cohort),
     ):
         parts.append("")
         parts.append(title + "\n")
