@@ -455,11 +455,14 @@ def main(argv=None):
         finally:
             server.server_close()
         return
+    y_true = None
     if not hasattr(model, "cfg"):
         # SNP-only bundle: the cohort npz needs just the snps matrix
         from iggcn_tpu.predict import batched_forward_snps
         with np.load(args.npz) as zf:
             snps = np.asarray(zf["snps"], np.float32)
+            if "y" in zf.files:
+                y_true = np.asarray(zf["y"]).reshape(-1)
         topo = getattr(model, "topo", None)
         width = (int(topo.num_snps) if topo is not None
                  else _infer_input_width(params))
@@ -471,6 +474,8 @@ def main(argv=None):
         with np.load(args.npz) as zf:
             x, adj, snps = (np.asarray(zf[k], np.float32)
                             for k in ("x", "adj", "snps"))
+            if "y" in zf.files:
+                y_true = np.asarray(zf["y"]).reshape(-1)
         out = batched_forward(model, params, batch_stats, x, adj, snps,
                               batch_size=args.batch,
                               dtype=jnp.bfloat16 if args.bf16 else None)
@@ -478,6 +483,23 @@ def main(argv=None):
     counts = np.bincount(out["pred"].astype(int))
     print(f"served {snps.shape[0]} subjects -> {args.out} "
           f"(class counts {counts.tolist()})", file=sys.stderr)
+    if y_true is not None and y_true.shape[0] == out["pred"].shape[0]:
+        # labeled cohort (iggcn-export-cohort keeps y by default):
+        # offline evaluation of the served predictions
+        acc = float((out["pred"].astype(int) == y_true.astype(int)).mean())
+        msg = f"accuracy vs provided labels: {acc:.4f}"
+        score = None
+        if "log_probs" in out and out["log_probs"].shape[1] == 2:
+            score = out["log_probs"][:, 1]
+        elif "prob" in out:                        # SNP-only families
+            score = np.asarray(out["prob"]).reshape(-1)
+        if score is not None and len(np.unique(y_true)) == 2:
+            from iggcn_tpu.train.metrics import classification_metrics
+            cm = classification_metrics(
+                y_true.astype(np.int64), out["pred"].astype(np.int64),
+                score, 2)
+            msg += f", auc: {cm['auc']:.4f}"
+        print(msg, file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -107,3 +107,44 @@ def test_exported_cohort_serves_end_to_end(tmp_path):
     with np.load(preds) as zf, np.load(cohort_npz) as cz:
         assert zf["pred"].shape[0] == cz["x"].shape[0]
         assert np.isfinite(zf["log_probs"]).all()
+
+
+def test_serve_reports_accuracy_for_labeled_cohort(tmp_path, capsys):
+    """A labeled export (y kept) gets an offline evaluation line from the
+    serve CLI; an unlabeled one does not."""
+    import jax
+
+    from iggcn_tpu.config import ModelConfig
+    from iggcn_tpu.data.go_graph import synthetic_topology
+    from iggcn_tpu.models.fused_sgcn import FusedSGCN
+    from iggcn_tpu.tools import serve
+    from iggcn_tpu.tools.serve import save_bundle
+
+    base = str(tmp_path / "data") + os.sep
+    _write_mat_cohort(base, np.random.default_rng(7))
+    labeled = str(tmp_path / "labeled.npz")
+    bare = str(tmp_path / "bare.npz")
+    export_cohort.main(["--data_path", base, "--disease_id", "0",
+                        "--out", labeled])
+    export_cohort.main(["--data_path", base, "--disease_id", "0",
+                        "--no-with_labels", "--out", bare])
+
+    topo = synthetic_topology(np.random.default_rng(7))
+    mcfg = ModelConfig(num_layers=1, hidden=4, rois=12, feat_dim=3,
+                       hidden_linear=8, l_dim=8)
+    model = FusedSGCN(cfg=mcfg, topo=topo)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(1), np.zeros((4, 12, 3), np.float32),
+        np.zeros((4, 12, 12), np.float32), np.zeros((4, 54), np.float32))
+    bundle = str(tmp_path / "bundle.npz")
+    save_bundle(bundle, model, variables["params"],
+                variables["batch_stats"])
+
+    serve.main([bundle, "--npz", labeled,
+                "--out", str(tmp_path / "p1.npz"), "--batch", "8"])
+    err = capsys.readouterr().err
+    assert "accuracy vs provided labels:" in err and "auc:" in err
+
+    serve.main([bundle, "--npz", bare,
+                "--out", str(tmp_path / "p2.npz"), "--batch", "8"])
+    assert "accuracy vs provided labels" not in capsys.readouterr().err
