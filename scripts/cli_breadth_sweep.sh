@@ -73,6 +73,12 @@ run cnn              python main.py $S --disease_id 0 --model CNN_Model --save_a
 run snp_mlp          python main.py $S --disease_id 0 --model MLP_Model --save_appendix _sw_mlp
 run snp_go           python main.py $S --disease_id 0 --model Gene_ontology_network --save_appendix _sw_go
 
+# deployment loop over the sweep's own outputs: export a cohort npz from
+# a fabricated real-layout dir and score it against a bundle from the
+# bundle route (the bundle trains on 90-ROI synthetic data, so the
+# exported cohort must match: the fixture writer parameterizes dims)
+run export_serve     python scripts/_export_serve_check.py
+
 # analysis over the sweep's own outputs
 run report           python -m iggcn_tpu.tools.report results/ADNI_sw_fused
 run report_permut    python -m iggcn_tpu.tools.report results/ADNI_sw_fused --permut_null results_permuttest/ADNI_sw_perm
