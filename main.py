@@ -95,6 +95,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "score pairing (seed --Seed4PermutTest); results go "
                         "to results_permuttest/ and importance npys are "
                         "suppressed")
+    p.add_argument("--permut_seeds", type=str, default=None,
+                   help="run a BATCH of permutation-test null experiments "
+                        "in one process (amortizes the per-process jax "
+                        "init + compile + cohort build across the null "
+                        "distribution): a comma list '1,2,3' or an "
+                        "inclusive range '1:100'; implies --isPermutTest; "
+                        "each seed writes its own dir "
+                        "results_permuttest/ADNI<appendix>_permut<seed>, "
+                        "aggregate with iggcn-report --permut_null")
     p.add_argument("--isMultiFusion", action="store_true", default=False,
                    help="fuse all three imaging modalities as one 270-node "
                         "graph (90 ROIs x {MRI, FDG-PET, AV45-PET})")
@@ -346,6 +355,29 @@ def _write_env_manifest(res_dir: str) -> None:
         print(f"[env] manifest skipped ({e})", file=sys.stderr)
 
 
+def _parse_permut_seeds(spec: str, parser) -> list:
+    """'1,2,3' or inclusive 'A:B' -> list of distinct permutation seeds."""
+    try:
+        if ":" in spec:
+            lo_s, hi_s = spec.split(":", 1)
+            lo, hi = int(lo_s), int(hi_s)
+            if hi < lo:
+                parser.error(f"--permut_seeds range {spec!r} is empty "
+                             "(end < start)")
+            seeds = list(range(lo, hi + 1))
+        else:
+            seeds = [int(s) for s in spec.split(",") if s.strip()]
+    except ValueError:
+        parser.error(f"--permut_seeds {spec!r}: expected a comma list "
+                     "'1,2,3' or an inclusive range '1:100'")
+    if not seeds:
+        parser.error("--permut_seeds named no seeds")
+    if len(set(seeds)) != len(seeds):
+        parser.error(f"--permut_seeds {spec!r} repeats a seed; each null "
+                     "run must shuffle with a distinct seed")
+    return seeds
+
+
 def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -357,6 +389,11 @@ def main(argv=None):
     if args.fold_parallel and args.no_fold_scan:
         parser.error("--fold_parallel requires the whole-fold scan; drop "
                      "--no_fold_scan")
+    if args.permut_seeds is not None:
+        # a seed batch IS a permutation-test run; implying the flag keeps
+        # every downstream guard (export-bundle refusal, results_permuttest/
+        # routing, npy suppression) consistent with a single --isPermutTest
+        args.isPermutTest = True
     if args.cuda is not None or args.cpu:
         print("[device] --cuda/--cpu are reference-compat no-ops: jax "
               "places on the available TPU/CPU (force with "
@@ -393,6 +430,36 @@ def main(argv=None):
     elif args.num_regr is None:
         args.num_regr = 3
 
+    if args.save_appendix == "":
+        args.save_appendix = "_" + time.strftime("%Y%m%d%H%M%S")
+
+    if args.permut_seeds is not None:
+        # null-distribution batch: N permutation runs in ONE process. Each
+        # run is bit-identical to a standalone `--isPermutTest
+        # --Seed4PermutTest <s>` process (fresh host rng per run, seed-keyed
+        # results dir), but runs 2..N reuse the in-process jit trace cache
+        # (identical shapes -> no recompile/AOT reload), the processed-
+        # cohort cache, and the already-initialized backend — the per-
+        # process fixed cost is paid once for the whole null distribution.
+        seeds = _parse_permut_seeds(args.permut_seeds, parser)
+        base = args.save_appendix
+        for i, seed in enumerate(seeds):
+            run_args = argparse.Namespace(**vars(args))
+            run_args.Seed4PermutTest = seed
+            run_args.save_appendix = f"{base}_permut{seed}"
+            print(f"[permut] null run {i + 1}/{len(seeds)} "
+                  f"(Seed4PermutTest={seed}) -> "
+                  f"results_permuttest/ADNI{run_args.save_appendix}")
+            _run_experiment(run_args, parser)
+        print(f"[permut] {len(seeds)} null runs done; p-values: "
+              f"python -m iggcn_tpu.tools.report <observed_dir> "
+              f"--permut_null results_permuttest/ADNI{base}_permut*")
+        return
+
+    _run_experiment(args, parser)
+
+
+def _run_experiment(args, parser):
     from iggcn_tpu.config import DataConfig, LossWeights, ModelConfig, TrainConfig
     from iggcn_tpu.data import adni, go_graph
     from iggcn_tpu.train.cv import cross_validation
@@ -402,8 +469,6 @@ def main(argv=None):
     honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
     enable_compilation_cache()   # also arms the dead-tunnel watchdog
 
-    if args.save_appendix == "":
-        args.save_appendix = "_" + time.strftime("%Y%m%d%H%M%S")
     sub = "results_permuttest" if args.isPermutTest else "results"
     res_dir = os.path.join(os.getcwd(), sub, f"ADNI{args.save_appendix}")
     os.makedirs(res_dir, exist_ok=True)

@@ -237,3 +237,83 @@ def test_search_sweeps_reference_triples(tmp_path, monkeypatch):
               "--fold", "3", "--no-search", "--layers", "7", "--hiddens",
               "9", "--h", "5", "--save_appendix", "_single"])
     assert calls == [(7, 9, "result_sgcn_img_snp_layers7_hidden9_h5")]
+
+
+def test_permut_seeds_parse_errors(capsys):
+    """--permut_seeds input validation fails loudly before any training."""
+    for spec, frag in (("", "named no seeds"),
+                       ("5:3", "empty"),
+                       ("1,2,1", "repeats a seed"),
+                       ("a,b", "expected a comma list"),
+                       ("1:2:3", "expected a comma list")):
+        with pytest.raises(SystemExit):
+            cli.main(["--permut_seeds", spec, "--synthetic",
+                      "--save_appendix", "_pe"])
+        assert frag in capsys.readouterr().err, spec
+
+
+def test_permut_seeds_batch_dispatch(tmp_path, monkeypatch, capsys):
+    """--permut_seeds N:M runs one null experiment per seed in ONE process:
+    is_permut_test implied, per-seed results dirs, per-seed shuffles."""
+    import iggcn_tpu.train.cv as cvmod
+
+    result = cvmod.CVResult(
+        mean_test_loss=1.0, best_acc=0.5, best_acc_std=0.0,
+        score_result=np.zeros((3, 1, 5)), durations=[0.0],
+        throughput_graphs_per_sec=1.0, regression_summary={})
+    calls = []
+
+    def fake_cv(cohort, topo, mcfg, tcfg, **kw):
+        calls.append((tcfg.is_permut_test, kw["res_dir"],
+                      np.array(cohort.clini_score)))
+        return result
+
+    monkeypatch.setattr(cvmod, "cross_validation", fake_cv)
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--synthetic", "--synthetic_subjects", "24", "--no-search",
+              "--epochs", "1", "--fold", "3", "--permut_seeds", "7,9",
+              "--save_appendix", "_pb", "--cohort_cache_dir", ""])
+    assert len(calls) == 2
+    assert all(permut for permut, _, _ in calls)
+    assert calls[0][1].endswith(os.path.join("results_permuttest",
+                                             "ADNI_pb_permut7"))
+    assert calls[1][1].endswith(os.path.join("results_permuttest",
+                                             "ADNI_pb_permut9"))
+    # different seeds shuffle the subject->score pairing differently
+    assert not np.array_equal(calls[0][2], calls[1][2])
+    out = capsys.readouterr().out
+    assert "[permut] null run 1/2 (Seed4PermutTest=7)" in out
+    assert "--permut_null" in out        # points at the report aggregation
+
+
+def test_permut_seeds_batch_matches_standalone_runs(tmp_path, monkeypatch):
+    """The null-batch mode is an AMORTIZATION, not a semantic change: each
+    in-process run's fold records are bit-identical to a standalone
+    `--isPermutTest --Seed4PermutTest <s>` process (fresh host rng per
+    run; the warm jit/cohort caches must not leak state across seeds)."""
+    import glob
+
+    monkeypatch.chdir(tmp_path)
+    common = ["--synthetic", "--synthetic_subjects", "24", "--no-search",
+              "--epochs", "1", "--fold", "3", "--batch_size", "8",
+              "--cohort_cache_dir", "./cc"]
+    cli.main(common + ["--permut_seeds", "1:2", "--save_appendix", "_batch"])
+    cli.main(common + ["--isPermutTest", "--Seed4PermutTest", "1",
+                       "--save_appendix", "_single1"])
+    root = tmp_path / "results_permuttest"
+    batch1 = sorted(glob.glob(str(root / "ADNI_batch_permut1"
+                                  / "fold_result_*.npz")))
+    single1 = sorted(glob.glob(str(root / "ADNI_single1"
+                                   / "fold_result_*.npz")))
+    assert len(batch1) == len(single1) == 3
+    for pb, ps in zip(batch1, single1):
+        with np.load(pb) as zb, np.load(ps) as zs:
+            assert set(zb.files) == set(zs.files)
+            for k in zb.files:
+                assert np.array_equal(zb[k], zs[k]), (pb, k)
+    batch2 = sorted(glob.glob(str(root / "ADNI_batch_permut2"
+                                  / "fold_result_*.npz")))
+    assert len(batch2) == 3
+    # distinct seeds hold distinct shuffled score pairings in their records
+    with np.load(batch1[0]) as z1, np.load(batch2[0]) as z2:
+        assert not np.array_equal(z1["true_scores"], z2["true_scores"])
