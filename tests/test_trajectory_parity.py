@@ -132,12 +132,14 @@ def test_six_step_training_trajectory_matches_torch(topo, cohort):
     opt = torch.optim.Adam(tmodel.parameters(), lr=LR,
                            weight_decay=WEIGHT_DECAY)
 
-    x = torch.from_numpy(np.asarray(batch["x"]))
-    adj = torch.from_numpy(np.asarray(batch["adj"]))
-    snps = torch.from_numpy(np.asarray(batch["snps"]))
-    y = torch.from_numpy(np.asarray(batch["y"])).long()
-    clini = torch.from_numpy(np.asarray(batch["clini"]))
-    tsne = torch.from_numpy(np.asarray(batch["tsne"]))
+    # np.array (copy) rather than np.asarray: jax arrays expose read-only
+    # buffers and torch.from_numpy warns on non-writable memory
+    x = torch.from_numpy(np.array(batch["x"]))
+    adj = torch.from_numpy(np.array(batch["adj"]))
+    snps = torch.from_numpy(np.array(batch["snps"]))
+    y = torch.from_numpy(np.array(batch["y"])).long()
+    clini = torch.from_numpy(np.array(batch["clini"]))
+    tsne = torch.from_numpy(np.array(batch["tsne"]))
 
     losses_torch = []
     step1_stats_torch = None
@@ -147,7 +149,7 @@ def test_six_step_training_trajectory_matches_torch(topo, cohort):
                                       lw)
         loss.backward()
         opt.step()
-        losses_torch.append(float(loss))
+        losses_torch.append(float(loss.detach()))
         if step1_stats_torch is None:
             step1_stats_torch = {
                 bn_name: (getattr(tmodel.go, bn_name).running_mean
