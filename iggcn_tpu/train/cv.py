@@ -37,8 +37,10 @@ from iggcn_tpu.data.splits import k_fold
 from iggcn_tpu.models.fused_sgcn import FusedSGCN
 from iggcn_tpu.train import artifacts, metrics
 from iggcn_tpu.train.checkpoint import save_checkpoint
-from iggcn_tpu.train.fold_parallel import (extend_perms, index_tree,
-                                           pad_fold_data, run_folds_parallel)
+from iggcn_tpu.train.fold_parallel import (extend_perms, fold_mesh,
+                                           index_tree, pad_fold_data,
+                                           run_folds_parallel,
+                                           stacked_data_specs)
 from iggcn_tpu.train.fold_scan import make_epoch_fns, make_fold_runner
 from iggcn_tpu.train.steps import (OBJECTIVES, TrainState,
                                    make_optimizer)
@@ -129,6 +131,157 @@ def _epoch_fns(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,
             jax.jit(eval_set))
 
 
+def _impute_fold(cohort, external_test, use_val, clinical_score_index,
+                 train_idx, test_idx, val_idx):
+    """Leakage-safe per-fold imputation (parity util/tool.py:22-111);
+    returns (train_idx possibly merged with val, tr/val/te scores). ONE
+    body shared by the sequential closure and the fold-parallel batch
+    paths so the imputation contract cannot drift between them."""
+    if not use_val:
+        train_idx = np.concatenate([train_idx, val_idx])
+    demo = cohort.demographics
+    test_demo = (external_test.demographics if external_test is not None
+                 else demo[test_idx])
+    if use_val:
+        tr_scores, val_scores, te_scores = knn_impute_scores(
+            [demo[train_idx], demo[val_idx], test_demo],
+            cohort.scaler4score, clinical_score_index)
+    else:
+        tr_scores, te_scores = knn_impute_scores(
+            [demo[train_idx], test_demo],
+            cohort.scaler4score, clinical_score_index)
+        val_scores = None
+    return train_idx, tr_scores, val_scores, te_scores
+
+
+def _fold_perms(seed, epochs, fold, n_train, total_padded):
+    """Pre-drawn epoch permutations over the fold's padded size (identity
+    over the pad rows) — one stream per fold, identical between the host
+    and device-assembly paths and across permutation-batch seeds."""
+    shuffler = np.random.default_rng(seed * 1000 + fold)
+    return np.stack([
+        np.concatenate([shuffler.permutation(n_train),
+                        np.arange(n_train, total_padded)])
+        for _ in range(epochs)]).astype(np.int32)
+
+
+def _fold_parallel_gather_host(cohort, full, splits, tcfg, use_val,
+                               clinical_score_index):
+    """Host half of the device-side fold assembly (fold-parallel path):
+    per-fold leakage-safe imputation + epoch perms, then the stacked
+    (folds, T) index/weight/clini/label arrays per split kind. Only tiny
+    vectors are materialized host-side — the padded fold tensors are
+    gathered ON DEVICE by `_fold_parallel_gather_device`."""
+    b = tcfg.batch_size
+    k = len(splits)
+    imputed, n_trains, real_spes, perms_list = [], [], [], []
+    for f, (train_idx, test_idx, val_idx) in enumerate(splits):
+        tri, tr_s, va_s, te_s = _impute_fold(
+            cohort, None, use_val, clinical_score_index,
+            train_idx, test_idx, val_idx)
+        own_total = -(-len(tri) // b) * b
+        imputed.append({"train": (tri, tr_s),
+                        "val": ((val_idx, va_s) if use_val
+                                else (test_idx, te_s)),
+                        "test": (test_idx, te_s)})
+        n_trains.append(len(tri))
+        real_spes.append(own_total // b)
+        perms_list.append(_fold_perms(tcfg.seed, tcfg.epochs, f,
+                                      len(tri), own_total))
+    targets = {kind: max(-(-len(d[kind][0]) // b) * b for d in imputed)
+               for kind in ("train", "val", "test")}
+    perms_list = [extend_perms(p, targets["train"]) for p in perms_list]
+
+    def stacked_kind(kind):
+        t = targets[kind]
+        nregr = imputed[0]["train"][1].shape[1]
+        idx = np.zeros((k, t), np.int32)
+        w = np.zeros((k, t), np.float32)
+        clini = np.zeros((k, t, nregr), np.float32)
+        yh = np.zeros((k, t), np.int32)
+        for i, d in enumerate(imputed):
+            ids, scores = d[kind]
+            n = len(ids)
+            idx[i, :n] = ids
+            w[i, :n] = 1.0
+            clini[i, :n] = scores
+            yh[i, :n] = full["y"][ids]
+        return idx, w, clini, yh
+
+    kinds = {"train": stacked_kind("train"), "test": stacked_kind("test")}
+    if use_val:
+        kinds["val"] = stacked_kind("val")
+    return {"kinds": kinds, "perms_list": perms_list, "real_spes": real_spes,
+            "n": {"train": n_trains,
+                  "val": [len(d["val"][0]) for d in imputed],
+                  "test": [len(d["test"][0]) for d in imputed]},
+            "test_ids": [d["test"][0] for d in imputed],
+            "targets": targets}
+
+
+def _fold_parallel_gather_device(full, kinds_host, mesh, use_val):
+    """Device half of the fold assembly: upload the cohort ONCE, gather each
+    entry's rows with the (fold, data) mesh output sharding. `kinds_host`
+    maps split kind -> the stacked (idx, w, clini, yh) host arrays; in
+    no-val mode the runner never reads val_data, so it aliases the test
+    buffers instead of gathering a duplicate into HBM."""
+    gkeys = ("x", "adj", "snps", "y", "clust_y", "tsne")
+    full_dev = {kk: jnp.asarray(full[kk]) for kk in gkeys}
+    stacked_dev = {}
+    for kind in ("train", "test", "val"):
+        if kind == "val" and not use_val:
+            stacked_dev["val"] = stacked_dev["test"]
+            continue
+        idx, w, clini, _yh = kinds_host[kind]
+        args = (full_dev, jnp.asarray(idx), jnp.asarray(clini),
+                jnp.asarray(w))
+        out_spec = stacked_data_specs(
+            mesh, jax.eval_shape(gather_rows, *args))
+        stacked_dev[kind] = jax.jit(
+            gather_rows, out_shardings=out_spec)(*args)
+    return stacked_dev["train"], stacked_dev["val"], stacked_dev["test"]
+
+
+def _fold_parallel_prepped_shims(full, host):
+    """Small host-side per-fold views for the metric/bookkeeping loop —
+    same keys the sequential host path exposes via the padded dicts."""
+    k = len(host["perms_list"])
+    prepped = []
+    for f in range(k):
+        d = {}
+        for kind in ("train", "val", "test"):
+            src = kind if kind in host["kinds"] else "test"
+            _idx, w, clini, yh = host["kinds"][src]
+            d[kind + "_data"] = {"w": w[f], "clini": clini[f], "y": yh[f]}
+        d["test_subids"] = full["sbj_id"][host["test_ids"][f]]
+        d["n_train"] = host["n"]["train"][f]
+        d["n_test"] = host["n"]["test"][f]
+        d["n_val"] = host["n"]["val"][f]
+        d["perms"] = host["perms_list"][f]
+        prepped.append(d)
+    return prepped
+
+
+def _init_fold_state(model, optimizer, takes_snps, mcfg, b, seed, fold,
+                     steps_per_epoch):
+    """Fresh model per fold (parity :101-107); returns (state, rng).
+    `steps_per_epoch` = the fold's REAL train batches per epoch, carried in
+    the state so the per-epoch LR decay is exact per fold. Deterministic in
+    (seed, fold) only — permutation-batch seeds share identical inits, as
+    standalone runs would."""
+    rng = jax.random.PRNGKey(seed + fold)
+    init_rng, rng = jax.random.split(rng)
+    # host zeros: jnp.zeros would be 3 eager device ops per fold, each a
+    # tunnel round trip on a remote backend
+    dummy = (np.zeros((b, mcfg.rois, mcfg.feat_dim), np.float32),
+             np.zeros((b, mcfg.rois, mcfg.rois), np.float32))
+    if takes_snps:
+        dummy = dummy + (np.zeros((b, mcfg.num_snps), np.float32),)
+    variables = jax.jit(model.init)(init_rng, *dummy)
+    state = TrainState.create(variables, optimizer, steps_per_epoch)
+    return state, rng
+
+
 def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                      tcfg: TrainConfig, *,
                      res_dir: Optional[str] = None,
@@ -139,7 +292,8 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                      external_test: Optional[AdniCohort] = None,
                      verbose: bool = True,
                      export_bundle: bool = False,
-                     resume: bool = False) -> CVResult:
+                     resume: bool = False,
+                     _injected=None) -> CVResult:
     """Run the full CV experiment. `tcfg.no_val` selects the without-val
     variant; `model_kind` selects the model family and its objective
     (sgcn_imgsnp | gcn_imgsnp | guide_imgsnp | clusterlabel | sgcn_image |
@@ -165,7 +319,13 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     Saved folds are validated against (epochs, folds, seed, batch_size);
     mismatches are discarded loudly and retrained. Under `fold_parallel`
     all folds train in ONE program, so a partial set of saved folds
-    retrains everything (only a fully-complete set is skippable)."""
+    retrains everything (only a fully-complete set is skippable).
+
+    `_injected`: private — `(parallel_out, prepped, parallel_dt)` from
+    `cross_validation_permut_batch`, whose single seeds x folds SPMD
+    program already trained this run's folds; training is skipped and the
+    post-processing (metrics, artifacts, records, summaries) runs
+    unchanged on the injected outputs."""
     use_val = not tcfg.no_val
     if clinical_score_index is None:
         # default to the config field — a separate kwarg default would let
@@ -194,49 +354,17 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                    else [SCORE_NAMES_ALL[clinical_score_index]])
 
     def init_state(fold, steps_per_epoch):
-        """Fresh model per fold (parity :101-107); returns (state, rng).
-        `steps_per_epoch` = the fold's REAL train batches per epoch, carried
-        in the state so the per-epoch LR decay is exact per fold."""
-        rng = jax.random.PRNGKey(tcfg.seed + fold)
-        init_rng, rng = jax.random.split(rng)
-        # host zeros: jnp.zeros would be 3 eager device ops per fold, each
-        # a tunnel round trip on a remote backend
-        dummy = (np.zeros((b, mcfg.rois, mcfg.feat_dim), np.float32),
-                 np.zeros((b, mcfg.rois, mcfg.rois), np.float32))
-        if takes_snps:
-            dummy = dummy + (np.zeros((b, mcfg.num_snps), np.float32),)
-        variables = jax.jit(model.init)(init_rng, *dummy)
-        state = TrainState.create(variables, optimizer, steps_per_epoch)
-        return state, rng
+        return _init_fold_state(model, optimizer, takes_snps, mcfg, b,
+                                tcfg.seed, fold, steps_per_epoch)
 
     def impute_fold(train_idx, test_idx, val_idx):
-        """Leakage-safe per-fold imputation (parity util/tool.py:22-111);
-        returns (train_idx possibly merged with val, tr/val/te scores)."""
-        if not use_val:
-            train_idx = np.concatenate([train_idx, val_idx])
-        demo = cohort.demographics
-        test_demo = (external_test.demographics if external_test is not None
-                     else demo[test_idx])
-        if use_val:
-            tr_scores, val_scores, te_scores = knn_impute_scores(
-                [demo[train_idx], demo[val_idx], test_demo],
-                cohort.scaler4score, clinical_score_index)
-        else:
-            tr_scores, te_scores = knn_impute_scores(
-                [demo[train_idx], test_demo],
-                cohort.scaler4score, clinical_score_index)
-            val_scores = None
-        return train_idx, tr_scores, val_scores, te_scores
+        return _impute_fold(cohort, external_test, use_val,
+                            clinical_score_index, train_idx, test_idx,
+                            val_idx)
 
     def fold_perms(fold, n_train, total_padded):
-        """Pre-drawn epoch permutations over the fold's own padded size
-        (identity over the pad rows) — one stream per fold, identical
-        between the host and device-assembly paths."""
-        shuffler = np.random.default_rng(tcfg.seed * 1000 + fold)
-        return np.stack([
-            np.concatenate([shuffler.permutation(n_train),
-                            np.arange(n_train, total_padded)])
-            for _ in range(tcfg.epochs)]).astype(np.int32)
+        return _fold_perms(tcfg.seed, tcfg.epochs, fold, n_train,
+                           total_padded)
 
     def prep_fold(fold, train_idx, test_idx, val_idx):
         """Host-side data prep for one fold: leakage-safe imputation
@@ -365,7 +493,9 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                   "--fold_parallel to resume fold-by-fold)")
             done_folds = {}
 
-    if (tcfg.fold_parallel and tcfg.use_fold_scan
+    if _injected is not None:
+        parallel_out, prepped, parallel_dt = _injected
+    elif (tcfg.fold_parallel and tcfg.use_fold_scan
             and len(done_folds) < tcfg.folds):
         # ---- all folds in ONE sharded device program --------------------
         optimizer = make_optimizer(tcfg)
@@ -381,81 +511,16 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
             # (fold, data) mesh sharding; only tiny index/clini/w arrays
             # are built on host. Padding rows carry row-0 content under
             # w=0 (same contract as the sequential device_gather path).
-            from iggcn_tpu.train.fold_parallel import (fold_mesh,
-                                                       stacked_data_specs)
-            k = tcfg.folds
-            imputed, n_trains, real_spes, perms_list, prepped = \
-                [], [], [], [], []
-            for f, (train_idx, test_idx, val_idx) in enumerate(splits):
-                tri, tr_s, va_s, te_s = impute_fold(train_idx, test_idx,
-                                                    val_idx)
-                own_total = -(-len(tri) // b) * b
-                imputed.append({"train": (tri, tr_s),
-                                "val": ((val_idx, va_s) if use_val
-                                        else (test_idx, te_s)),
-                                "test": (test_idx, te_s)})
-                n_trains.append(len(tri))
-                real_spes.append(own_total // b)
-                perms_list.append(fold_perms(f, len(tri), own_total))
-            targets = {kind: max(-(-len(d[kind][0]) // b) * b
-                                 for d in imputed)
-                       for kind in ("train", "val", "test")}
-            perms_list = [extend_perms(p, targets["train"])
-                          for p in perms_list]
-
-            def stacked_kind(kind):
-                t = targets[kind]
-                nregr = imputed[0]["train"][1].shape[1]
-                idx = np.zeros((k, t), np.int32)
-                w = np.zeros((k, t), np.float32)
-                clini = np.zeros((k, t, nregr), np.float32)
-                yh = np.zeros((k, t), np.int32)
-                for i, d in enumerate(imputed):
-                    ids, scores = d[kind]
-                    n = len(ids)
-                    idx[i, :n] = ids
-                    w[i, :n] = 1.0
-                    clini[i, :n] = scores
-                    yh[i, :n] = full["y"][ids]
-                return idx, w, clini, yh
-
-            mesh = fold_mesh(k)
-            gkeys = ("x", "adj", "snps", "y", "clust_y", "tsne")
-            full_dev = {kk: jnp.asarray(full[kk]) for kk in gkeys}
-
-            stacked_dev, host_shim = {}, {}
-            for kind in ("train", "test", "val"):
-                if kind == "val" and not use_val:
-                    # no-val mode: the runner tracks best on test and never
-                    # reads val_data — alias the test buffers instead of
-                    # gathering a full duplicate into HBM
-                    stacked_dev["val"] = stacked_dev["test"]
-                    host_shim["val"] = host_shim["test"]
-                    continue
-                idx, w, clini, yh = stacked_kind(kind)
-                args = (full_dev, jnp.asarray(idx), jnp.asarray(clini),
-                        jnp.asarray(w))
-                out_spec = stacked_data_specs(
-                    mesh, jax.eval_shape(gather_rows, *args))
-                stacked_dev[kind] = jax.jit(
-                    gather_rows, out_shardings=out_spec)(*args)
-                host_shim[kind] = (w, clini, yh)
-            trains, vals, tests = (stacked_dev["train"], stacked_dev["val"],
-                                   stacked_dev["test"])
-            # small host-side views for the metric/bookkeeping loop below
-            # (same keys the host path exposes via the padded dicts)
-            for f in range(k):
-                prepped.append({
-                    kind + "_data": {"w": host_shim[kind][0][f],
-                                     "clini": host_shim[kind][1][f],
-                                     "y": host_shim[kind][2][f]}
-                    for kind in ("train", "val", "test")})
-                prepped[f]["test_subids"] = \
-                    full["sbj_id"][imputed[f]["test"][0]]
-                prepped[f]["n_train"] = n_trains[f]
-                prepped[f]["n_test"] = len(imputed[f]["test"][0])
-                prepped[f]["n_val"] = len(imputed[f]["val"][0])
-                prepped[f]["perms"] = perms_list[f]
+            # (Bodies shared with `cross_validation_permut_batch`, which
+            # runs the same assembly over a seeds x folds entry axis.)
+            host = _fold_parallel_gather_host(
+                cohort, full, splits, tcfg, use_val, clinical_score_index)
+            real_spes = host["real_spes"]
+            perms_list = host["perms_list"]
+            mesh = fold_mesh(tcfg.folds)
+            trains, vals, tests = _fold_parallel_gather_device(
+                full, host["kinds"], mesh, use_val)
+            prepped = _fold_parallel_prepped_shims(full, host)
         else:
             mesh = None
             prepped = [prep_fold(f, *split) for f, split in enumerate(splits)]
@@ -785,3 +850,124 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
         score_result=score_result, durations=durations,
         throughput_graphs_per_sec=float(throughput),
         regression_summary=regression_summary)
+
+
+def cross_validation_permut_batch(variants, topo, mcfg: ModelConfig,
+                                  tcfg: TrainConfig, *,
+                                  res_dirs,
+                                  result_file_name: str = "result",
+                                  clinical_score_index: Optional[int] = None,
+                                  loggers=None,
+                                  model_kind: str = "sgcn_imgsnp",
+                                  verbose: bool = True) -> List[CVResult]:
+    """Train an ENTIRE permutation null distribution as one SPMD program.
+
+    `variants` is a list of (seed_label, cohort) pairs — the same subjects
+    with per-seed shuffled subject->score pairings (the only thing the
+    permutation test changes, `sgcn_data.py:205-208`). Since labels, fold
+    splits, shapes and every non-score tensor are identical across seeds,
+    the seeds x folds grid is embarrassingly parallel with ONE shared
+    device cohort: this stacks all S*k fold entries (only the tiny imputed
+    clini vectors differ per seed), runs `run_folds_parallel` once over a
+    `fold_mesh(S*k)` — vmapped on one chip, sharded across a mesh on many —
+    and then replays each seed's post-processing (metrics, fold records,
+    log lines, aggregates) through `cross_validation`'s own loop via its
+    `_injected` hook. Per-seed artifacts match a standalone fold-parallel
+    `--isPermutTest --Seed4PermutTest <s>` run bit-for-bit on a single
+    device (1-D mesh either way); on a multi-device mesh, `fold_mesh(S*k)`
+    vs `fold_mesh(k)` may factorize (fold, data) differently, shifting
+    float reduction order by ~1 ulp (pinned in
+    tests/test_permut_batch_parallel.py).
+
+    Requires `tcfg.fold_parallel` + `use_fold_scan` + `is_permut_test` and
+    the device-gather assembly (the batched path IS the device-gather
+    path). HBM scales with S*k gathered fold copies — at ADNI scale
+    (~874 subjects, 5 folds) roughly 0.12 GB per seed.
+    """
+    if not (tcfg.fold_parallel and tcfg.use_fold_scan):
+        raise ValueError("cross_validation_permut_batch requires "
+                         "fold_parallel + use_fold_scan")
+    if not tcfg.is_permut_test:
+        raise ValueError("cross_validation_permut_batch is the permutation-"
+                         "null batch; tcfg.is_permut_test must be True")
+    if not tcfg.device_gather:
+        raise ValueError("cross_validation_permut_batch requires "
+                         "device_gather (the batched fold assembly)")
+    if clinical_score_index is None:
+        clinical_score_index = tcfg.clinical_score_index
+    use_val = not tcfg.no_val
+    cohorts = [c for _, c in variants]
+    n_seeds = len(cohorts)
+    if len(res_dirs) != n_seeds:
+        raise ValueError("one res_dir per variant required")
+    base = cohorts[0]
+    # the batch shares ONE device cohort: variants must differ only in the
+    # subject->score pairing (clini_score/demographics); anything else
+    # differing would silently train seed 0's tensors for every seed
+    for label, c in variants[1:]:
+        for fname in ("x", "adj", "snps", "y", "clust_y", "tsne_fdim"):
+            if not np.array_equal(np.asarray(getattr(base, fname)),
+                                  np.asarray(getattr(c, fname))):
+                raise ValueError(
+                    f"permut-batch variant {label!r} disagrees with the "
+                    f"first variant on cohort field {fname!r}; only the "
+                    "subject->score pairing may differ across seeds")
+
+    build, takes_snps = MODEL_FAMILIES[model_kind]
+    model = build(mcfg, topo)
+    objective = OBJECTIVES[model_kind]
+    k = tcfg.folds
+    splits = k_fold(base.y, k, tcfg.seed)
+    full = cohort_batch_arrays(base)
+
+    # per-seed host prep: identical geometry (same splits/sizes), per-seed
+    # imputed clini vectors
+    hosts = [_fold_parallel_gather_host(c, full, splits, tcfg, use_val,
+                                        clinical_score_index)
+             for c in cohorts]
+    if any(h["targets"] != hosts[0]["targets"] for h in hosts[1:]):
+        raise AssertionError("permut-batch variants disagree on padded fold "
+                             "sizes — splits must be seed-invariant")
+    kinds = {}
+    for kind in hosts[0]["kinds"]:
+        parts = zip(*[h["kinds"][kind] for h in hosts])
+        kinds[kind] = tuple(np.concatenate(p, axis=0) for p in parts)
+
+    mesh = fold_mesh(n_seeds * k)
+    trains, vals, tests = _fold_parallel_gather_device(full, kinds, mesh,
+                                                       use_val)
+
+    optimizer = make_optimizer(tcfg)
+    fold_runner = make_fold_runner(
+        model, mcfg, tcfg, optimizer, objective,
+        track_best_on="val" if use_val else "test")
+    # per-fold inits are deterministic in (tcfg.seed, fold) — identical
+    # across permutation seeds, exactly as standalone runs would draw them;
+    # run_folds_parallel's jitted stack copies, so repeating the references
+    # per seed is safe under buffer donation
+    per_fold = [_init_fold_state(model, optimizer, takes_snps, mcfg,
+                                 tcfg.batch_size, tcfg.seed, f,
+                                 hosts[0]["real_spes"][f])
+                for f in range(k)]
+    states = [st for _ in range(n_seeds) for st, _ in per_fold]
+    rngs = [r for _ in range(n_seeds) for _, r in per_fold]
+    perms_list = [p for h in hosts for p in h["perms_list"]]
+
+    *parallel_out, parallel_dt = run_folds_parallel(
+        fold_runner, states, trains, vals, tests, perms_list, rngs,
+        mesh=mesh)
+    parallel_out = tuple(parallel_out)
+
+    results = []
+    for s, (label, cohort_s) in enumerate(variants):
+        sl = jax.tree_util.tree_map(lambda x: x[s * k:(s + 1) * k],
+                                    parallel_out)
+        results.append(cross_validation(
+            cohort_s, topo, mcfg, tcfg, res_dir=res_dirs[s],
+            result_file_name=result_file_name,
+            clinical_score_index=clinical_score_index,
+            logger=(loggers[s] if loggers is not None else None),
+            model_kind=model_kind, verbose=verbose,
+            _injected=(sl, _fold_parallel_prepped_shims(full, hosts[s]),
+                       parallel_dt / n_seeds)))
+    return results

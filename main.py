@@ -103,7 +103,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "inclusive range '1:100'; implies --isPermutTest; "
                         "each seed writes its own dir "
                         "results_permuttest/ADNI<appendix>_permut<seed>, "
-                        "aggregate with iggcn-report --permut_null")
+                        "aggregate with iggcn-report --permut_null. With "
+                        "--fold_parallel (fused families) the whole "
+                        "seeds x folds grid trains as ONE SPMD device "
+                        "program sharded over the mesh")
     p.add_argument("--isMultiFusion", action="store_true", default=False,
                    help="fuse all three imaging modalities as one 270-node "
                         "graph (90 ROIs x {MRI, FDG-PET, AV45-PET})")
@@ -443,6 +446,12 @@ def main(argv=None):
         # process fixed cost is paid once for the whole null distribution.
         seeds = _parse_permut_seeds(args.permut_seeds, parser)
         base = args.save_appendix
+        if (args.fold_parallel and args.model in FUSION_MODELS
+                and not args.resume and not args.isTestAdnitype):
+            # fused families under --fold_parallel: the whole seeds x folds
+            # grid trains as ONE SPMD program (identical per-seed outputs)
+            _run_permut_batch_parallel(args, parser, seeds)
+            return
         for i, seed in enumerate(seeds):
             run_args = argparse.Namespace(**vars(args))
             run_args.Seed4PermutTest = seed
@@ -459,16 +468,9 @@ def main(argv=None):
     _run_experiment(args, parser)
 
 
-def _run_experiment(args, parser):
-    from iggcn_tpu.config import DataConfig, LossWeights, ModelConfig, TrainConfig
-    from iggcn_tpu.data import adni, go_graph
-    from iggcn_tpu.train.cv import cross_validation
-    from iggcn_tpu.utils.cache import enable_compilation_cache
-    from iggcn_tpu.utils.platform import honor_platform_env
-
-    honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
-    enable_compilation_cache()   # also arms the dead-tunnel watchdog
-
+def _setup_run_dir(args):
+    """Create the results dir (reference naming), record the command line
+    and the env manifest, and return (res_dir, logger)."""
     sub = "results_permuttest" if args.isPermutTest else "results"
     res_dir = os.path.join(os.getcwd(), sub, f"ADNI{args.save_appendix}")
     os.makedirs(res_dir, exist_ok=True)
@@ -480,7 +482,12 @@ def _run_experiment(args, parser):
         with open(os.path.join(res_dir, "log.txt"), "a") as fh:
             print(info, file=fh)
 
-    dcfg = DataConfig(
+    return res_dir, logger
+
+
+def _build_dcfg(args):
+    from iggcn_tpu.config import DataConfig
+    return DataConfig(
         data_path=args.data_path, json_path=args.json_path,
         go_connection_path=args.go_connection_path,
         snps_to_gene_path=args.snps_to_gene_path, knn=args.knn,
@@ -490,97 +497,239 @@ def _run_experiment(args, parser):
         is_multi_fusion=args.isMultiFusion, is_permut_test=args.isPermutTest,
         seed4permut_test=args.Seed4PermutTest)
 
+
+def _combos(args):
+    """Hyperparameter grid: under --search, the reference's exact
+    (layers, hiddens, hs) TRIPLES (main.py:146-155) — h feeds the Nested*
+    subgraph pre-transform and the result filenames. (Its h=None product
+    branch is unreachable from the CLI: --h is type=int with default 2, so
+    None can never be passed.)"""
+    if args.search:
+        if args.isMultiFusion:
+            return list(zip([3, 2, 4, 2, 3], [2, 3, 3, 5, 10],
+                            [3, 2, 4, 2, 4]))
+        return list(zip([2, 3, 2, 3, 4], [16, 16, 10, 10, 5],
+                        [2, 3, 4, 4, 2]))
+    return [(args.layers, args.hiddens, args.h)]
+
+
+def _load_cohort(args, dcfg, rng):
+    """Load (cohort, topo): the real ADNI .mat layout when present, else the
+    synthetic cohort — both through the processed-cohort disk cache."""
+    from iggcn_tpu.data import adni, cohort_cache, go_graph
+    use_synthetic = args.synthetic or not os.path.isdir(args.data_path)
+    if use_synthetic:
+        print("[data] using synthetic ADNI-shaped cohort")
+        rois = 270 if args.isMultiFusion else 90
+        feat = 1 if args.isMultiFusion else 3
+        # topology is drawn BEFORE the cohort so a cohort cache hit
+        # (which skips the generator's rng draws) leaves the topo
+        # identical to a cache-miss run; nothing consumes `rng` after
+        # the cohort on this route
+        topo = go_graph.synthetic_topology(rng)
+        key = cohort_cache.cohort_key(
+            "synthetic", seed=args.seed,
+            num_subjects=args.synthetic_subjects, rois=rois,
+            feat_dim=feat, num_classes=dcfg.num_classes,
+            num_regr=args.num_regr, top_k=args.top_k)
+        cohort, hit = cohort_cache.load_or_build(
+            args.cohort_cache_dir, key,
+            lambda: adni.synthetic_cohort(
+                rng, num_subjects=args.synthetic_subjects, rois=rois,
+                feat_dim=feat, num_classes=dcfg.num_classes,
+                num_regr=args.num_regr, top_k=args.top_k))
+        if dcfg.is_permut_test:
+            # the real loader shuffles inside load_adni874; the synthetic
+            # null must shuffle too or every permutation run would train
+            # on the true subject->score pairing. Applied AFTER the cache
+            # so cached entries always hold the true pairing.
+            cohort = adni.permute_regression_targets(
+                cohort, dcfg.seed4permut_test)
+    else:
+        # key includes the source files (name/size/mtime) and every
+        # loader-relevant config field — incl. the permutation-test seed,
+        # because load_adni874 shuffles internally
+        key = cohort_cache.cohort_key(
+            "adni874",
+            files=cohort_cache.dir_fingerprint(args.data_path),
+            data_path=os.path.abspath(args.data_path),
+            disease_id=dcfg.disease_id, knn=dcfg.knn,
+            num_cluster=dcfg.num_cluster,
+            clinical_score_index=dcfg.clinical_score_index,
+            is_ppr=dcfg.is_ppr, is_topk=dcfg.is_topk, top_k=dcfg.top_k,
+            ppr_alpha=dcfg.ppr_alpha, heat_t=dcfg.heat_t,
+            is_multimodal4similarity=dcfg.is_multimodal4similarity,
+            is_use_tsne4similar=dcfg.is_use_tsne4similar,
+            is_multi_fusion=dcfg.is_multi_fusion,
+            is_permut_test=dcfg.is_permut_test,
+            seed4permut_test=dcfg.seed4permut_test)
+        try:
+            cohort, hit = cohort_cache.load_or_build(
+                args.cohort_cache_dir, key,
+                lambda: adni.load_adni874(dcfg))
+            topo = go_graph.parse_go_json(dcfg.json_path,
+                                          dcfg.go_connection_path,
+                                          dcfg.snps_to_gene_path)
+        except Exception as e:
+            # a malformed real-data layout should point at the doctor,
+            # not die as a bare deep scipy error (the data dir EXISTS
+            # here — a missing dir already fell back to the synthetic
+            # cohort). The original exception re-raises unchanged so
+            # genuine code bugs keep their traceback.
+            print(
+                f"[data] failed to load the ADNI cohort/GO sources "
+                f"({type(e).__name__}: {e}).\n"
+                f"Diagnose the layout with:\n"
+                f"  python -m iggcn_tpu.tools.doctor "
+                f"--data_path {args.data_path} --knn {args.knn} "
+                f"--json_path {args.json_path} "
+                f"--go_connection_path {args.go_connection_path} "
+                f"--snps_to_gene_path {args.snps_to_gene_path}",
+                file=sys.stderr)
+            raise
+    if hit:
+        print(f"[data] cohort loaded from cache ({key})")
+    return cohort, topo
+
+
+def _fused_cfgs(args, dcfg, num_layers, hidden):
+    """Per-combo (ModelConfig, TrainConfig) for the fused-family trainers;
+    shared by the sequential experiment and the permutation-batch SPMD
+    path so a batched null's configuration cannot drift from a standalone
+    run's."""
+    from iggcn_tpu.config import LossWeights, ModelConfig, TrainConfig
+    mcfg = ModelConfig(
+        num_layers=num_layers, hidden=hidden,
+        rois=270 if args.isMultiFusion else 90,
+        feat_dim=1 if args.isMultiFusion else 3,
+        num_classes=dcfg.num_classes, num_regr=args.num_regr,
+        is_cross_atten=args.isCrossAtten,
+        is_soft_similarity=args.isSoftSimilarity,
+        rbf_gamma=args.rbf_gamma, is_use_prob4regr=args.isuseProb4Regr,
+        model4eachregr=args.model4eachregr,
+        is_image_only=args.isImageOnly, is_snps_only=args.isSNPsOnly,
+        is_multi_fusion=args.isMultiFusion,
+        use_pallas_gcn=args.use_pallas_gcn)
+    if args.model == "SGCN_GAT":
+        mcfg = dataclasses.replace(mcfg, use_gat=True)
+    tcfg = TrainConfig(
+        epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+        weight_decay=args.weight_decay,
+        lr_decay_factor=args.lr_decay_factor,
+        lr_decay_step_size=args.lr_decay_step_size, folds=args.fold,
+        seed=args.seed, no_val=args.no_val,
+        is_permut_test=args.isPermutTest,
+        temperature=args.temperature,
+        use_fold_scan=not args.no_fold_scan,
+        fold_parallel=args.fold_parallel,
+        clinical_score_index=args.clinical_score_index,
+        loss=LossWeights(args.lambda_disease, args.lambda_regr,
+                         args.lambda_prob, args.lambda_reco,
+                         args.lambda_simi, args.lambda_orth))
+    return mcfg, tcfg
+
+
+def _run_permut_batch_parallel(base_args, parser, seeds):
+    """SPMD permutation-null batch: under `--permut_seeds --fold_parallel`
+    (fused families), ALL seeds x folds train as ONE sharded device program
+    (`train/cv.cross_validation_permut_batch`) — vmapped on a single chip,
+    sharded across the mesh on many — instead of looping seeds through
+    separate fold-parallel runs. Per-seed results dirs, log lines, fold
+    records and aggregates match the sequential loop's (exactly on one
+    device; to float reduction order when the multi-device mesh
+    factorization differs — see cross_validation_permut_batch)."""
+    import contextlib
+
+    import jax
+
+    from iggcn_tpu.train.cv import cross_validation_permut_batch
+    from iggcn_tpu.utils.cache import enable_compilation_cache
+    from iggcn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
+    enable_compilation_cache()
+
+    base = base_args.save_appendix
+    run_args, res_dirs, loggers, variants = [], [], [], []
+    for i, seed in enumerate(seeds):
+        a = argparse.Namespace(**vars(base_args))
+        a.Seed4PermutTest = seed
+        a.save_appendix = f"{base}_permut{seed}"
+        res_dir, logger = _setup_run_dir(a)
+        dcfg = _build_dcfg(a)
+        rng = np.random.default_rng(a.seed)
+        print(f"[permut] loading null {i + 1}/{len(seeds)} "
+              f"(Seed4PermutTest={seed}) -> "
+              f"results_permuttest/ADNI{a.save_appendix}")
+        cohort, topo = _load_cohort(a, dcfg, rng)
+        run_args.append(a)
+        res_dirs.append(res_dir)
+        loggers.append(logger)
+        variants.append((seed, cohort))
+
+    combos = _combos(base_args)
+    if base_args.search and FUSION_MODELS[base_args.model] == "sgcn_ori":
+        print("[search] SGCN_Ori has a fixed architecture; running one "
+              "configuration instead of the grid")
+        combos = combos[:1]
+    dcfg = _build_dcfg(run_args[0])
+    model_kind = FUSION_MODELS[base_args.model]
+
+    bests = [(float("inf"), 0.0, 0.0)] * len(seeds)
+    best_hypers = [combos[0]] * len(seeds)
+    for num_layers, hidden, h in combos:
+        result_file_name = (f"result_sgcn_img_snp_layers{num_layers}"
+                            f"_hidden{hidden}_h{h}")
+        mcfg, tcfg = _fused_cfgs(base_args, dcfg, num_layers, hidden)
+        msg = f"Using {num_layers} layers, {hidden} hidden units, h = {h}"
+        print(msg)
+        for logger in loggers:
+            logger(msg)
+        prof = (jax.profiler.trace(base_args.profile_dir)
+                if base_args.profile_dir else contextlib.nullcontext())
+        with prof:
+            results = cross_validation_permut_batch(
+                variants, topo, mcfg, tcfg, res_dirs=res_dirs,
+                result_file_name=result_file_name,
+                clinical_score_index=base_args.clinical_score_index,
+                loggers=loggers, model_kind=model_kind)
+        for s, res in enumerate(results):
+            print(f"[throughput] seed {seeds[s]}: "
+                  f"{res.throughput_graphs_per_sec:.1f} graphs/s")
+            if res.mean_test_loss < bests[s][0]:
+                bests[s] = (res.mean_test_loss, res.best_acc,
+                            res.best_acc_std)
+                best_hypers[s] = (num_layers, hidden, h)
+
+    for s, seed in enumerate(seeds):
+        log = (f"Result - {bests[s][1]:.3f} +/- {bests[s][2]:.3f}, with "
+               f"{best_hypers[s][0]} layers and {best_hypers[s][1]} hidden "
+               f"units and h = {best_hypers[s][2]}")
+        print(log)
+        loggers[s](log)
+    print(f"[permut] {len(seeds)} null runs done (one SPMD program per "
+          f"configuration); p-values: python -m iggcn_tpu.tools.report "
+          f"<observed_dir> --permut_null "
+          f"results_permuttest/ADNI{base}_permut*")
+
+
+def _run_experiment(args, parser):
+    from iggcn_tpu.data import adni, go_graph
+    from iggcn_tpu.train.cv import cross_validation
+    from iggcn_tpu.utils.cache import enable_compilation_cache
+    from iggcn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
+    enable_compilation_cache()   # also arms the dead-tunnel watchdog
+
+    res_dir, logger = _setup_run_dir(args)
+    dcfg = _build_dcfg(args)
     rng = np.random.default_rng(args.seed)
 
     def load_cohort():
-        from iggcn_tpu.data import cohort_cache
-        use_synthetic = args.synthetic or not os.path.isdir(args.data_path)
-        if use_synthetic:
-            print("[data] using synthetic ADNI-shaped cohort")
-            rois = 270 if args.isMultiFusion else 90
-            feat = 1 if args.isMultiFusion else 3
-            # topology is drawn BEFORE the cohort so a cohort cache hit
-            # (which skips the generator's rng draws) leaves the topo
-            # identical to a cache-miss run; nothing consumes `rng` after
-            # the cohort on this route
-            topo = go_graph.synthetic_topology(rng)
-            key = cohort_cache.cohort_key(
-                "synthetic", seed=args.seed,
-                num_subjects=args.synthetic_subjects, rois=rois,
-                feat_dim=feat, num_classes=dcfg.num_classes,
-                num_regr=args.num_regr, top_k=args.top_k)
-            cohort, hit = cohort_cache.load_or_build(
-                args.cohort_cache_dir, key,
-                lambda: adni.synthetic_cohort(
-                    rng, num_subjects=args.synthetic_subjects, rois=rois,
-                    feat_dim=feat, num_classes=dcfg.num_classes,
-                    num_regr=args.num_regr, top_k=args.top_k))
-            if dcfg.is_permut_test:
-                # the real loader shuffles inside load_adni874; the synthetic
-                # null must shuffle too or every permutation run would train
-                # on the true subject->score pairing. Applied AFTER the cache
-                # so cached entries always hold the true pairing.
-                cohort = adni.permute_regression_targets(
-                    cohort, dcfg.seed4permut_test)
-        else:
-            # key includes the source files (name/size/mtime) and every
-            # loader-relevant config field — incl. the permutation-test seed,
-            # because load_adni874 shuffles internally
-            key = cohort_cache.cohort_key(
-                "adni874",
-                files=cohort_cache.dir_fingerprint(args.data_path),
-                data_path=os.path.abspath(args.data_path),
-                disease_id=dcfg.disease_id, knn=dcfg.knn,
-                num_cluster=dcfg.num_cluster,
-                clinical_score_index=dcfg.clinical_score_index,
-                is_ppr=dcfg.is_ppr, is_topk=dcfg.is_topk, top_k=dcfg.top_k,
-                ppr_alpha=dcfg.ppr_alpha, heat_t=dcfg.heat_t,
-                is_multimodal4similarity=dcfg.is_multimodal4similarity,
-                is_use_tsne4similar=dcfg.is_use_tsne4similar,
-                is_multi_fusion=dcfg.is_multi_fusion,
-                is_permut_test=dcfg.is_permut_test,
-                seed4permut_test=dcfg.seed4permut_test)
-            try:
-                cohort, hit = cohort_cache.load_or_build(
-                    args.cohort_cache_dir, key,
-                    lambda: adni.load_adni874(dcfg))
-                topo = go_graph.parse_go_json(dcfg.json_path,
-                                              dcfg.go_connection_path,
-                                              dcfg.snps_to_gene_path)
-            except Exception as e:
-                # a malformed real-data layout should point at the doctor,
-                # not die as a bare deep scipy error (the data dir EXISTS
-                # here — a missing dir already fell back to the synthetic
-                # cohort). The original exception re-raises unchanged so
-                # genuine code bugs keep their traceback.
-                print(
-                    f"[data] failed to load the ADNI cohort/GO sources "
-                    f"({type(e).__name__}: {e}).\n"
-                    f"Diagnose the layout with:\n"
-                    f"  python -m iggcn_tpu.tools.doctor "
-                    f"--data_path {args.data_path} --knn {args.knn} "
-                    f"--json_path {args.json_path} "
-                    f"--go_connection_path {args.go_connection_path} "
-                    f"--snps_to_gene_path {args.snps_to_gene_path}",
-                    file=sys.stderr)
-                raise
-        if hit:
-            print(f"[data] cohort loaded from cache ({key})")
-        return cohort, topo
+        return _load_cohort(args, dcfg, rng)
 
-    if args.search:
-        # the reference zips (layers, hiddens, hs) TRIPLES (main.py:146-155);
-        # h feeds the Nested* subgraph pre-transform and the result filenames.
-        # (Its h=None product branch is unreachable from the CLI: --h is
-        # type=int with default 2, so None can never be passed.)
-        if args.isMultiFusion:
-            combos = list(zip([3, 2, 4, 2, 3], [2, 3, 3, 5, 10],
-                              [3, 2, 4, 2, 4]))
-        else:
-            combos = list(zip([2, 3, 2, 3, 4], [16, 16, 10, 10, 5],
-                              [2, 3, 4, 4, 2]))
-    else:
-        combos = [(args.layers, args.hiddens, args.h)]
+    combos = _combos(args)
 
     # ---- baseline / pooling / nested zoo (generic trainer) --------------
     if args.model in ZOO_MODELS:
@@ -719,37 +868,10 @@ def _run_experiment(args, parser):
     for num_layers, hidden, h in combos:
         result_file_name = (f"result_sgcn_img_snp_layers{num_layers}"
                             f"_hidden{hidden}_h{h}")
-        mcfg = ModelConfig(
-            num_layers=num_layers, hidden=hidden,
-            rois=270 if args.isMultiFusion else 90,
-            feat_dim=1 if args.isMultiFusion else 3,
-            num_classes=dcfg.num_classes, num_regr=args.num_regr,
-            is_cross_atten=args.isCrossAtten,
-            is_soft_similarity=args.isSoftSimilarity,
-            rbf_gamma=args.rbf_gamma, is_use_prob4regr=args.isuseProb4Regr,
-            model4eachregr=args.model4eachregr,
-            is_image_only=args.isImageOnly, is_snps_only=args.isSNPsOnly,
-            is_multi_fusion=args.isMultiFusion,
-            use_pallas_gcn=args.use_pallas_gcn)
-        tcfg = TrainConfig(
-            epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
-            weight_decay=args.weight_decay,
-            lr_decay_factor=args.lr_decay_factor,
-            lr_decay_step_size=args.lr_decay_step_size, folds=args.fold,
-            seed=args.seed, no_val=args.no_val,
-            is_permut_test=args.isPermutTest,
-            temperature=args.temperature,
-            use_fold_scan=not args.no_fold_scan,
-            fold_parallel=args.fold_parallel,
-            clinical_score_index=args.clinical_score_index,
-            loss=LossWeights(args.lambda_disease, args.lambda_regr,
-                             args.lambda_prob, args.lambda_reco,
-                             args.lambda_simi, args.lambda_orth))
+        mcfg, tcfg = _fused_cfgs(args, dcfg, num_layers, hidden)
         print(f"Using {num_layers} layers, {hidden} hidden units, h = {h}")
         logger(f"Using {num_layers} layers, {hidden} hidden units, h = {h}")
         model_kind = FUSION_MODELS[args.model]
-        if args.model == "SGCN_GAT":
-            mcfg = dataclasses.replace(mcfg, use_gat=True)
         train_cohort, ext_test = cohort, None
         if args.isTestAdnitype:
             train_cohort, ext_test = adni.separate_data_adnitype(

@@ -58,6 +58,7 @@ run sgcn_ori         python main.py $S --disease_id 0 --model SGCN_Ori --save_ap
 run adnitype         python main.py $S --model SGCN_GCN --isTestAdnitype --save_appendix _sw_adt
 run multifusion      python main.py $S --disease_id 0 --isMultiFusion --save_appendix _sw_mf
 run permut           python main.py $S --disease_id 0 --isPermutTest --save_appendix _sw_perm
+run permut_batch     python main.py $S --disease_id 0 --permut_seeds 1:2 --save_appendix _sw_pb
 run fold_parallel    python main.py $S --disease_id 0 --fold_parallel --save_appendix _sw_fp
 run single_score     python main.py $S --disease_id 0 --clinical_score_index 5 --save_appendix _sw_ss
 run no_val           python main.py $S --disease_id 0 --no_val --save_appendix _sw_nv
@@ -81,7 +82,7 @@ run export_serve     python scripts/_export_serve_check.py
 
 # analysis over the sweep's own outputs
 run report           python -m iggcn_tpu.tools.report results/ADNI_sw_fused
-run report_permut    python -m iggcn_tpu.tools.report results/ADNI_sw_fused --permut_null results_permuttest/ADNI_sw_perm
+run report_permut    python -m iggcn_tpu.tools.report results/ADNI_sw_fused --permut_null results_permuttest/ADNI_sw_perm results_permuttest/ADNI_sw_pb_permut1 results_permuttest/ADNI_sw_pb_permut2
 run doctor_tu        python -m iggcn_tpu.tools.doctor --tu_root tests/fixtures --tu_name TUTEST
 
 run_expect_fail unknown_model python main.py --model BOGUS $S
