@@ -166,12 +166,18 @@ def _fold_perms(seed, epochs, fold, n_train, total_padded):
 
 
 def _fold_parallel_gather_host(cohort, full, splits, tcfg, use_val,
-                               clinical_score_index):
+                               clinical_score_index, shared_perms=None):
     """Host half of the device-side fold assembly (fold-parallel path):
     per-fold leakage-safe imputation + epoch perms, then the stacked
     (folds, T) index/weight/clini/label arrays per split kind. Only tiny
     vectors are materialized host-side — the padded fold tensors are
-    gathered ON DEVICE by `_fold_parallel_gather_device`."""
+    gathered ON DEVICE by `_fold_parallel_gather_device`.
+
+    `shared_perms`: the already-extended per-fold epoch permutations from a
+    sibling call. The streams are deterministic in (tcfg.seed, fold, sizes)
+    and sizes derive from the splits alone, so permutation-batch seeds
+    (identical splits) share one set instead of redrawing
+    folds x epochs x train_size streams per seed."""
     b = tcfg.batch_size
     k = len(splits)
     imputed, n_trains, real_spes, perms_list = [], [], [], []
@@ -186,11 +192,15 @@ def _fold_parallel_gather_host(cohort, full, splits, tcfg, use_val,
                         "test": (test_idx, te_s)})
         n_trains.append(len(tri))
         real_spes.append(own_total // b)
-        perms_list.append(_fold_perms(tcfg.seed, tcfg.epochs, f,
-                                      len(tri), own_total))
+        if shared_perms is None:
+            perms_list.append(_fold_perms(tcfg.seed, tcfg.epochs, f,
+                                          len(tri), own_total))
     targets = {kind: max(-(-len(d[kind][0]) // b) * b for d in imputed)
                for kind in ("train", "val", "test")}
-    perms_list = [extend_perms(p, targets["train"]) for p in perms_list]
+    if shared_perms is None:
+        perms_list = [extend_perms(p, targets["train"]) for p in perms_list]
+    else:
+        perms_list = list(shared_perms)
 
     def stacked_kind(kind):
         t = targets[kind]
@@ -346,7 +356,10 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     objective = OBJECTIVES[model_kind]
     b = tcfg.batch_size
     splits = k_fold(cohort.y, tcfg.folds, tcfg.seed)
-    full = cohort_batch_arrays(cohort)
+    # injected runs (permut batch) never touch the cohort tensors — their
+    # folds trained in the caller's SPMD program and `prepped` is injected;
+    # skip the cohort-sized array assembly per replayed seed
+    full = cohort_batch_arrays(cohort) if _injected is None else None
     ext_full = (cohort_batch_arrays(external_test)
                 if external_test is not None else None)
 
@@ -578,7 +591,9 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
         test_subids = p["test_subids"]
 
         fold_spe = p["train_data"]["y"].shape[0] // b
-        if optimizer is None:
+        # parallel_out set (fold-parallel or injected): folds already
+        # trained in one program — the sequential runner is never called
+        if optimizer is None and parallel_out is None:
             optimizer = make_optimizer(tcfg)
             if tcfg.use_fold_scan:
                 fold_runner = make_fold_runner(
@@ -920,14 +935,16 @@ def cross_validation_permut_batch(variants, topo, mcfg: ModelConfig,
     splits = k_fold(base.y, k, tcfg.seed)
     full = cohort_batch_arrays(base)
 
-    # per-seed host prep: identical geometry (same splits/sizes), per-seed
-    # imputed clini vectors
-    hosts = [_fold_parallel_gather_host(c, full, splits, tcfg, use_val,
-                                        clinical_score_index)
-             for c in cohorts]
-    if any(h["targets"] != hosts[0]["targets"] for h in hosts[1:]):
-        raise AssertionError("permut-batch variants disagree on padded fold "
-                             "sizes — splits must be seed-invariant")
+    # per-seed host prep: identical geometry (same splits/sizes — targets
+    # and perms derive from the shared `splits` alone, so the epoch
+    # permutation streams are computed once and shared), per-seed imputed
+    # clini vectors
+    hosts = [_fold_parallel_gather_host(base, full, splits, tcfg, use_val,
+                                        clinical_score_index)]
+    hosts += [_fold_parallel_gather_host(c, full, splits, tcfg, use_val,
+                                         clinical_score_index,
+                                         shared_perms=hosts[0]["perms_list"])
+              for c in cohorts[1:]]
     kinds = {}
     for kind in hosts[0]["kinds"]:
         parts = zip(*[h["kinds"][kind] for h in hosts])

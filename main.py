@@ -106,7 +106,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "aggregate with iggcn-report --permut_null. With "
                         "--fold_parallel (fused families) the whole "
                         "seeds x folds grid trains as ONE SPMD device "
-                        "program sharded over the mesh")
+                        "program sharded over the mesh (chunked per "
+                        "--permut_batch_entries)")
+    p.add_argument("--permut_batch_entries", type=int, default=64,
+                   help="SPMD permutation batch (--permut_seeds "
+                        "--fold_parallel): max seeds x folds entries per "
+                        "device program; larger batches are chunked into "
+                        "ceil(entries/folds)-seed groups so HBM (the "
+                        "gathered fold copies scale with entries) and "
+                        "compile time stay bounded; 0 = unlimited")
     p.add_argument("--isMultiFusion", action="store_true", default=False,
                    help="fuse all three imaging modalities as one 270-node "
                         "graph (90 ROIs x {MRI, FDG-PET, AV45-PET})")
@@ -397,6 +405,8 @@ def main(argv=None):
         # every downstream guard (export-bundle refusal, results_permuttest/
         # routing, npy suppression) consistent with a single --isPermutTest
         args.isPermutTest = True
+    if args.permut_batch_entries < 0:
+        parser.error("--permut_batch_entries must be >= 0")
     if args.cuda is not None or args.cpu:
         print("[device] --cuda/--cpu are reference-compat no-ops: jax "
               "places on the available TPU/CPU (force with "
@@ -629,6 +639,33 @@ def _fused_cfgs(args, dcfg, num_layers, hidden):
     return mcfg, tcfg
 
 
+def _dedup_cohort(base_cohort, cohort):
+    """Alias a permutation variant's seed-invariant arrays to the first
+    seed's, so a --permut_seeds batch keeps ONE copy of the big tensors in
+    host RAM (real-data loads are per-seed because the reference permutes
+    BEFORE subject selection — `sgcn_data.py:205-208` — but the selected
+    non-score tensors come out identical). Values are compared first; a
+    field that genuinely differs is kept, and the batch trainer's own
+    variant validation rejects it loudly."""
+    import dataclasses
+
+    repl = {}
+    for f in ("x", "adj", "raw_adj", "y", "clust_y", "snps", "sbj_id",
+              "tsne_fdim", "raw_y", "adni_type"):
+        a, b = getattr(base_cohort, f), getattr(cohort, f)
+        if a is None or b is None:
+            continue
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f" and b.dtype.kind == "f":
+            same = a.shape == b.shape and np.array_equal(a, b,
+                                                         equal_nan=True)
+        else:
+            same = np.array_equal(a, b)
+        if same:
+            repl[f] = getattr(base_cohort, f)
+    return dataclasses.replace(cohort, **repl)
+
+
 def _run_permut_batch_parallel(base_args, parser, seeds):
     """SPMD permutation-null batch: under `--permut_seeds --fold_parallel`
     (fused families), ALL seeds x folds train as ONE sharded device program
@@ -662,6 +699,13 @@ def _run_permut_batch_parallel(base_args, parser, seeds):
               f"(Seed4PermutTest={seed}) -> "
               f"results_permuttest/ADNI{a.save_appendix}")
         cohort, topo = _load_cohort(a, dcfg, rng)
+        if variants:
+            # the permutation only changes the subject->score pairing, so
+            # every non-score tensor is a duplicate of seed 0's — alias it
+            # so N seeds hold ONE copy of the big arrays in host RAM (an
+            # equal-values alias; a genuinely differing field is left
+            # alone and rejected loudly by cross_validation_permut_batch)
+            cohort = _dedup_cohort(variants[0][1], cohort)
         run_args.append(a)
         res_dirs.append(res_dir)
         loggers.append(logger)
@@ -674,6 +718,19 @@ def _run_permut_batch_parallel(base_args, parser, seeds):
         combos = combos[:1]
     dcfg = _build_dcfg(run_args[0])
     model_kind = FUSION_MODELS[base_args.model]
+
+    # chunk the seed axis so one SPMD program holds at most
+    # --permut_batch_entries seeds x folds entries (HBM for the gathered
+    # fold copies and compile time both scale with the entry count)
+    max_entries = base_args.permut_batch_entries   # validated in main()
+    per_chunk = (len(seeds) if max_entries == 0
+                 else max(1, max_entries // base_args.fold))
+    chunks = [slice(i, i + per_chunk)
+              for i in range(0, len(seeds), per_chunk)]
+    if len(chunks) > 1:
+        print(f"[permut] {len(seeds)} seeds x {base_args.fold} folds "
+              f"exceeds --permut_batch_entries {max_entries}; running "
+              f"{len(chunks)} SPMD programs of <= {per_chunk} seeds")
 
     bests = [(float("inf"), 0.0, 0.0)] * len(seeds)
     best_hypers = [combos[0]] * len(seeds)
@@ -688,11 +745,13 @@ def _run_permut_batch_parallel(base_args, parser, seeds):
         prof = (jax.profiler.trace(base_args.profile_dir)
                 if base_args.profile_dir else contextlib.nullcontext())
         with prof:
-            results = cross_validation_permut_batch(
-                variants, topo, mcfg, tcfg, res_dirs=res_dirs,
-                result_file_name=result_file_name,
-                clinical_score_index=base_args.clinical_score_index,
-                loggers=loggers, model_kind=model_kind)
+            results = []
+            for ch in chunks:
+                results.extend(cross_validation_permut_batch(
+                    variants[ch], topo, mcfg, tcfg, res_dirs=res_dirs[ch],
+                    result_file_name=result_file_name,
+                    clinical_score_index=base_args.clinical_score_index,
+                    loggers=loggers[ch], model_kind=model_kind))
         for s, res in enumerate(results):
             print(f"[throughput] seed {seeds[s]}: "
                   f"{res.throughput_graphs_per_sec:.1f} graphs/s")
