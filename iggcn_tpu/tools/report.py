@@ -61,10 +61,10 @@ def _score_matrix_rows(tag: str, mats: List[np.ndarray],
     return row
 
 
-def collect_dir(res_dir: str) -> List[Dict]:
-    """Summary rows for one results dir (one row per model/config tag)."""
-    rows: List[Dict] = []
-    groups: Dict[str, Dict[int, np.ndarray]] = {}
+def _load_records(res_dir: str) -> Dict[str, Dict[int, tuple]]:
+    """Per-fold result records of one dir:
+    `{tag: {fold: (score_mat (E, 5), test_losses (E,) or None)}}`."""
+    groups: Dict[str, Dict[int, tuple]] = {}
     for path in sorted(glob.glob(os.path.join(res_dir, "fold_result_*.npz"))):
         m = _RECORD_RE.search(os.path.basename(path))
         if not m:
@@ -78,13 +78,28 @@ def collect_dir(res_dir: str) -> List[Dict]:
                     accs = np.asarray(zf["accs"], np.float64)
                     mat = np.full((accs.shape[0], 5), np.nan)
                     mat[:, 0] = accs
+                losses = None
+                for k in ("test_losses", "losses"):   # fused / zoo+snps
+                    if k in zf.files:
+                        arr = np.asarray(zf[k], np.float64)
+                        if arr.shape == (mat.shape[0],):
+                            losses = arr
+                            break
         except Exception as e:
             print(f"[report] skipping unreadable {path} ({e})",
                   file=sys.stderr)
             continue
-        groups.setdefault(tag, {})[fold] = mat
+        groups.setdefault(tag, {})[fold] = (mat, losses)
+    return groups
+
+
+def collect_dir(res_dir: str) -> List[Dict]:
+    """Summary rows for one results dir (one row per model/config tag)."""
+    rows: List[Dict] = []
+    groups = _load_records(res_dir)
     for tag, by_fold in sorted(groups.items()):
-        row = _score_matrix_rows(tag, [by_fold[f] for f in sorted(by_fold)],
+        row = _score_matrix_rows(tag,
+                                 [by_fold[f][0] for f in sorted(by_fold)],
                                  res_dir)
         if row is not None:
             rows.append(row)
@@ -171,7 +186,9 @@ def permutation_pvalue_regression(observed_rows: List[Dict],
                     "observed_corr": obs["corr"], "null_n": len(nulls),
                     "null_mean": float(np.mean(nulls)),
                     "null_max": float(np.max(nulls)),
-                    "p_value": (1 + ge) / (1 + len(nulls))})
+                    "p_value": (1 + ge) / (1 + len(nulls)),
+                    # not a printed column; --plot's histogram input
+                    "dir": obs["dir"], "nulls": nulls})
     return out
 
 
@@ -225,8 +242,48 @@ def permutation_pvalue(observed_rows: List[Dict], null_dirs: List[str]
             "null_mean": float(np.mean(nulls)),
             "null_max": float(np.max(nulls)),
             "p_value": (1 + ge) / (1 + len(nulls)),
+            # not a printed column; --plot's histogram input
+            "dir": obs["dir"], "nulls": nulls,
         })
     return out
+
+
+def make_plots(results_dirs: List[str], pv: List[Dict],
+               pvr: List[Dict]) -> List[str]:
+    """Figures for `--plot` (same conventions as `iggcn-explain --plot`):
+    per-tag training curves (per-fold accuracy/loss over epochs, fold-mean
+    strong with best epoch marked) next to each dir's records, and — when
+    p-values were computed — permutation-null histograms with the observed
+    statistic marked. Returns the written paths."""
+    from iggcn_tpu.utils.plots import (plot_null_distribution,
+                                       plot_training_curves)
+
+    written: List[str] = []
+    for d in results_dirs:
+        for tag, by_fold in sorted(_load_records(d).items()):
+            folds = sorted(by_fold)
+            mats = [by_fold[f][0] for f in folds]
+            if len({m.shape[0] for m in mats}) != 1:
+                continue          # epoch-count mismatch; summary warns
+            acc = np.stack([m[:, 0] for m in mats])
+            losses = [by_fold[f][1] for f in folds]
+            loss = (np.stack(losses)
+                    if all(ls is not None for ls in losses) else None)
+            written.append(plot_training_curves(
+                acc, os.path.join(d, f"report_curves_{tag}.png"),
+                title=f"{tag}: test accuracy by epoch", loss_by_fold=loss))
+    for r in pv:
+        written.append(plot_null_distribution(
+            r["nulls"], r["observed_acc"], r["p_value"],
+            os.path.join(r["dir"], f"report_null_{r['tag']}.png"),
+            title=f"{r['tag']}: permutation null (best accuracy)"))
+    for r in pvr:
+        written.append(plot_null_distribution(
+            r["nulls"], r["observed_corr"], r["p_value"],
+            os.path.join(r["dir"], f"report_null_{r['tag']}_{r['score']}.png"),
+            title=f"{r['tag']} / {r['score']}: permutation null "
+                  "(pooled correlation)", statistic="pooled correlation"))
+    return written
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -238,6 +295,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "compute p-values for the observed accuracies")
     p.add_argument("--csv", default=None,
                    help="also write the summary as CSV to this path")
+    p.add_argument("--plot", action="store_true", default=False,
+                   help="render figures next to the records: per-tag "
+                        "training curves (per-fold accuracy/loss by epoch, "
+                        "fold-mean with best epoch marked) as "
+                        "report_curves_<tag>.png, and — with --permut_null "
+                        "— permutation-null histograms with the observed "
+                        "statistic and p-value as report_null_<tag>*.png")
     return p
 
 
@@ -265,6 +329,8 @@ def main(argv=None) -> int:
         print("|" + "---|" * len(cols))
         for r in reg_rows:
             print("| " + " | ".join(_fmt(r[c]) for c in cols) + " |")
+    pv: List[Dict] = []
+    pvr: List[Dict] = []
     if args.permut_null is not None:
         printed = False
         pv = permutation_pvalue(rows, args.permut_null)
@@ -289,6 +355,9 @@ def main(argv=None) -> int:
                 print("| " + " | ".join(_fmt(r[c]) for c in cols) + " |")
         if not printed:
             return 1
+    if args.plot:
+        for path in make_plots(args.results_dirs, pv, pvr):
+            print(f"[report] wrote {path}", file=sys.stderr)
     return 0
 
 

@@ -89,6 +89,94 @@ def plot_importance_bar(values: np.ndarray, out_path: str, *, title: str,
     return out_path
 
 
+def plot_training_curves(acc_by_fold: np.ndarray, out_path: str, *,
+                         title: str,
+                         loss_by_fold: Optional[np.ndarray] = None) -> str:
+    """Per-epoch training curves from the per-fold result records.
+
+    `acc_by_fold`: (folds, E) test accuracy per epoch. Each fold draws as a
+    thin muted line; the fold-mean (the aggregation statistic — the trainer
+    reports max over epochs of fold-mean accuracy) draws strong with its
+    best epoch marked. `loss_by_fold` (folds, E), when given, adds a second
+    panel with the same encoding. One hue throughout: the series are one
+    family (folds of one run), not categories.
+    """
+    plt = _plt()
+    acc = np.atleast_2d(np.asarray(acc_by_fold, np.float64))
+    panels = 1 if loss_by_fold is None else 2
+    fig, axes = plt.subplots(panels, 1, figsize=(6, 2.6 * panels),
+                             sharex=True, squeeze=False)
+    epochs = np.arange(1, acc.shape[1] + 1)
+
+    def draw(ax, mat, ylabel, mark_best):
+        for row in mat:
+            ax.plot(epochs, row, color=BAR_COLOR, alpha=0.25, linewidth=0.8)
+        mean = mat.mean(axis=0)
+        ax.plot(epochs, mean, color=BAR_COLOR, linewidth=1.8,
+                label=f"fold mean ({mat.shape[0]} folds)")
+        if mark_best:
+            best = int(mean.argmax())
+            ax.plot(epochs[best], mean[best], "o", color=INK, markersize=4)
+            ax.annotate(f"best epoch {epochs[best]}: {mean[best]:.3f}",
+                        (epochs[best], mean[best]), textcoords="offset points",
+                        xytext=(6, 6), fontsize=7, color=INK)
+        ax.set_ylabel(ylabel)
+        ax.grid(axis="y", color="#dddddd", linewidth=0.6)
+        ax.set_axisbelow(True)
+        ax.legend(frameon=False, fontsize=7, loc="lower right",
+                  labelcolor=INK)
+        _style_axes(ax)
+
+    draw(axes[0][0], acc, "test accuracy", mark_best=True)
+    axes[0][0].set_title(title, fontsize=10, loc="left")
+    if loss_by_fold is not None:
+        loss = np.atleast_2d(np.asarray(loss_by_fold, np.float64))
+        draw(axes[1][0], loss, "test loss", mark_best=False)
+    axes[-1][0].set_xlabel("epoch")
+    from matplotlib.ticker import MaxNLocator
+    axes[-1][0].xaxis.set_major_locator(MaxNLocator(integer=True))
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_null_distribution(nulls: Sequence[float], observed: float,
+                           p_value: float, out_path: str, *, title: str,
+                           statistic: str = "accuracy") -> str:
+    """Permutation-null histogram with the observed statistic marked.
+
+    The nulls draw as a single-hue histogram; the observed value is a dark
+    vertical line annotated with the add-one p-value. This is the picture
+    behind `iggcn-report --permut_null`'s p-value table.
+    """
+    plt = _plt()
+    nulls = np.asarray(list(nulls), np.float64)
+    fig, ax = plt.subplots(figsize=(5.4, 3.2))
+    bins = min(20, max(5, nulls.size))
+    ax.hist(nulls, bins=bins, color=BAR_COLOR, alpha=0.75,
+            edgecolor="white", linewidth=0.5,
+            label=f"null runs (n={nulls.size})")
+    ax.axvline(observed, color=INK, linewidth=1.6)
+    ax.annotate(f"observed {observed:.3f}\np = {p_value:.4g}",
+                (observed, ax.get_ylim()[1] * 0.95), ha="left", va="top",
+                fontsize=8, color=INK, xytext=(5, 0),
+                textcoords="offset points")
+    ax.set_xlabel(f"{statistic} under label permutation")
+    ax.set_ylabel("null runs")
+    ax.set_title(title, fontsize=10, loc="left")
+    ax.grid(axis="y", color="#dddddd", linewidth=0.6)
+    ax.set_axisbelow(True)
+    ax.legend(frameon=False, fontsize=7, labelcolor=INK)
+    _style_axes(ax)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
 def plot_matrix(mat: np.ndarray, out_path: str, *, title: str,
                 axis_name: str = "ROI") -> str:
     """Single-hue sequential heatmap (light->dark = magnitude) of a square

@@ -10,7 +10,9 @@ import pytest
 
 matplotlib = pytest.importorskip("matplotlib")
 
-from iggcn_tpu.utils.plots import plot_importance_bar, plot_matrix  # noqa: E402
+from iggcn_tpu.utils.plots import (plot_importance_bar,  # noqa: E402
+                                   plot_matrix, plot_null_distribution,
+                                   plot_training_curves)
 
 
 def _is_png(path, min_bytes=2000):
@@ -38,6 +40,25 @@ def test_matrix_renders(tmp_path):
     rng = np.random.default_rng(0)
     out = plot_matrix(rng.random((90, 90)), str(tmp_path / "m.png"),
                       title="edges")
+    assert _is_png(out)
+
+
+def test_training_curves_render(tmp_path):
+    rng = np.random.default_rng(3)
+    acc = rng.uniform(0.4, 0.9, (5, 20))
+    loss = rng.uniform(0.2, 1.5, (5, 20))
+    out = plot_training_curves(acc, str(tmp_path / "c.png"), title="curves",
+                               loss_by_fold=loss)
+    assert _is_png(out)
+    # accuracy-only variant (generic zoo records may lack a loss trace)
+    assert _is_png(plot_training_curves(acc, str(tmp_path / "c2.png"),
+                                        title="curves"))
+
+
+def test_null_distribution_renders(tmp_path):
+    rng = np.random.default_rng(4)
+    out = plot_null_distribution(rng.uniform(0.4, 0.6, 19), 0.92, 0.05,
+                                 str(tmp_path / "n.png"), title="null")
     assert _is_png(out)
 
 

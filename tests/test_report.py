@@ -136,6 +136,32 @@ def test_cli_empty_dir_fails(tmp_path):
     assert report.main([str(tmp_path)]) == 1
 
 
+def test_cli_plot_writes_figures(tmp_path, capsys):
+    """--plot renders training curves per tag and, with --permut_null,
+    null histograms for both statistics next to the observed records."""
+    pytest.importorskip("matplotlib")
+    obs = str(tmp_path / "obs")
+    _write_records(obs, "result_x", _score(best=0.9), corr_noise=0.01)
+    null_dirs = []
+    for i in range(3):
+        nd = str(tmp_path / f"null{i}")
+        _write_records(nd, "result_x", _score(best=0.5, seed=40 + i),
+                       corr_noise=50.0, seed=50 + i)
+        null_dirs.append(nd)
+    rc = report.main([obs, "--permut_null", *null_dirs, "--plot"])
+    assert rc == 0
+    for fname in ("report_curves_result_x.png", "report_null_result_x.png",
+                  "report_null_result_x_tau.png",
+                  "report_null_result_x_mmse.png"):
+        path = os.path.join(obs, fname)
+        assert os.path.getsize(path) > 2000, fname
+        with open(path, "rb") as fh:
+            assert fh.read(8) == b"\x89PNG\r\n\x1a\n", fname
+    # the extra plotting keys must not leak into the printed tables
+    out = capsys.readouterr().out
+    assert "nulls" not in out
+
+
 def test_cli_end_to_end_experiment_records(tmp_path):
     """The records a REAL CLI experiment writes are readable by the report
     tool (integration with the resume records of test_resume.py's paths)."""
