@@ -867,6 +867,118 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
         regression_summary=regression_summary)
 
 
+def cross_validation_seed_batch(cohort: AdniCohort, seeds, topo,
+                                mcfg: ModelConfig, tcfg: TrainConfig, *,
+                                res_dirs,
+                                result_file_name: str = "result",
+                                clinical_score_index: Optional[int] = None,
+                                loggers=None,
+                                model_kind: str = "sgcn_imgsnp",
+                                export_bundle: bool = False,
+                                verbose: bool = True) -> List[CVResult]:
+    """Replicate the SAME experiment across N CV seeds as one SPMD program.
+
+    The replication question a reviewer always asks — "is the result robust
+    to the analysis seed?" — costs the reference N full processes. Here each
+    seed changes only the stratified splits, the per-fold imputation, the
+    parameter inits and the epoch shuffling (the cohort tensors are
+    seed-invariant), and StratifiedKFold's per-fold-index sizes depend only
+    on the label multiset and k, NOT on the shuffle seed — so all
+    seeds x folds entries share one device cohort and identical shapes, and
+    the whole grid trains as ONE `fold_mesh(S*k)` program, exactly like the
+    permutation-null batch (`cross_validation_permut_batch`) but with
+    per-seed splits/perms/inits instead of per-seed score pairings.
+
+    Each entry's outputs match a standalone fold-parallel run with
+    `tcfg.seed = s` on the same cohort — bit-for-bit on one device;
+    ~1-ulp float reduction-order drift when `fold_mesh(S*k)` and
+    `fold_mesh(k)` factorize (fold, data) differently (same tolerance story
+    as the permutation batch, pinned in tests/test_seed_batch.py).
+    """
+    if not (tcfg.fold_parallel and tcfg.use_fold_scan):
+        raise ValueError("cross_validation_seed_batch requires "
+                         "fold_parallel + use_fold_scan")
+    if not tcfg.device_gather:
+        raise ValueError("cross_validation_seed_batch requires "
+                         "device_gather (the batched fold assembly)")
+    if tcfg.is_permut_test:
+        raise ValueError("seed replication shuffles nothing; combine with "
+                         "--permut_seeds (per-seed null batch) instead of "
+                         "is_permut_test")
+    if clinical_score_index is None:
+        clinical_score_index = tcfg.clinical_score_index
+    seeds = list(seeds)
+    n_seeds = len(seeds)
+    if len(res_dirs) != n_seeds:
+        raise ValueError("one res_dir per seed required")
+    use_val = not tcfg.no_val
+
+    build, takes_snps = MODEL_FAMILIES[model_kind]
+    model = build(mcfg, topo)
+    objective = OBJECTIVES[model_kind]
+    k = tcfg.folds
+    tcfgs = [dataclasses.replace(tcfg, seed=s) for s in seeds]
+    splits_by_seed = [k_fold(cohort.y, k, s) for s in seeds]
+    full = cohort_batch_arrays(cohort)
+
+    # per-seed host prep: per-seed splits -> per-seed imputation, gather
+    # indices and epoch-permutation streams (deterministic in the seed)
+    hosts = [_fold_parallel_gather_host(cohort, full, sp, tc, use_val,
+                                        clinical_score_index)
+             for sp, tc in zip(splits_by_seed, tcfgs)]
+    if any(h["targets"] != hosts[0]["targets"] for h in hosts[1:]):
+        # cannot happen for StratifiedKFold (sizes are seed-invariant);
+        # guard loudly rather than train misaligned stacked shapes
+        raise AssertionError(
+            "seed-batch entries disagree on padded fold sizes "
+            f"({[h['targets'] for h in hosts]}); splits must be "
+            "size-invariant across seeds")
+    kinds = {}
+    for kind in hosts[0]["kinds"]:
+        parts = zip(*[h["kinds"][kind] for h in hosts])
+        kinds[kind] = tuple(np.concatenate(p, axis=0) for p in parts)
+
+    mesh = fold_mesh(n_seeds * k)
+    trains, vals, tests = _fold_parallel_gather_device(full, kinds, mesh,
+                                                       use_val)
+
+    optimizer = make_optimizer(tcfg)
+    fold_runner = make_fold_runner(
+        model, mcfg, tcfg, optimizer, objective,
+        track_best_on="val" if use_val else "test")
+    # per-entry inits: deterministic in (seed, fold) — each entry draws
+    # exactly what its standalone run would
+    states, rngs = [], []
+    for s, h in enumerate(hosts):
+        for f in range(k):
+            st, r = _init_fold_state(model, optimizer, takes_snps, mcfg,
+                                     tcfg.batch_size, seeds[s], f,
+                                     h["real_spes"][f])
+            states.append(st)
+            rngs.append(r)
+    perms_list = [p for h in hosts for p in h["perms_list"]]
+
+    *parallel_out, parallel_dt = run_folds_parallel(
+        fold_runner, states, trains, vals, tests, perms_list, rngs,
+        mesh=mesh)
+    parallel_out = tuple(parallel_out)
+
+    results = []
+    for s, seed in enumerate(seeds):
+        sl = jax.tree_util.tree_map(lambda x: x[s * k:(s + 1) * k],
+                                    parallel_out)
+        results.append(cross_validation(
+            cohort, topo, mcfg, tcfgs[s], res_dir=res_dirs[s],
+            result_file_name=result_file_name,
+            clinical_score_index=clinical_score_index,
+            logger=(loggers[s] if loggers is not None else None),
+            model_kind=model_kind, verbose=verbose,
+            export_bundle=export_bundle,
+            _injected=(sl, _fold_parallel_prepped_shims(full, hosts[s]),
+                       parallel_dt / n_seeds)))
+    return results
+
+
 def cross_validation_permut_batch(variants, topo, mcfg: ModelConfig,
                                   tcfg: TrainConfig, *,
                                   res_dirs,

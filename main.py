@@ -107,12 +107,26 @@ def build_parser() -> argparse.ArgumentParser:
                         "--fold_parallel (fused families) the whole "
                         "seeds x folds grid trains as ONE SPMD device "
                         "program sharded over the mesh (chunked per "
-                        "--permut_batch_entries)")
-    p.add_argument("--permut_batch_entries", type=int, default=64,
-                   help="SPMD permutation batch (--permut_seeds "
-                        "--fold_parallel): max seeds x folds entries per "
-                        "device program; larger batches are chunked into "
-                        "ceil(entries/folds)-seed groups so HBM (the "
+                        "--spmd_batch_entries)")
+    p.add_argument("--cv_seeds", type=str, default=None,
+                   help="REPLICATE the experiment across N CV seeds on one "
+                        "fixed cohort (the robustness-to-analysis-seed "
+                        "check; each seed redraws the stratified splits, "
+                        "per-fold imputation, parameter inits and epoch "
+                        "shuffling): a comma list '1,2,3' or an inclusive "
+                        "range '1:5'; each seed writes its own dir "
+                        "results/ADNI<appendix>_seed<seed> and an "
+                        "across-seed mean +/- std summary is printed. With "
+                        "--fold_parallel (fused families) the whole "
+                        "seeds x folds grid trains as ONE SPMD device "
+                        "program sharded over the mesh (chunked per "
+                        "--spmd_batch_entries); the cohort itself stays "
+                        "drawn from --seed")
+    p.add_argument("--spmd_batch_entries", type=int, default=64,
+                   help="SPMD seed batches (--permut_seeds / --cv_seeds "
+                        "with --fold_parallel): max seeds x folds entries "
+                        "per device program; larger batches are chunked "
+                        "into ceil(entries/folds)-seed groups so HBM (the "
                         "gathered fold copies scale with entries) and "
                         "compile time stay bounded; 0 = unlimited")
     p.add_argument("--isMultiFusion", action="store_true", default=False,
@@ -366,27 +380,36 @@ def _write_env_manifest(res_dir: str) -> None:
         print(f"[env] manifest skipped ({e})", file=sys.stderr)
 
 
-def _parse_permut_seeds(spec: str, parser) -> list:
-    """'1,2,3' or inclusive 'A:B' -> list of distinct permutation seeds."""
+def _parse_permut_seeds(spec: str, parser, flag="--permut_seeds") -> list:
+    """'1,2,3' or inclusive 'A:B' -> list of distinct seeds."""
     try:
         if ":" in spec:
             lo_s, hi_s = spec.split(":", 1)
             lo, hi = int(lo_s), int(hi_s)
             if hi < lo:
-                parser.error(f"--permut_seeds range {spec!r} is empty "
+                parser.error(f"{flag} range {spec!r} is empty "
                              "(end < start)")
             seeds = list(range(lo, hi + 1))
         else:
             seeds = [int(s) for s in spec.split(",") if s.strip()]
     except ValueError:
-        parser.error(f"--permut_seeds {spec!r}: expected a comma list "
+        parser.error(f"{flag} {spec!r}: expected a comma list "
                      "'1,2,3' or an inclusive range '1:100'")
     if not seeds:
-        parser.error("--permut_seeds named no seeds")
+        parser.error(f"{flag} named no seeds")
     if len(set(seeds)) != len(seeds):
-        parser.error(f"--permut_seeds {spec!r} repeats a seed; each null "
-                     "run must shuffle with a distinct seed")
+        parser.error(f"{flag} {spec!r} repeats a seed; each "
+                     "run must use a distinct seed")
     return seeds
+
+
+def _seed_chunks(seeds, folds, max_entries):
+    """Slices bounding seeds x folds entries per SPMD program (shared by
+    the --permut_seeds and --cv_seeds batch routes)."""
+    per_chunk = (len(seeds) if max_entries == 0
+                 else max(1, max_entries // folds))
+    return [slice(i, i + per_chunk)
+            for i in range(0, len(seeds), per_chunk)], per_chunk
 
 
 def main(argv=None):
@@ -405,8 +428,15 @@ def main(argv=None):
         # every downstream guard (export-bundle refusal, results_permuttest/
         # routing, npy suppression) consistent with a single --isPermutTest
         args.isPermutTest = True
-    if args.permut_batch_entries < 0:
-        parser.error("--permut_batch_entries must be >= 0")
+    if args.spmd_batch_entries < 0:
+        parser.error("--spmd_batch_entries must be >= 0")
+    if args.cv_seeds is not None and (args.permut_seeds is not None
+                                      or args.isPermutTest):
+        parser.error("--cv_seeds replicates the OBSERVED experiment; run "
+                     "the permutation nulls separately (--permut_seeds)")
+    if args.cv_seeds is not None and args.isTestAdnitype:
+        parser.error("--cv_seeds does not combine with --isTestAdnitype; "
+                     "loop --seed manually for the held-out-type analysis")
     if args.cuda is not None or args.cpu:
         print("[device] --cuda/--cpu are reference-compat no-ops: jax "
               "places on the available TPU/CPU (force with "
@@ -445,6 +475,11 @@ def main(argv=None):
 
     if args.save_appendix == "":
         args.save_appendix = "_" + time.strftime("%Y%m%d%H%M%S")
+
+    if args.cv_seeds is not None:
+        seeds = _parse_permut_seeds(args.cv_seeds, parser, flag="--cv_seeds")
+        _run_cv_seed_batch(args, parser, seeds)
+        return
 
     if args.permut_seeds is not None:
         # null-distribution batch: N permutation runs in ONE process. Each
@@ -720,16 +755,13 @@ def _run_permut_batch_parallel(base_args, parser, seeds):
     model_kind = FUSION_MODELS[base_args.model]
 
     # chunk the seed axis so one SPMD program holds at most
-    # --permut_batch_entries seeds x folds entries (HBM for the gathered
+    # --spmd_batch_entries seeds x folds entries (HBM for the gathered
     # fold copies and compile time both scale with the entry count)
-    max_entries = base_args.permut_batch_entries   # validated in main()
-    per_chunk = (len(seeds) if max_entries == 0
-                 else max(1, max_entries // base_args.fold))
-    chunks = [slice(i, i + per_chunk)
-              for i in range(0, len(seeds), per_chunk)]
+    max_entries = base_args.spmd_batch_entries   # validated in main()
+    chunks, per_chunk = _seed_chunks(seeds, base_args.fold, max_entries)
     if len(chunks) > 1:
         print(f"[permut] {len(seeds)} seeds x {base_args.fold} folds "
-              f"exceeds --permut_batch_entries {max_entries}; running "
+              f"exceeds --spmd_batch_entries {max_entries}; running "
               f"{len(chunks)} SPMD programs of <= {per_chunk} seeds")
 
     bests = [(float("inf"), 0.0, 0.0)] * len(seeds)
@@ -770,6 +802,131 @@ def _run_permut_batch_parallel(base_args, parser, seeds):
           f"configuration); p-values: python -m iggcn_tpu.tools.report "
           f"<observed_dir> --permut_null "
           f"results_permuttest/ADNI{base}_permut*")
+
+
+def _run_cv_seed_batch(base_args, parser, seeds):
+    """Replication batch (`--cv_seeds`): the SAME experiment across N CV
+    seeds on ONE fixed cohort (drawn from --seed). Each seed redraws the
+    stratified splits, per-fold imputation, parameter inits and epoch
+    shuffling — the robustness-to-analysis-seed check a reviewer always
+    asks for, which costs the reference N full processes. Under
+    --fold_parallel the whole seeds x folds grid trains as ONE SPMD device
+    program (`cv.cross_validation_seed_batch`); otherwise the seeds run
+    sequentially in-process (warm jit/cohort caches; supports --resume).
+    Prints per-seed Result lines plus the across-seed mean +/- std."""
+    import contextlib
+
+    import jax
+
+    from iggcn_tpu.train.cv import (cross_validation,
+                                    cross_validation_seed_batch)
+    from iggcn_tpu.utils.cache import enable_compilation_cache
+    from iggcn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
+    enable_compilation_cache()
+
+    if base_args.model not in FUSION_MODELS:
+        parser.error(
+            f"--cv_seeds supports the fused imaging-genetics families "
+            f"({', '.join(FUSION_MODELS)}); loop --seed manually for "
+            f"--model {base_args.model}")
+
+    base = base_args.save_appendix
+    run_args, res_dirs, loggers = [], [], []
+    for seed in seeds:
+        a = argparse.Namespace(**vars(base_args))
+        a.seed = seed
+        a.save_appendix = f"{base}_seed{seed}"
+        res_dir, logger = _setup_run_dir(a)
+        run_args.append(a)
+        res_dirs.append(res_dir)
+        loggers.append(logger)
+
+    # ONE cohort for every seed, drawn from the BASE --seed: the whole
+    # point is varying the analysis seed on fixed data (on real data the
+    # cohort is seed-invariant anyway)
+    dcfg = _build_dcfg(base_args)
+    rng = np.random.default_rng(base_args.seed)
+    cohort, topo = _load_cohort(base_args, dcfg, rng)
+
+    combos = _combos(base_args)
+    if base_args.search and FUSION_MODELS[base_args.model] == "sgcn_ori":
+        print("[search] SGCN_Ori has a fixed architecture; running one "
+              "configuration instead of the grid")
+        combos = combos[:1]
+    model_kind = FUSION_MODELS[base_args.model]
+    use_spmd = base_args.fold_parallel and not base_args.resume
+    if base_args.fold_parallel and base_args.resume:
+        print("[cv_seeds] --resume resumes seed-by-seed; running the seeds "
+              "sequentially instead of as one SPMD batch")
+    chunks, per_chunk = _seed_chunks(seeds, base_args.fold,
+                                     base_args.spmd_batch_entries)
+    if use_spmd and len(chunks) > 1:
+        print(f"[cv_seeds] {len(seeds)} seeds x {base_args.fold} folds "
+              f"exceeds --spmd_batch_entries {base_args.spmd_batch_entries};"
+              f" running {len(chunks)} SPMD programs of <= {per_chunk} "
+              "seeds")
+
+    bests = [(float("inf"), 0.0, 0.0)] * len(seeds)
+    best_hypers = [combos[0]] * len(seeds)
+    for num_layers, hidden, h in combos:
+        result_file_name = (f"result_sgcn_img_snp_layers{num_layers}"
+                            f"_hidden{hidden}_h{h}")
+        mcfg, tcfg = _fused_cfgs(base_args, dcfg, num_layers, hidden)
+        msg = f"Using {num_layers} layers, {hidden} hidden units, h = {h}"
+        print(msg)
+        for logger in loggers:
+            logger(msg)
+        prof = (jax.profiler.trace(base_args.profile_dir)
+                if base_args.profile_dir else contextlib.nullcontext())
+        with prof:
+            if use_spmd:
+                results = []
+                for ch in chunks:
+                    results.extend(cross_validation_seed_batch(
+                        cohort, seeds[ch], topo, mcfg, tcfg,
+                        res_dirs=res_dirs[ch],
+                        result_file_name=result_file_name,
+                        clinical_score_index=base_args.clinical_score_index,
+                        loggers=loggers[ch], model_kind=model_kind,
+                        export_bundle=base_args.export_bundle))
+            else:
+                results = [cross_validation(
+                    cohort, topo, mcfg,
+                    dataclasses.replace(tcfg, seed=seed),
+                    res_dir=res_dirs[i], result_file_name=result_file_name,
+                    clinical_score_index=base_args.clinical_score_index,
+                    logger=loggers[i], model_kind=model_kind,
+                    export_bundle=base_args.export_bundle,
+                    resume=base_args.resume)
+                    for i, seed in enumerate(seeds)]
+        for s, res in enumerate(results):
+            print(f"[throughput] seed {seeds[s]}: "
+                  f"{res.throughput_graphs_per_sec:.1f} graphs/s")
+            if res.mean_test_loss < bests[s][0]:
+                bests[s] = (res.mean_test_loss, res.best_acc,
+                            res.best_acc_std)
+                best_hypers[s] = (num_layers, hidden, h)
+
+    for s, seed in enumerate(seeds):
+        log = (f"Result - {bests[s][1]:.3f} +/- {bests[s][2]:.3f}, with "
+               f"{best_hypers[s][0]} layers and {best_hypers[s][1]} hidden "
+               f"units and h = {best_hypers[s][2]}")
+        print(log)
+        loggers[s](log)
+    seed_accs = np.asarray([b[1] for b in bests])
+    summary = (f"Replication over {len(seeds)} seeds - acc "
+               f"{seed_accs.mean():.3f} +/- "
+               f"{seed_accs.std(ddof=1) if len(seeds) > 1 else 0.0:.3f} "
+               f"(per-seed: "
+               + ", ".join(f"{s}:{a:.3f}" for s, a in zip(seeds, seed_accs))
+               + ")")
+    print(summary)
+    for logger in loggers:
+        logger(summary)
+    print(f"[cv_seeds] aggregate across seeds with: "
+          f"python -m iggcn_tpu.tools.report results/ADNI{base}_seed*")
 
 
 def _run_experiment(args, parser):

@@ -174,9 +174,9 @@ def test_cli_routes_fold_parallel_batch(tmp_path, monkeypatch, capsys):
         assert "Result -" in log
 
 
-def test_cli_batch_chunks_by_permut_batch_entries(tmp_path, monkeypatch,
+def test_cli_batch_chunks_by_spmd_batch_entries(tmp_path, monkeypatch,
                                                   capsys):
-    """--permut_batch_entries bounds seeds x folds per SPMD program: 3
+    """--spmd_batch_entries bounds seeds x folds per SPMD program: 3
     seeds at 3 folds with a 3-entry cap run as 3 one-seed programs (HBM for
     the gathered fold copies scales with the entry count)."""
     import iggcn_tpu.train.cv as cvmod
@@ -197,20 +197,20 @@ def test_cli_batch_chunks_by_permut_batch_entries(tmp_path, monkeypatch,
     monkeypatch.chdir(tmp_path)
     cli.main(["--synthetic", "--synthetic_subjects", "24", "--no-search",
               "--epochs", "1", "--fold", str(FOLDS), "--fold_parallel",
-              "--permut_seeds", "1:3", "--permut_batch_entries", "3",
+              "--permut_seeds", "1:3", "--spmd_batch_entries", "3",
               "--save_appendix", "_chk", "--cohort_cache_dir", ""])
     assert calls["programs"] == [[1], [2], [3]]
     assert calls["seeds"] == [1, 2, 3]
     assert "3 SPMD programs" in capsys.readouterr().out
 
 
-def test_negative_permut_batch_entries_rejected_before_loading(capsys):
-    """--permut_batch_entries < 0 fails at argument validation (before any
+def test_negative_spmd_batch_entries_rejected_before_loading(capsys):
+    """--spmd_batch_entries < 0 fails at argument validation (before any
     cohort is loaded or trained)."""
     with pytest.raises(SystemExit):
         cli.main(["--synthetic", "--permut_seeds", "1:2", "--fold_parallel",
-                  "--permut_batch_entries", "-1"])
-    assert "--permut_batch_entries must be >= 0" in capsys.readouterr().err
+                  "--spmd_batch_entries", "-1"])
+    assert "--spmd_batch_entries must be >= 0" in capsys.readouterr().err
 
 
 def test_dedup_cohort_aliases_seed_invariant_fields(cohort):
