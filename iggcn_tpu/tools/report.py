@@ -248,6 +248,28 @@ def permutation_pvalue(observed_rows: List[Dict], null_dirs: List[str]
     return out
 
 
+def replication_rows(rows: List[Dict]) -> List[Dict]:
+    """Across-run aggregate per tag: when the SAME tag appears in >= 2 of
+    the given dirs (e.g. `--cv_seeds` writes results/ADNI_x_seed<s> per
+    seed), summarize the per-run best accuracies as mean +/- std — the same
+    statistic the CLI prints as 'Replication over N seeds', recomputable
+    from the records alone."""
+    by_tag: Dict[str, List[Dict]] = {}
+    for r in rows:
+        by_tag.setdefault(r["tag"], []).append(r)
+    out = []
+    for tag, rs in sorted(by_tag.items()):
+        if len(rs) < 2:
+            continue
+        accs = np.asarray([r["acc"] for r in rs])
+        out.append({"tag": tag, "runs": len(rs),
+                    "acc_mean": float(accs.mean()),
+                    "acc_std": float(accs.std(ddof=1)),
+                    "acc_min": float(accs.min()),
+                    "acc_max": float(accs.max())})
+    return out
+
+
 def make_plots(results_dirs: List[str], pv: List[Dict],
                pvr: List[Dict]) -> List[str]:
     """Figures for `--plot` (same conventions as `iggcn-explain --plot`):
@@ -289,7 +311,10 @@ def make_plots(results_dirs: List[str], pv: List[Dict],
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__.split("\n\n")[0])
     p.add_argument("results_dirs", nargs="+",
-                   help="experiment results dir(s) (results/ADNI_<appendix>)")
+                   help="experiment results dir(s) (results/ADNI_<appendix>); "
+                        "when the same config tag appears in >= 2 dirs (e.g. "
+                        "the per-seed dirs of --cv_seeds), an across-run "
+                        "replication table (acc mean +/- std) is added")
     p.add_argument("--permut_null", nargs="*", default=None,
                    help="permutation-run dirs (results_permuttest/...) to "
                         "compute p-values for the observed accuracies")
@@ -319,6 +344,14 @@ def main(argv=None) -> int:
         with open(args.csv, "w") as fh:
             fh.write(render_csv(rows))
         print(f"[report] wrote {args.csv}", file=sys.stderr)
+    rep = replication_rows(rows)
+    if rep:
+        print()
+        cols = ("tag", "runs", "acc_mean", "acc_std", "acc_min", "acc_max")
+        print("| " + " | ".join(cols) + " |")
+        print("|" + "---|" * len(cols))
+        for r in rep:
+            print("| " + " | ".join(_fmt(r[c]) for c in cols) + " |")
     reg_rows = []
     for d in args.results_dirs:
         reg_rows.extend(collect_regression(d))

@@ -119,6 +119,33 @@ def test_collect_regression_and_pvalue(tmp_path):
         assert r["p_value"] == pytest.approx(1 / 5)   # no null beats corr~1
 
 
+def test_replication_rows_across_seed_dirs(tmp_path, capsys):
+    """When the same tag appears in >= 2 dirs (the per-seed layout of
+    --cv_seeds), the report recomputes the CLI's 'Replication over N
+    seeds' statistic from the records alone and prints it as a table."""
+    dirs, bests = [], (0.9, 0.8, 0.7)
+    for s, best in enumerate(bests):
+        d = str(tmp_path / f"run_seed{s}")
+        _write_records(d, "result_x", _score(best=best, seed=60 + s))
+        dirs.append(d)
+    # a tag present in only ONE dir must not produce a replication row
+    _write_records(dirs[0], "result_solo", _score(best=0.5, seed=70))
+    rows = []
+    for d in dirs:
+        rows.extend(report.collect_dir(d))
+    rep = report.replication_rows(rows)
+    assert [r["tag"] for r in rep] == ["result_x"]
+    r = rep[0]
+    assert r["runs"] == 3
+    assert r["acc_mean"] == pytest.approx(np.mean(bests))
+    assert r["acc_std"] == pytest.approx(np.std(bests, ddof=1))
+    assert (r["acc_min"], r["acc_max"]) == pytest.approx((0.7, 0.9))
+    # and the CLI prints it
+    assert report.main(dirs) == 0
+    out = capsys.readouterr().out
+    assert "acc_mean" in out and f"{np.mean(bests):.4f}" in out
+
+
 def test_cli_table_and_csv(tmp_path, capsys):
     d = str(tmp_path / "run")
     _write_records(d, "result_x", _score())
