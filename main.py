@@ -116,12 +116,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "shuffling): a comma list '1,2,3' or an inclusive "
                         "range '1:5'; each seed writes its own dir "
                         "results/ADNI<appendix>_seed<seed> and an "
-                        "across-seed mean +/- std summary is printed. With "
-                        "--fold_parallel (fused families) the whole "
-                        "seeds x folds grid trains as ONE SPMD device "
-                        "program sharded over the mesh (chunked per "
-                        "--spmd_batch_entries); the cohort itself stays "
-                        "drawn from --seed")
+                        "across-seed mean +/- std summary is printed. "
+                        "Supported by every model family: with "
+                        "--fold_parallel the fused families train the whole "
+                        "seeds x folds grid as ONE SPMD device program "
+                        "sharded over the mesh (chunked per "
+                        "--spmd_batch_entries); the zoo and SNP-only "
+                        "families replicate sequentially in one process. "
+                        "The dataset itself stays drawn from --seed")
     p.add_argument("--spmd_batch_entries", type=int, default=64,
                    help="SPMD seed batches (--permut_seeds / --cv_seeds "
                         "with --fold_parallel): max seeds x folds entries "
@@ -827,10 +829,8 @@ def _run_cv_seed_batch(base_args, parser, seeds):
     enable_compilation_cache()
 
     if base_args.model not in FUSION_MODELS:
-        parser.error(
-            f"--cv_seeds supports the fused imaging-genetics families "
-            f"({', '.join(FUSION_MODELS)}); loop --seed manually for "
-            f"--model {base_args.model}")
+        _run_cv_seed_batch_other(base_args, parser, seeds)
+        return
 
     base = base_args.save_appendix
     run_args, res_dirs, loggers = [], [], []
@@ -915,7 +915,14 @@ def _run_cv_seed_batch(base_args, parser, seeds):
                f"units and h = {best_hypers[s][2]}")
         print(log)
         loggers[s](log)
-    seed_accs = np.asarray([b[1] for b in bests])
+    _replication_summary(seeds, [b[1] for b in bests], loggers, base)
+
+
+def _replication_summary(seeds, accs, loggers, base):
+    """Across-seed `Replication over N seeds` line, printed and logged to
+    every per-seed dir (shared by the fused SPMD/sequential batch and the
+    zoo/SNP sequential batch)."""
+    seed_accs = np.asarray(accs, dtype=np.float64)
     summary = (f"Replication over {len(seeds)} seeds - acc "
                f"{seed_accs.mean():.3f} +/- "
                f"{seed_accs.std(ddof=1) if len(seeds) > 1 else 0.0:.3f} "
@@ -927,6 +934,195 @@ def _run_cv_seed_batch(base_args, parser, seeds):
         logger(summary)
     print(f"[cv_seeds] aggregate across seeds with: "
           f"python -m iggcn_tpu.tools.report results/ADNI{base}_seed*")
+
+
+def _run_cv_seed_batch_other(base_args, parser, seeds):
+    """`--cv_seeds` for the zoo and SNP-only families. The one-SPMD-program
+    grid is a fused-family capability (their folds share one padded device
+    cohort; `cv.cross_validation_seed_batch`); these families replicate
+    SEQUENTIALLY in one process on ONE fixed dataset drawn from the base
+    --seed — which still amortizes the per-process jax init, the in-process
+    jit trace cache and the dataset build across the whole replication,
+    while each seed redraws the stratified splits, parameter inits and
+    epoch shuffling through the trainer's own seed (and, for Nested*
+    models, the subgraph-extraction subsampling)."""
+    if base_args.fold_parallel:
+        print("[cv_seeds] --fold_parallel is a fused-family SPMD path; "
+              f"--model {base_args.model} replicates sequentially")
+
+    base = base_args.save_appendix
+    dcfg = _build_dcfg(base_args)
+    rng = np.random.default_rng(base_args.seed)
+
+    def load_cohort():
+        return _load_cohort(base_args, dcfg, rng)
+
+    # ONE dataset for every seed, drawn from the BASE --seed (same contract
+    # as the fused batch: vary the analysis seed on fixed data)
+    if base_args.model in ZOO_MODELS:
+        data = _zoo_dataset(base_args, rng, load_cohort)
+    else:
+        data = _snps_inputs(base_args, parser, dcfg, rng, load_cohort)
+
+    combos = _combos(base_args)
+    accs, loggers = [], []
+    for i, seed in enumerate(seeds):
+        a = argparse.Namespace(**vars(base_args))
+        a.seed = seed
+        a.save_appendix = f"{base}_seed{seed}"
+        res_dir, logger = _setup_run_dir(a)
+        print(f"[cv_seeds] replication {i + 1}/{len(seeds)} (seed {seed}) "
+              f"-> results/ADNI{a.save_appendix}")
+        if base_args.model in ZOO_MODELS:
+            best = _run_zoo_experiment(a, res_dir, logger, data, combos)
+        else:
+            best = _run_snps_experiment(a, res_dir, logger, *data)
+        accs.append(best[1])
+        loggers.append(logger)
+    _replication_summary(seeds, accs, loggers, base)
+
+
+def _zoo_dataset(args, rng, load_cohort):
+    """Dataset for the baseline/pooling/nested zoo: the ADNI cohort as a
+    fixed-size graph list, raw TU files under --tu_root, or the synthetic
+    TU benchmark fallback."""
+    from iggcn_tpu.data import tu as tu_mod
+    if args.data == "ADNI":
+        cohort, _ = load_cohort()
+        return tu_mod.from_graph_list(
+            [cohort.x[i] for i in range(len(cohort.y))],
+            [cohort.adj[i] for i in range(len(cohort.y))],
+            cohort.y.astype(np.int64))
+    try:
+        return tu_mod.read_tu_dir(args.tu_root, args.data)
+    except FileNotFoundError:
+        if not args.synthetic:
+            raise
+        print(f"[data] no raw {args.data} files under "
+              f"{args.tu_root}; using a synthetic TU benchmark")
+        return tu_mod.synthetic_tu_dataset(rng)
+
+
+def _run_zoo_experiment(args, res_dir, logger, dataset, combos):
+    """Grid-search the generic trainer over one zoo model family; prints
+    and logs the reference `Result - ...` line. Returns the best
+    (mean_loss, best_acc, best_acc_std) triple for across-seed summaries."""
+    from iggcn_tpu.train.generic_cv import cross_validation_generic
+    nested_cache = {}  # h -> pre-transformed dataset (hs repeat in the grid)
+
+    def nested_for(h):
+        if h not in nested_cache:
+            from iggcn_tpu.data.nested import create_nested_dataset
+            nested_cache[h] = create_nested_dataset(
+                dataset, h=h, node_label=args.node_label,
+                use_rd=args.use_rd,
+                use_return_prob=args.use_rp is not None,
+                return_prob_steps=(args.use_rp if args.use_rp is not None
+                                   else 16),
+                max_nodes_per_hop=args.max_nodes_per_hop, seed=args.seed)
+        return nested_cache[h]
+
+    best = (float("inf"), 0.0, 0.0)
+    best_hyper = combos[0]
+    for num_layers, hidden, h in combos:
+        # h parameterizes the Nested* subgraph pre-transform per combo
+        # (reference main.py:181-186 zips it into the grid); non-Nested
+        # zoo models ignore it, as in the reference's get_dataset
+        combo_ds = (nested_for(h) if args.model.startswith("Nested")
+                    else dataset)
+        model, cv_kw = _build_zoo_model(args.model, num_layers, hidden,
+                                        combo_ds)
+        msg = (f"Using {num_layers} layers, {hidden} hidden units, "
+               f"h = {h}")
+        print(msg)
+        logger(msg)
+        res = cross_validation_generic(
+            combo_ds, model, folds=args.fold, epochs=args.epochs,
+            batch_size=args.batch_size, lr=args.lr,
+            lr_decay_factor=args.lr_decay_factor,
+            lr_decay_step_size=args.lr_decay_step_size,
+            weight_decay=args.weight_decay, seed=args.seed,
+            no_val=args.no_val, verbose=True,
+            record_dir=res_dir,
+            record_tag=(f"{args.model}_layers{num_layers}"
+                        f"_hidden{hidden}_h{h}"),
+            resume=args.resume, **cv_kw)
+        if res.mean_loss < best[0]:
+            best = (res.mean_loss, res.best_acc, res.best_acc_std)
+            best_hyper = (num_layers, hidden, h)
+    log = (f"Result - {best[1]:.3f} +/- {best[2]:.3f}, with "
+           f"{best_hyper[0]} layers and {best_hyper[1]} hidden units "
+           f"and h = {best_hyper[2]}")
+    print(log)
+    logger(log)
+    return best
+
+
+def _snps_inputs(args, parser, dcfg, rng, load_cohort):
+    """(snps_x, snps_y, topo) for the SNP-only trainers: the standalone
+    csv cohort when present (reference `snps_graph.py:295-331`), else the
+    imaging cohort's SNP matrix."""
+    from iggcn_tpu.data import go_graph
+    if dcfg.num_classes != 2:
+        parser.error("SNP trainers are binary classifiers (BCE); use "
+                     "--disease_id 0|1|2")
+    kind = "mlp" if args.model == "MLP_Model" else "go"
+    snps_csv = None
+    if not args.synthetic:
+        # the reference SNP trainers read their own standalone csv
+        # cohort (snps_graph.py:295-331), not the imaging .mat cohort;
+        # an explicit --synthetic must NOT be overridden by on-disk csvs
+        try:
+            from iggcn_tpu.data.snps import load_snps_csv
+            snps_csv = load_snps_csv(args.snps_csv_root, args.disease_id)
+            print(f"[data] SNP csv cohort: {snps_csv[0].shape[0]} "
+                  "subjects")
+        except FileNotFoundError:
+            pass
+    if snps_csv is not None:
+        snps_x, snps_y = snps_csv
+        go_files = (dcfg.json_path, dcfg.go_connection_path,
+                    dcfg.snps_to_gene_path)
+        if all(os.path.exists(p) for p in go_files):
+            topo = go_graph.parse_go_json(*go_files)
+        else:
+            # parse_go_json needs all three source files
+            print("[data] GO source files missing "
+                  f"({[p for p in go_files if not os.path.exists(p)]}); "
+                  "using a synthetic GO topology")
+            topo = go_graph.synthetic_topology(rng)
+        if kind == "go" and snps_x.shape[1] != topo.go_snps.shape[1]:
+            parser.error(
+                f"csv cohort has {snps_x.shape[1]} SNPs but the GO "
+                f"topology expects {topo.go_snps.shape[1]}")
+    else:
+        cohort, topo = load_cohort()
+        snps_x, snps_y = cohort.snps, cohort.y.astype(np.float32)
+    return snps_x, snps_y, topo
+
+
+def _run_snps_experiment(args, res_dir, logger, snps_x, snps_y, topo):
+    """One SNP-only CV run (fixed architecture — no grid); prints and logs
+    the `Result - ...` line. Returns (best_loss_placeholder, best_acc,
+    best_acc_std) matching `_run_zoo_experiment`'s shape for across-seed
+    summaries (the SNP trainer selects by max-over-epochs accuracy, not
+    loss)."""
+    from iggcn_tpu.train.snps_trainer import cross_validation_snps
+    kind = "mlp" if args.model == "MLP_Model" else "go"
+    res = cross_validation_snps(
+        snps_x, snps_y, topo,
+        folds=args.fold, epochs=args.epochs,
+        batch_size=args.batch_size, lr=args.lr, seed=args.seed,
+        model_kind=kind,
+        result_path=os.path.join(res_dir, f"result_snps_{kind}.npy"),
+        bundle_dir=res_dir if args.export_bundle else None,
+        record_dir=res_dir, resume=args.resume,
+        verbose=True)
+    log = (f"Result - {res.best_acc:.3f} +/- {res.best_acc_std:.3f} "
+           f"(SNP-only, {args.model})")
+    print(log)
+    logger(log)
+    return (float("nan"), res.best_acc, res.best_acc_std)
 
 
 def _run_experiment(args, parser):
@@ -949,125 +1145,17 @@ def _run_experiment(args, parser):
 
     # ---- baseline / pooling / nested zoo (generic trainer) --------------
     if args.model in ZOO_MODELS:
-        from iggcn_tpu.data import tu as tu_mod
-        from iggcn_tpu.train.generic_cv import cross_validation_generic
-        if args.data == "ADNI":
-            cohort, _ = load_cohort()
-            dataset = tu_mod.from_graph_list(
-                [cohort.x[i] for i in range(len(cohort.y))],
-                [cohort.adj[i] for i in range(len(cohort.y))],
-                cohort.y.astype(np.int64))
-        else:
-            try:
-                dataset = tu_mod.read_tu_dir(args.tu_root, args.data)
-            except FileNotFoundError:
-                if not args.synthetic:
-                    raise
-                print(f"[data] no raw {args.data} files under "
-                      f"{args.tu_root}; using a synthetic TU benchmark")
-                dataset = tu_mod.synthetic_tu_dataset(rng)
-        nested_cache = {}  # h -> pre-transformed dataset (hs repeat in the grid)
-
-        def nested_for(h):
-            if h not in nested_cache:
-                from iggcn_tpu.data.nested import create_nested_dataset
-                nested_cache[h] = create_nested_dataset(
-                    dataset, h=h, node_label=args.node_label,
-                    use_rd=args.use_rd,
-                    use_return_prob=args.use_rp is not None,
-                    return_prob_steps=(args.use_rp if args.use_rp is not None
-                                       else 16),
-                    max_nodes_per_hop=args.max_nodes_per_hop, seed=args.seed)
-            return nested_cache[h]
-
-        best = (float("inf"), 0.0, 0.0)
-        best_hyper = combos[0]
-        for num_layers, hidden, h in combos:
-            # h parameterizes the Nested* subgraph pre-transform per combo
-            # (reference main.py:181-186 zips it into the grid); non-Nested
-            # zoo models ignore it, as in the reference's get_dataset
-            combo_ds = (nested_for(h) if args.model.startswith("Nested")
-                        else dataset)
-            model, cv_kw = _build_zoo_model(args.model, num_layers, hidden,
-                                            combo_ds)
-            msg = (f"Using {num_layers} layers, {hidden} hidden units, "
-                   f"h = {h}")
-            print(msg)
-            logger(msg)
-            res = cross_validation_generic(
-                combo_ds, model, folds=args.fold, epochs=args.epochs,
-                batch_size=args.batch_size, lr=args.lr,
-                lr_decay_factor=args.lr_decay_factor,
-                lr_decay_step_size=args.lr_decay_step_size,
-                weight_decay=args.weight_decay, seed=args.seed,
-                no_val=args.no_val, verbose=True,
-                record_dir=res_dir,
-                record_tag=(f"{args.model}_layers{num_layers}"
-                            f"_hidden{hidden}_h{h}"),
-                resume=args.resume, **cv_kw)
-            if res.mean_loss < best[0]:
-                best = (res.mean_loss, res.best_acc, res.best_acc_std)
-                best_hyper = (num_layers, hidden, h)
-        log = (f"Result - {best[1]:.3f} +/- {best[2]:.3f}, with "
-               f"{best_hyper[0]} layers and {best_hyper[1]} hidden units "
-               f"and h = {best_hyper[2]}")
-        print(log)
-        logger(log)
+        dataset = _zoo_dataset(args, rng, load_cohort)
+        _run_zoo_experiment(args, res_dir, logger, dataset, combos)
         return
 
     # ---- SNP-only trainers ---------------------------------------------
     # (before load_cohort: when the standalone csv cohort is used, the
     # expensive imaging .mat load + per-subject diffusion is skipped)
     if args.model in SNP_MODELS:
-        from iggcn_tpu.train.snps_trainer import cross_validation_snps
-        if dcfg.num_classes != 2:
-            parser.error("SNP trainers are binary classifiers (BCE); use "
-                         "--disease_id 0|1|2")
-        kind = "mlp" if args.model == "MLP_Model" else "go"
-        snps_csv = None
-        if not args.synthetic:
-            # the reference SNP trainers read their own standalone csv
-            # cohort (snps_graph.py:295-331), not the imaging .mat cohort;
-            # an explicit --synthetic must NOT be overridden by on-disk csvs
-            try:
-                from iggcn_tpu.data.snps import load_snps_csv
-                snps_csv = load_snps_csv(args.snps_csv_root, args.disease_id)
-                print(f"[data] SNP csv cohort: {snps_csv[0].shape[0]} "
-                      "subjects")
-            except FileNotFoundError:
-                pass
-        if snps_csv is not None:
-            snps_x, snps_y = snps_csv
-            go_files = (dcfg.json_path, dcfg.go_connection_path,
-                        dcfg.snps_to_gene_path)
-            if all(os.path.exists(p) for p in go_files):
-                topo = go_graph.parse_go_json(*go_files)
-            else:
-                # parse_go_json needs all three source files
-                print("[data] GO source files missing "
-                      f"({[p for p in go_files if not os.path.exists(p)]}); "
-                      "using a synthetic GO topology")
-                topo = go_graph.synthetic_topology(rng)
-            if kind == "go" and snps_x.shape[1] != topo.go_snps.shape[1]:
-                parser.error(
-                    f"csv cohort has {snps_x.shape[1]} SNPs but the GO "
-                    f"topology expects {topo.go_snps.shape[1]}")
-        else:
-            cohort, topo = load_cohort()
-            snps_x, snps_y = cohort.snps, cohort.y.astype(np.float32)
-        res = cross_validation_snps(
-            snps_x, snps_y, topo,
-            folds=args.fold, epochs=args.epochs,
-            batch_size=args.batch_size, lr=args.lr, seed=args.seed,
-            model_kind=kind,
-            result_path=os.path.join(res_dir, f"result_snps_{kind}.npy"),
-            bundle_dir=res_dir if args.export_bundle else None,
-            record_dir=res_dir, resume=args.resume,
-            verbose=True)
-        log = (f"Result - {res.best_acc:.3f} +/- {res.best_acc_std:.3f} "
-               f"(SNP-only, {args.model})")
-        print(log)
-        logger(log)
+        snps_x, snps_y, topo = _snps_inputs(args, parser, dcfg, rng,
+                                            load_cohort)
+        _run_snps_experiment(args, res_dir, logger, snps_x, snps_y, topo)
         return
 
     cohort, topo = load_cohort()

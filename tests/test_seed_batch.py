@@ -197,7 +197,7 @@ def test_cli_seed_batch_chunks_and_sequential_fallback(tmp_path, monkeypatch,
 
 
 def test_cli_cv_seeds_validation(tmp_path, monkeypatch, capsys):
-    """--cv_seeds excludes the permutation modes and non-fused families."""
+    """--cv_seeds excludes the permutation modes."""
     monkeypatch.chdir(tmp_path)
     with pytest.raises(SystemExit):
         cli.main(["--synthetic", "--cv_seeds", "1:2",
@@ -205,7 +205,83 @@ def test_cli_cv_seeds_validation(tmp_path, monkeypatch, capsys):
     assert "replicates the OBSERVED" in capsys.readouterr().err
     with pytest.raises(SystemExit):
         cli.main(["--synthetic", "--cv_seeds", "1:2", "--isPermutTest"])
-    capsys.readouterr()
-    with pytest.raises(SystemExit):
-        cli.main(["--synthetic", "--cv_seeds", "1:2", "--model", "GIN"])
-    assert "loop --seed manually" in capsys.readouterr().err
+
+
+def test_cli_cv_seeds_zoo_sequential(tmp_path, monkeypatch, capsys):
+    """--cv_seeds with a zoo family replicates sequentially: per-seed
+    trainer seeds, ONE fixed dataset object across every seed, per-seed
+    results dirs, and the replication summary in each per-seed log."""
+    import iggcn_tpu.train.generic_cv as gmod
+
+    calls = {"seeds": [], "datasets": set(), "dirs": []}
+
+    def fake_generic(dataset, model, *, seed, record_dir, **kw):
+        calls["seeds"].append(seed)
+        calls["datasets"].add(id(dataset))
+        calls["dirs"].append(record_dir)
+        return gmod.GenericCVResult(
+            best_acc=0.5 + 0.01 * seed, best_acc_std=0.0,
+            accs=np.zeros((FOLDS, 1)), mean_loss=1.0)
+
+    monkeypatch.setattr(gmod, "cross_validation_generic", fake_generic)
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--synthetic", "--synthetic_subjects", "24", "--no-search",
+              "--epochs", "1", "--fold", str(FOLDS), "--model", "GIN",
+              "--cv_seeds", "3,7", "--save_appendix", "_zs",
+              "--cohort_cache_dir", ""])
+    assert calls["seeds"] == [3, 7]
+    assert len(calls["datasets"]) == 1          # ONE fixed dataset
+    assert calls["dirs"][0].endswith(os.path.join("results", "ADNI_zs_seed3"))
+    out = capsys.readouterr().out
+    assert "Replication over 2 seeds" in out
+    assert "0.530" in out and "0.570" in out    # per-seed accs in summary
+    for s in (3, 7):
+        with open(os.path.join(str(tmp_path), "results", f"ADNI_zs_seed{s}",
+                               "log.txt")) as fh:
+            log = fh.read()
+        assert "Result -" in log and "Replication over 2 seeds" in log
+
+
+def test_cli_cv_seeds_snps_sequential(tmp_path, monkeypatch, capsys):
+    """--cv_seeds with an SNP-only family: per-seed trainer seeds on ONE
+    fixed SNP matrix, plus the across-seed summary."""
+    import iggcn_tpu.train.snps_trainer as smod
+
+    calls = {"seeds": [], "snps": set()}
+
+    def fake_snps(snps, labels, topo, *, seed, record_dir=None, **kw):
+        calls["seeds"].append(seed)
+        calls["snps"].add(id(snps))
+        return smod.SnpsCVResult(
+            accs=np.zeros((FOLDS, 1)), best_acc=0.6, mean_loss=1.0,
+            score_result=np.zeros((FOLDS, 1, 5)), best_acc_std=0.0)
+
+    monkeypatch.setattr(smod, "cross_validation_snps", fake_snps)
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--synthetic", "--synthetic_subjects", "24", "--no-search",
+              "--epochs", "1", "--fold", str(FOLDS), "--model", "MLP_Model",
+              "--disease_id", "0", "--cv_seeds", "1:2",
+              "--save_appendix", "_ss", "--cohort_cache_dir", ""])
+    assert calls["seeds"] == [1, 2]
+    assert len(calls["snps"]) == 1              # ONE fixed SNP cohort
+    assert "Replication over 2 seeds" in capsys.readouterr().out
+
+
+def test_cli_cv_seeds_zoo_real_records(tmp_path, monkeypatch):
+    """A real (tiny) zoo replication writes per-seed fold records whose
+    training trajectories differ across seeds (splits/inits redrawn) while
+    both derive from the one base-seed cohort."""
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--synthetic", "--synthetic_subjects", "24", "--no-search",
+              "--epochs", "2", "--fold", str(FOLDS), "--model", "GCN",
+              "--layers", "1", "--hiddens", "4",
+              "--cv_seeds", "5,9", "--save_appendix", "_zr",
+              "--cohort_cache_dir", ""])
+    rec = "fold_result_generic_GCN_layers1_hidden4_h2_fold_0.npz"
+    paths = [os.path.join(str(tmp_path), "results", f"ADNI_zr_seed{s}", rec)
+             for s in (5, 9)]
+    assert all(os.path.exists(p) for p in paths), paths
+    with np.load(paths[0]) as za, np.load(paths[1]) as zb:
+        la, lb = np.asarray(za["losses"]), np.asarray(zb["losses"])
+    assert la.shape == lb.shape == (2,)
+    assert not np.array_equal(la, lb)           # seed actually redraws
