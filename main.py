@@ -399,10 +399,27 @@ def _parse_permut_seeds(spec: str, parser, flag="--permut_seeds") -> list:
                      "'1,2,3' or an inclusive range '1:100'")
     if not seeds:
         parser.error(f"{flag} named no seeds")
+    if any(s < 0 for s in seeds):
+        # np.random.default_rng / StratifiedKFold both require
+        # non-negative seeds; fail at the parser instead of deep in a
+        # trainer after minutes of setup
+        parser.error(f"{flag} {spec!r}: seeds must be non-negative")
     if len(set(seeds)) != len(seeds):
         parser.error(f"{flag} {spec!r} repeats a seed; each "
                      "run must use a distinct seed")
     return seeds
+
+
+def _profile_ctx(args):
+    """`--profile_dir` jax.profiler trace context (nullcontext when off) —
+    shared by every training route so the flag works for the zoo and
+    SNP-only families too, not only the fused trainers."""
+    import contextlib
+
+    if not args.profile_dir:
+        return contextlib.nullcontext()
+    import jax
+    return jax.profiler.trace(args.profile_dir)
 
 
 def _seed_chunks(seeds, folds, max_entries):
@@ -712,10 +729,6 @@ def _run_permut_batch_parallel(base_args, parser, seeds):
     records and aggregates match the sequential loop's (exactly on one
     device; to float reduction order when the multi-device mesh
     factorization differs — see cross_validation_permut_batch)."""
-    import contextlib
-
-    import jax
-
     from iggcn_tpu.train.cv import cross_validation_permut_batch
     from iggcn_tpu.utils.cache import enable_compilation_cache
     from iggcn_tpu.utils.platform import honor_platform_env
@@ -776,9 +789,7 @@ def _run_permut_batch_parallel(base_args, parser, seeds):
         print(msg)
         for logger in loggers:
             logger(msg)
-        prof = (jax.profiler.trace(base_args.profile_dir)
-                if base_args.profile_dir else contextlib.nullcontext())
-        with prof:
+        with _profile_ctx(base_args):
             results = []
             for ch in chunks:
                 results.extend(cross_validation_permut_batch(
@@ -816,10 +827,6 @@ def _run_cv_seed_batch(base_args, parser, seeds):
     program (`cv.cross_validation_seed_batch`); otherwise the seeds run
     sequentially in-process (warm jit/cohort caches; supports --resume).
     Prints per-seed Result lines plus the across-seed mean +/- std."""
-    import contextlib
-
-    import jax
-
     from iggcn_tpu.train.cv import (cross_validation,
                                     cross_validation_seed_batch)
     from iggcn_tpu.utils.cache import enable_compilation_cache
@@ -878,9 +885,7 @@ def _run_cv_seed_batch(base_args, parser, seeds):
         print(msg)
         for logger in loggers:
             logger(msg)
-        prof = (jax.profiler.trace(base_args.profile_dir)
-                if base_args.profile_dir else contextlib.nullcontext())
-        with prof:
+        with _profile_ctx(base_args):
             if use_spmd:
                 results = []
                 for ch in chunks:
@@ -966,19 +971,20 @@ def _run_cv_seed_batch_other(base_args, parser, seeds):
 
     combos = _combos(base_args)
     accs, loggers = [], []
-    for i, seed in enumerate(seeds):
-        a = argparse.Namespace(**vars(base_args))
-        a.seed = seed
-        a.save_appendix = f"{base}_seed{seed}"
-        res_dir, logger = _setup_run_dir(a)
-        print(f"[cv_seeds] replication {i + 1}/{len(seeds)} (seed {seed}) "
-              f"-> results/ADNI{a.save_appendix}")
-        if base_args.model in ZOO_MODELS:
-            best = _run_zoo_experiment(a, res_dir, logger, data, combos)
-        else:
-            best = _run_snps_experiment(a, res_dir, logger, *data)
-        accs.append(best[1])
-        loggers.append(logger)
+    with _profile_ctx(base_args):
+        for i, seed in enumerate(seeds):
+            a = argparse.Namespace(**vars(base_args))
+            a.seed = seed
+            a.save_appendix = f"{base}_seed{seed}"
+            res_dir, logger = _setup_run_dir(a)
+            print(f"[cv_seeds] replication {i + 1}/{len(seeds)} "
+                  f"(seed {seed}) -> results/ADNI{a.save_appendix}")
+            if base_args.model in ZOO_MODELS:
+                best = _run_zoo_experiment(a, res_dir, logger, data, combos)
+            else:
+                best = _run_snps_experiment(a, res_dir, logger, *data)
+            accs.append(best[1])
+            loggers.append(logger)
     _replication_summary(seeds, accs, loggers, base)
 
 
@@ -1146,7 +1152,8 @@ def _run_experiment(args, parser):
     # ---- baseline / pooling / nested zoo (generic trainer) --------------
     if args.model in ZOO_MODELS:
         dataset = _zoo_dataset(args, rng, load_cohort)
-        _run_zoo_experiment(args, res_dir, logger, dataset, combos)
+        with _profile_ctx(args):
+            _run_zoo_experiment(args, res_dir, logger, dataset, combos)
         return
 
     # ---- SNP-only trainers ---------------------------------------------
@@ -1155,7 +1162,9 @@ def _run_experiment(args, parser):
     if args.model in SNP_MODELS:
         snps_x, snps_y, topo = _snps_inputs(args, parser, dcfg, rng,
                                             load_cohort)
-        _run_snps_experiment(args, res_dir, logger, snps_x, snps_y, topo)
+        with _profile_ctx(args):
+            _run_snps_experiment(args, res_dir, logger, snps_x, snps_y,
+                                 topo)
         return
 
     cohort, topo = load_cohort()
@@ -1185,12 +1194,7 @@ def _run_experiment(args, parser):
                 # metrics must follow the cohort, not --disease_id
                 mcfg = dataclasses.replace(
                     mcfg, num_classes=train_cohort.num_classes)
-        import contextlib
-
-        import jax
-        prof = (jax.profiler.trace(args.profile_dir)
-                if args.profile_dir else contextlib.nullcontext())
-        with prof:
+        with _profile_ctx(args):
             res = cross_validation(
                 train_cohort, topo, mcfg, tcfg, res_dir=res_dir,
                 external_test=ext_test,

@@ -90,13 +90,18 @@ def test_zoo_model_factory_covers_all_names():
 
 
 def test_cli_zoo_tu_end_to_end(tmp_path, monkeypatch):
-    """`--model GIN --data TUTEST` trains from the raw fixture files."""
+    """`--model GIN --data TUTEST` trains from the raw fixture files; the
+    zoo route honors --profile_dir (it used to be fused-family-only)."""
     monkeypatch.chdir(tmp_path)
+    prof = tmp_path / "trace"
     cli.main(["--model", "GIN", "--data", "TUTEST", "--no-search",
               "--tu_root", FIXTURES, "--epochs", "1", "--fold", "3",
-              "--batch_size", "4", "--save_appendix", "_t"])
+              "--batch_size", "4", "--save_appendix", "_t",
+              "--profile_dir", str(prof)])
     log = (tmp_path / "results" / "ADNI_t" / "log.txt").read_text()
     assert "Result -" in log
+    traces = list(prof.rglob("*.xplane.pb"))
+    assert traces, f"no profiler trace written under {prof}"
 
 
 def test_cli_snp_end_to_end(tmp_path, monkeypatch):
@@ -245,9 +250,11 @@ def test_permut_seeds_parse_errors(capsys):
                        ("5:3", "empty"),
                        ("1,2,1", "repeats a seed"),
                        ("a,b", "expected a comma list"),
+                       ("-2,-1", "non-negative"),
                        ("1:2:3", "expected a comma list")):
         with pytest.raises(SystemExit):
-            cli.main(["--permut_seeds", spec, "--synthetic",
+            # '=' form: argparse would otherwise eat a leading '-' value
+            cli.main([f"--permut_seeds={spec}", "--synthetic",
                       "--save_appendix", "_pe"])
         assert frag in capsys.readouterr().err, spec
 
