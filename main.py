@@ -273,6 +273,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(<root>/data_{AH,MH,AM}/{snp,dia}.csv) for the "
                         "SNP-only trainers; falls back to the imaging "
                         "cohort's SNP matrix when absent")
+    p.add_argument("--batch_file", type=str, default=None,
+                   help="run MANY experiments from one process: each "
+                        "non-empty, non-# line of the file is a full "
+                        "main.py command line (without 'python main.py'), "
+                        "executed in order with the jax init, compile "
+                        "cache, jit traces and processed-cohort cache all "
+                        "shared (~22 s per-process fixed cost paid once "
+                        "instead of per experiment); a failing line is "
+                        "reported and the batch continues (exit 1 if any "
+                        "line failed). Must be the only flag on the "
+                        "command line")
     return p
 
 
@@ -431,9 +442,82 @@ def _seed_chunks(seeds, folds, max_entries):
             for i in range(0, len(seeds), per_chunk)], per_chunk
 
 
+def _run_batch_file(path, argv, parser):
+    """`--batch_file`: run every line of `path` as its own main.py command
+    line IN THIS PROCESS. The reference's workflow for an experiment sweep
+    is one process per run, each paying the full fixed cost (backend init,
+    compile/AOT-load, data prep) before its first step; here runs 2..N
+    reuse the warm jit trace cache (identical shapes skip even the AOT
+    reload), the processed-cohort disk cache, and the initialized backend.
+    Keep-going semantics: a failing line is reported with its error and the
+    batch continues; the process exits 1 if any line failed."""
+    import shlex
+    import traceback
+
+    given = [a for a in (argv if argv is not None else sys.argv[1:])
+             if a != "--batch_file" and not a.startswith("--batch_file=")
+             and a != path]
+    if given:
+        parser.error("--batch_file runs self-contained command lines; "
+                     f"drop the extra arguments {given} (put them on the "
+                     "file's lines instead)")
+    try:
+        with open(path) as fh:
+            raw_lines = fh.readlines()
+    except OSError as e:
+        parser.error(f"--batch_file: cannot read {path!r} ({e})")
+    jobs = []
+    for lineno, line in enumerate(raw_lines, start=1):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        jobs.append((lineno, line))
+    if not jobs:
+        parser.error(f"--batch_file {path!r} has no runnable lines "
+                     "(all empty or #-comments)")
+
+    failures = []
+    for i, (lineno, line) in enumerate(jobs):
+        try:
+            job_argv = shlex.split(line)
+        except ValueError as e:
+            print(f"[batch] line {lineno} does not tokenize ({e}): {line}",
+                  file=sys.stderr)
+            failures.append((lineno, line, f"shlex: {e}"))
+            continue
+        if any(a == "--batch_file" or a.startswith("--batch_file=")
+               for a in job_argv):
+            print(f"[batch] line {lineno}: --batch_file does not nest; "
+                  "skipping", file=sys.stderr)
+            failures.append((lineno, line, "nested --batch_file"))
+            continue
+        print(f"[batch] {i + 1}/{len(jobs)} (line {lineno}): {line}")
+        try:
+            main(job_argv)
+        except SystemExit as e:
+            if e.code not in (None, 0):
+                failures.append((lineno, line, f"exit {e.code}"))
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:
+            traceback.print_exc()
+            failures.append((lineno, line, f"{type(e).__name__}: {e}"))
+    print(f"[batch] {len(jobs) - len(failures)}/{len(jobs)} experiments "
+          "succeeded")
+    for lineno, line, why in failures:
+        print(f"[batch] FAILED line {lineno} ({why}): {line}",
+              file=sys.stderr)
+    if failures:
+        raise SystemExit(1)
+
+
 def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
+
+    if args.batch_file is not None:
+        _run_batch_file(args.batch_file, argv, parser)
+        return
 
     known = (tuple(FUSION_MODELS) + ZOO_MODELS + SNP_MODELS)
     if args.model not in known:

@@ -62,6 +62,8 @@ run permut_batch     python main.py $S --disease_id 0 --permut_seeds 1:2 --save_
 run fold_parallel    python main.py $S --disease_id 0 --fold_parallel --save_appendix _sw_fp
 run cv_seed_batch    python main.py $S --disease_id 0 --cv_seeds 1:2 --fold_parallel --save_appendix _sw_cs
 run cv_seed_zoo      python main.py --model GIN $Z --cv_seeds 1:2 --save_appendix _sw_csz
+printf -- '%s --disease_id 0 --model MLP_Model --save_appendix _sw_bf1\n--model GCN %s --save_appendix _sw_bf2\n' "$S" "$Z" > /tmp/sweep_batch.txt
+run batch_file       python main.py --batch_file /tmp/sweep_batch.txt
 run single_score     python main.py $S --disease_id 0 --clinical_score_index 5 --save_appendix _sw_ss
 run no_val           python main.py $S --disease_id 0 --no_val --save_appendix _sw_nv
 run search_grid      python main.py --synthetic --synthetic_subjects 48 --epochs 1 --fold 3 --batch_size 8 --save_appendix _sw_grid
