@@ -35,6 +35,7 @@ import numpy as np
 
 METRIC_NAMES = ("acc", "auc", "f1", "sen", "spe")
 _RECORD_RE = re.compile(r"fold_result_(.+)_fold_(\d+)\.npz$")
+_IMP_RE = re.compile(r"(node|snps)_importance_(.+)_fold_(\d+)\.npy$")
 
 
 def _score_matrix_rows(tag: str, mats: List[np.ndarray],
@@ -270,14 +271,97 @@ def replication_rows(rows: List[Dict]) -> List[Dict]:
     return out
 
 
+def collect_importance(res_dir: str) -> Dict[tuple, Dict[int, np.ndarray]]:
+    """Per-fold importance vectors of one dir, in the ANALYSIS units the
+    interpretability tests pin (`tests/test_interpretability.py`): the
+    trainers export raw logits (`node_importance_*` is the (rois, feat)
+    `prob` parameter — one ROI per ROW, so sigmoid then mean over the feat
+    axis; `snps_importance_*` is the (1, n_snps) SNP logit row — one SNP
+    per COLUMN, so sigmoid then flatten; reference `util/output.py:20-32`).
+    Returns `{(kind, tag): {fold: (n_features,) vector}}`. Permutation
+    dirs yield nothing (their importance npys are suppressed, parity)."""
+    out: Dict[tuple, Dict[int, np.ndarray]] = {}
+    for path in sorted(glob.glob(os.path.join(res_dir,
+                                              "*_importance_*_fold_*.npy"))):
+        m = _IMP_RE.search(os.path.basename(path))
+        if not m:
+            continue
+        kind, tag, fold = m.group(1), m.group(2), int(m.group(3))
+        try:
+            arr = np.load(path)
+        except Exception as e:
+            print(f"[report] skipping unreadable {path} ({e})",
+                  file=sys.stderr)
+            continue
+        v = 1.0 / (1.0 + np.exp(-np.asarray(arr, np.float64)))
+        if kind == "node" and v.ndim == 2:
+            v = v.mean(axis=1)
+        else:
+            v = v.reshape(-1)
+        out.setdefault((kind, tag), {})[fold] = v
+    return out
+
+
+def importance_stability(results_dirs: List[str], top_k: int = 10
+                         ) -> List[Dict]:
+    """Aggregate the learned importances across replication units and score
+    their SELECTION STABILITY — the across-replication check the framework's
+    headline interpretability outputs otherwise lack (one run's top-k could
+    be seed luck; a feature selected in every replicate is not).
+
+    The replication unit is the RUN when a (kind, tag) appears in >= 2 of
+    the given dirs (the per-seed layout `--cv_seeds` writes; each run
+    contributes its fold-mean vector) and the FOLD within a single run
+    otherwise. For each unit the top-`top_k` set is computed; a feature's
+    stability is the fraction of units selecting it. Returns one row per
+    top-`top_k` feature of the mean vector, ranked by mean importance."""
+    runs: Dict[tuple, List[tuple]] = {}
+    for d in results_dirs:
+        for key, by_fold in collect_importance(d).items():
+            vecs = [by_fold[f] for f in sorted(by_fold)]
+            if len({v.shape for v in vecs}) != 1:
+                print(f"[report] {d}: importance shapes of {key} disagree; "
+                      "skipping", file=sys.stderr)
+                continue
+            runs.setdefault(key, []).append((d, np.stack(vecs)))
+    rows: List[Dict] = []
+    for (kind, tag), per_run in sorted(runs.items()):
+        if len(per_run) >= 2:
+            unit = "run"
+            mats = np.stack([m.mean(axis=0) for _, m in per_run])
+        else:
+            unit = "fold"
+            mats = per_run[0][1]
+        n_feat = mats.shape[1]
+        k = min(top_k, n_feat)
+        top_sets = [set(np.argsort(-row)[:k].tolist()) for row in mats]
+        mean = mats.mean(axis=0)
+        std = (mats.std(axis=0, ddof=1) if mats.shape[0] > 1
+               else np.zeros(n_feat))
+        name = "ROI" if kind == "node" else "SNP"
+        for i in np.argsort(-mean)[:k]:
+            rows.append({
+                "tag": tag, "kind": kind, "feature": f"{name} {int(i)}",
+                "mean_importance": float(mean[i]),
+                "importance_std": float(std[i]),
+                "stability": float(np.mean([i in ts for ts in top_sets])),
+                "unit": unit, "n_units": mats.shape[0],
+                # not printed; --plot input
+                "dir": per_run[0][0], "mean_vector": mean,
+                "item_name": name})
+    return rows
+
+
 def make_plots(results_dirs: List[str], pv: List[Dict],
-               pvr: List[Dict]) -> List[str]:
+               pvr: List[Dict], imp_rows: List[Dict] = ()) -> List[str]:
     """Figures for `--plot` (same conventions as `iggcn-explain --plot`):
     per-tag training curves (per-fold accuracy/loss over epochs, fold-mean
-    strong with best epoch marked) next to each dir's records, and — when
+    strong with best epoch marked) next to each dir's records, — when
     p-values were computed — permutation-null histograms with the observed
-    statistic marked. Returns the written paths."""
-    from iggcn_tpu.utils.plots import (plot_null_distribution,
+    statistic marked, and — with --importance — sorted mean-importance bars
+    next to the first dir holding each tag. Returns the written paths."""
+    from iggcn_tpu.utils.plots import (plot_importance_bar,
+                                       plot_null_distribution,
                                        plot_training_curves)
 
     written: List[str] = []
@@ -305,6 +389,19 @@ def make_plots(results_dirs: List[str], pv: List[Dict],
             os.path.join(r["dir"], f"report_null_{r['tag']}_{r['score']}.png"),
             title=f"{r['tag']} / {r['score']}: permutation null "
                   "(pooled correlation)", statistic="pooled correlation"))
+    done = set()
+    for r in imp_rows:
+        key = (r["kind"], r["tag"])
+        if key in done:
+            continue          # rows of one (kind, tag) share mean_vector
+        done.add(key)
+        written.append(plot_importance_bar(
+            r["mean_vector"],
+            os.path.join(r["dir"],
+                         f"report_importance_{r['kind']}_{r['tag']}.png"),
+            title=(f"{r['tag']}: mean {r['item_name']} importance over "
+                   f"{r['n_units']} {r['unit']}s"),
+            item_name=r["item_name"]))
     return written
 
 
@@ -324,9 +421,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="render figures next to the records: per-tag "
                         "training curves (per-fold accuracy/loss by epoch, "
                         "fold-mean with best epoch marked) as "
-                        "report_curves_<tag>.png, and — with --permut_null "
-                        "— permutation-null histograms with the observed "
-                        "statistic and p-value as report_null_<tag>*.png")
+                        "report_curves_<tag>.png, — with --permut_null — "
+                        "permutation-null histograms with the observed "
+                        "statistic and p-value as report_null_<tag>*.png, "
+                        "and — with --importance — mean-importance bars as "
+                        "report_importance_<kind>_<tag>.png")
+    p.add_argument("--importance", action="store_true", default=False,
+                   help="also aggregate the learned ROI/SNP importances "
+                        "(node_importance_*/snps_importance_* npys, in "
+                        "sigmoid analysis units) and report each top "
+                        "feature's SELECTION STABILITY: the fraction of "
+                        "replication units (runs when a tag spans >= 2 "
+                        "dirs, e.g. the --cv_seeds per-seed layout; folds "
+                        "within a single run) whose top-k contains it")
+    p.add_argument("--importance_top_k", type=int, default=10,
+                   help="k of the per-unit top-k selection sets (and the "
+                        "number of features reported) for --importance")
     return p
 
 
@@ -362,6 +472,26 @@ def main(argv=None) -> int:
         print("|" + "---|" * len(cols))
         for r in reg_rows:
             print("| " + " | ".join(_fmt(r[c]) for c in cols) + " |")
+    imp_rows: List[Dict] = []
+    if args.importance:
+        if args.importance_top_k < 1:
+            print("[report] --importance_top_k must be >= 1",
+                  file=sys.stderr)
+            return 1
+        imp_rows = importance_stability(args.results_dirs,
+                                        top_k=args.importance_top_k)
+        if imp_rows:
+            print()
+            cols = ("tag", "kind", "feature", "mean_importance",
+                    "importance_std", "stability", "unit", "n_units")
+            print("| " + " | ".join(cols) + " |")
+            print("|" + "---|" * len(cols))
+            for r in imp_rows:
+                print("| " + " | ".join(_fmt(r[c]) for c in cols) + " |")
+        else:
+            print("[report] no importance npys found (permutation dirs "
+                  "suppress them; GCN_IMGSNP exports untrained values — "
+                  "see PARITY.md)", file=sys.stderr)
     pv: List[Dict] = []
     pvr: List[Dict] = []
     if args.permut_null is not None:
@@ -389,7 +519,7 @@ def main(argv=None) -> int:
         if not printed:
             return 1
     if args.plot:
-        for path in make_plots(args.results_dirs, pv, pvr):
+        for path in make_plots(args.results_dirs, pv, pvr, imp_rows):
             print(f"[report] wrote {path}", file=sys.stderr)
     return 0
 

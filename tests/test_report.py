@@ -217,3 +217,97 @@ def test_cli_end_to_end_experiment_records(tmp_path):
     reg = report.collect_regression(d)
     assert [r["score"] for r in reg] == ["tau", "adas13", "mmse"]
     assert all(np.isfinite(r["rmse"]) for r in reg)
+    # ...and the REAL importance npys feed the stability aggregation
+    imp = report.importance_stability([d], top_k=5)
+    kinds = {r["kind"] for r in imp}
+    assert kinds == {"node", "snps"}
+    assert all(r["unit"] == "fold" and r["n_units"] == 3 for r in imp)
+    assert all(0.0 < r["mean_importance"] < 1.0 for r in imp)
+    # (a mean-top feature can in principle miss every per-fold top-k, so
+    # only the range is asserted here; the math is pinned by the unit tests)
+    assert all(0.0 <= r["stability"] <= 1.0 for r in imp)
+
+
+def _logit(p):
+    p = np.asarray(p, np.float64)
+    return np.log(p / (1.0 - p))
+
+
+def _write_importance(d, tag, fold, roi_probs, snp_probs=None):
+    """Trainer-format importance npys: raw logits, node as (rois, feat),
+    snps as the (1, n_snps) logit ROW the flagship's `snps_prob` has."""
+    os.makedirs(d, exist_ok=True)
+    roi = np.stack([_logit(roi_probs)] * 3, axis=1)      # (rois, feat=3)
+    np.save(os.path.join(d, f"node_importance_{tag}_fold_{fold}.npy"), roi)
+    if snp_probs is not None:
+        np.save(os.path.join(d, f"snps_importance_{tag}_fold_{fold}.npy"),
+                _logit(snp_probs)[None, :])
+
+
+def test_importance_stability_across_runs(tmp_path):
+    """Two per-seed dirs -> run-unit stability: a feature in both runs'
+    top-k scores 1.0, one run's only 0.5; means are in sigmoid units."""
+    base = np.full(8, 0.2)
+    a, b = base.copy(), base.copy()
+    a[[1, 4]] = [0.9, 0.8]          # run A tops: 1, 4
+    b[[1, 6]] = [0.85, 0.7]         # run B tops: 1, 6
+    _write_importance(str(tmp_path / "s1"), "result_x", 0, a)
+    _write_importance(str(tmp_path / "s2"), "result_x", 0, b)
+    rows = report.importance_stability(
+        [str(tmp_path / "s1"), str(tmp_path / "s2")], top_k=2)
+    assert [r["unit"] for r in rows] == ["run", "run"]
+    assert all(r["n_units"] == 2 for r in rows)
+    by_feat = {r["feature"]: r for r in rows}
+    assert set(by_feat) == {"ROI 1", "ROI 4"}   # top-2 of the mean vector
+    assert by_feat["ROI 1"]["stability"] == 1.0
+    assert by_feat["ROI 4"]["stability"] == 0.5
+    assert by_feat["ROI 1"]["mean_importance"] == pytest.approx(
+        (0.9 + 0.85) / 2, abs=1e-9)
+
+
+def test_importance_stability_single_run_fold_unit(tmp_path):
+    """One dir -> fold-unit stability, with SNP importances alongside."""
+    d = str(tmp_path / "run")
+    for fold, tops in enumerate(([0, 2], [0, 3])):
+        roi = np.full(6, 0.3)
+        roi[tops] = 0.9
+        snp = np.full(5, 0.1)
+        snp[1] = 0.95
+        _write_importance(d, "result_x", fold, roi, snp)
+    rows = report.importance_stability([d], top_k=2)
+    nodes = [r for r in rows if r["kind"] == "node"]
+    snps = [r for r in rows if r["kind"] == "snps"]
+    assert all(r["unit"] == "fold" and r["n_units"] == 2 for r in rows)
+    node_by_feat = {r["feature"]: r["stability"] for r in nodes}
+    assert node_by_feat["ROI 0"] == 1.0          # top in both folds
+    assert snps[0]["feature"] == "SNP 1" and snps[0]["stability"] == 1.0
+
+
+def test_cli_importance_table_and_plot(tmp_path, capsys):
+    """--importance prints the stability table (no plot-only keys leak);
+    --plot adds one mean-importance bar png per (kind, tag)."""
+    pytest.importorskip("matplotlib")
+    d = str(tmp_path / "run")
+    _write_records(d, "result_x", _score())
+    roi = np.full(6, 0.2)
+    roi[3] = 0.9
+    _write_importance(d, "result_x", 0, roi, np.full(4, 0.5))
+    rc = report.main([d, "--importance", "--importance_top_k", "3",
+                      "--plot"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ROI 3" in out and "stability" in out
+    assert "mean_vector" not in out
+    for kind in ("node", "snps"):
+        path = os.path.join(d, f"report_importance_{kind}_result_x.png")
+        assert os.path.getsize(path) > 2000, path
+        with open(path, "rb") as fh:
+            assert fh.read(8) == b"\x89PNG\r\n\x1a\n", path
+
+
+def test_cli_importance_none_found(tmp_path, capsys):
+    d = str(tmp_path / "run")
+    _write_records(d, "result_x", _score())
+    rc = report.main([d, "--importance"])
+    assert rc == 0
+    assert "no importance npys" in capsys.readouterr().err
