@@ -433,7 +433,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "feature's SELECTION STABILITY: the fraction of "
                         "replication units (runs when a tag spans >= 2 "
                         "dirs, e.g. the --cv_seeds per-seed layout; folds "
-                        "within a single run) whose top-k contains it")
+                        "within a single run) whose top-k contains it. "
+                        "Edge importance is per-subject (edge_prob_bias "
+                        "npys hold scorer weights, not edge scores) — use "
+                        "iggcn-explain with --x_npy for edge heatmaps")
     p.add_argument("--importance_top_k", type=int, default=10,
                    help="k of the per-unit top-k selection sets (and the "
                         "number of features reported) for --importance")

@@ -87,6 +87,7 @@ run export_serve     python scripts/_export_serve_check.py
 # analysis over the sweep's own outputs
 run report           python -m iggcn_tpu.tools.report results/ADNI_sw_fused
 run report_permut    python -m iggcn_tpu.tools.report results/ADNI_sw_fused --permut_null results_permuttest/ADNI_sw_perm results_permuttest/ADNI_sw_pb_permut1 results_permuttest/ADNI_sw_pb_permut2
+run report_import    python -m iggcn_tpu.tools.report results/ADNI_sw_cs_seed1 results/ADNI_sw_cs_seed2 --importance --plot
 run doctor_tu        python -m iggcn_tpu.tools.doctor --tu_root tests/fixtures --tu_name TUTEST
 
 run_expect_fail unknown_model python main.py --model BOGUS $S
