@@ -1,0 +1,65 @@
+"""Torch-side assembly of the flagship's 7-term training objective.
+
+Assembled independently from the repo's `iggcn_tpu/train/losses.py` —
+directly from the reference's loss construction
+(`kernel/train_eval_sgcn_img_snps.py:511-548`, sparsity penalty
+`kernel/sgcn_img_snp.py:153-181`) — so the trajectory-parity test
+(`tests/test_trajectory_parity.py`) and the convergence A/B
+(`scripts/convergence_ab.py`) compare two INDEPENDENT derivations of the
+same math, not one implementation against itself.
+"""
+import torch
+import torch.nn.functional as F
+
+
+def binary_entropy(p: torch.Tensor, eps: float = 1e-6) -> torch.Tensor:
+    return -(p * torch.log(p + eps) + (1 - p) * torch.log(1 - p + eps))
+
+
+def consistency(s: torch.Tensor, sim: torch.Tensor) -> torch.Tensor:
+    """Similarity-consistency term tr(S^T L S) / n^2 over the t-SNE
+    affinity graph (`kernel/train_eval_sgcn_img_snps.py:529-535`)."""
+    deg = sim.sum(1)
+    gram = s @ s.t()
+    tr = (deg * gram.diag()).sum() - (sim * gram).sum()
+    return tr / (s.shape[0] ** 2)
+
+
+def seven_term_loss(model, x, adj, snps, y, clini, tsne, lw):
+    """The reference 7-term train loss on a `TorchFused` replica: dual-pass
+    CE + regression MSE + sparsity (L1+entropy over sigmoid importances and
+    masked edge probabilities) + SNP reconstruction + similarity consistency
+    + orthogonality (`kernel/train_eval_sgcn_img_snps.py:511-548`)."""
+    out = model(x, adj, snps)
+    out_m = model(x, adj, snps, is_explain=True)
+
+    loss = lw.disease * (F.nll_loss(out[0], y) + F.nll_loss(out_m[0], y))
+    loss = loss + lw.regr * (F.mse_loss(out[5], clini)
+                             + F.mse_loss(out_m[5], clini)) / 2
+
+    # sparsity penalty (loss_probability, kernel/sgcn_img_snp.py:153-181)
+    xp = torch.sigmoid(model.prob)
+    sp = torch.sigmoid(model.snps_prob)
+    d = x.shape[-1]
+    b = model.prob_bias.reshape(-1)
+    xf = x * model.prob
+    ep = torch.sigmoid((xf @ b[:d])[:, :, None] + (xf @ b[d:])[:, None, :])
+    mask = adj != 0
+    epm = ep[mask]
+    loss = loss + lw.prob * (
+        0.1 * (xp.abs().mean() + sp.abs().mean() + epm.abs().mean())
+        + 0.1 * (binary_entropy(xp).mean() + binary_entropy(sp).mean()
+                 + binary_entropy(epm).mean()))
+
+    loss = loss + lw.reco * (((out[1] - snps) ** 2).sum()
+                             + ((out_m[1] - snps) ** 2).sum()) / 2
+
+    sim = torch.exp(-0.01 * torch.cdist(tsne, tsne) ** 2)
+    loss = loss + lw.simi * (consistency(out[2], sim)
+                             + consistency(out_m[2], sim)) / 2
+
+    wn = out[2] / out[2].norm(dim=1, keepdim=True).clamp_min(1e-12)
+    gram = wn.t() @ wn
+    eye = torch.eye(gram.shape[0])
+    loss = loss + lw.orth * ((gram - eye) ** 2).sum() / (out[2].shape[0] ** 2)
+    return loss

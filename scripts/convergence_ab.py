@@ -1,0 +1,228 @@
+"""Convergence-level A/B: the flagship trained to convergence in BOTH
+frameworks reaches the same model.
+
+`tests/test_trajectory_parity.py` pins the hot loop's SEMANTICS over six
+optimizer steps (coupled-L2 Adam, StepLR boundaries, dual-pass BN, full
+7-term loss). This script upgrades that to the CONVERGENCE claim: train
+the fused SGCNxGO flagship full-batch for hundreds of epochs from
+identical weights on an identical planted-signal cohort in JAX and in the
+independent torch derivation (`iggcn_tpu/oracle/{torch_ref,torch_losses}`,
+built from `kernel/train_eval_sgcn_img_snps.py:108,169-171,511-548`), and
+compare (a) the per-epoch loss trajectories, (b) the held-out test
+accuracy/AUC, and (c) the per-subject predictions of the two final models.
+
+Float trajectories in chaotic regimes eventually decorrelate (BN batch
+stats + Adam compound rounding differences), so the CLAIM is statistical
+agreement at convergence, not bitwise late-step equality: early-window
+losses must agree tightly (semantics), final losses and held-out metrics
+must agree (same learned model), and both must solve the planted task.
+
+Usage:
+    env JAX_PLATFORMS=cpu python scripts/convergence_ab.py [--epochs 300]
+
+Prints a per-epoch checkpoint table and ONE final JSON summary line;
+exit 1 when any agreement bound fails. `tests/test_convergence_ab.py`
+runs a small configuration of the same harness in the suite.
+"""
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_convergence_ab(*, epochs=300, subjects=120, rois=30, strength=1.25,
+                       seed=7, lr=5e-3, decay_every=100, factor=0.5,
+                       weight_decay=1e-4, test_frac=0.25,
+                       early_window=3, early_rtol=1e-3,
+                       final_loss_rtol=0.05, acc_tol=0.0):
+    """Train both frameworks; return the trajectories, held-out metrics and
+    agreement verdicts. Dropout is zeroed on both sides (framework PRNGs
+    cannot be aligned); everything else runs in true train mode."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from iggcn_tpu.config import LossWeights, ModelConfig, TrainConfig
+    from iggcn_tpu.data.adni import synthetic_cohort
+    from iggcn_tpu.data.batching import cohort_batch_arrays
+    from iggcn_tpu.data.go_graph import synthetic_topology
+    from iggcn_tpu.models.fused_sgcn import FusedSGCN
+    from iggcn_tpu.oracle.torch_losses import seven_term_loss
+    from iggcn_tpu.oracle.torch_ref import TorchFused, load_fused_params
+    from iggcn_tpu.train.metrics import roc_auc_binary
+    from iggcn_tpu.train.steps import (TrainState, make_eval_step,
+                                       make_optimizer, make_train_step)
+
+    rng = np.random.default_rng(seed)
+    topo = synthetic_topology(rng)
+    conn = (topo.go_snps != 0).sum(axis=0)
+    planted_snps = [int(i) for i in np.argsort(-conn)[:3]]
+    planted_rois = [3, 11, 19, 26]
+    cohort = synthetic_cohort(rng, num_subjects=subjects, rois=rois,
+                              planted_rois=planted_rois,
+                              planted_snps=planted_snps,
+                              planted_strength=strength)
+
+    # deterministic stratified split: round-robin within each class
+    order = np.concatenate([np.flatnonzero(cohort.y == c)
+                            for c in np.unique(cohort.y)])
+    n_test = max(2, int(round(subjects * test_frac)))
+    test_idx = order[::int(np.ceil(len(order) / n_test))][:n_test]
+    train_idx = np.setdiff1d(np.arange(subjects), test_idx)
+
+    arrays = cohort_batch_arrays(cohort)
+    arrays.pop("sbj_id")
+
+    def subset(idx):
+        b = {k: jnp.asarray(v[idx]) for k, v in arrays.items()}
+        b["w"] = jnp.ones((len(idx),), jnp.float32)
+        return b
+
+    train_b, test_b = subset(train_idx), subset(test_idx)
+    n_train = len(train_idx)
+
+    lw = LossWeights(disease=1.0, regr=1.0, prob=0.5, reco=1.5e-6,
+                     simi=0.1, orth=0.1)
+    mcfg = ModelConfig(num_layers=2, hidden=8, rois=rois, hidden_linear=32,
+                       dropout_lin=0.0, dropout_regr=0.0, dropout_go=0.0,
+                       dropout_readout=0.0)
+    tcfg = TrainConfig(epochs=epochs, batch_size=n_train, lr=lr,
+                       weight_decay=weight_decay, lr_decay_factor=factor,
+                       lr_decay_step_size=decay_every, loss=lw)
+
+    # ---- JAX ------------------------------------------------------------
+    model = FusedSGCN(cfg=mcfg, topo=topo)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(11), train_b["x"],
+                                    train_b["adj"], train_b["snps"])
+    init_params = jax.device_get(variables["params"])
+    optimizer = make_optimizer(tcfg)
+    step_fn = make_train_step(model, mcfg, tcfg, optimizer)
+
+    @jax.jit
+    def run(state, batch, key):
+        def body(carry, _):
+            st, r = carry
+            r, er = jax.random.split(r)
+            st, loss_sum = step_fn(st, batch, er)
+            return (st, r), loss_sum
+
+        (state, _), losses = jax.lax.scan(body, (state, key), None,
+                                          length=epochs)
+        return state, losses
+
+    state = TrainState.create(variables, optimizer, steps_per_epoch=1)
+    state, losses = run(state, train_b, jax.random.PRNGKey(2))
+    losses_jax = np.asarray(losses) / n_train
+
+    eval_step = jax.jit(make_eval_step(model, mcfg, tcfg))
+    ev = jax.device_get(eval_step(state.params, state.batch_stats, test_b))
+    y_test = np.asarray(arrays["y"][test_idx])
+    pred_jax = np.asarray(ev["pred"])
+    prob_jax = np.exp(np.asarray(ev["log_probs"]))[:, 1]
+    acc_jax = float(np.mean(pred_jax == y_test))
+    auc_jax = roc_auc_binary(y_test, prob_jax)
+
+    # ---- torch (independent derivation) ----------------------------------
+    tmodel = TorchFused(topo, num_layers=mcfg.num_layers, hidden=mcfg.hidden,
+                        rois=rois, hidden_linear=mcfg.hidden_linear)
+    load_fused_params(tmodel, init_params)
+    tmodel.drop_lin = tmodel.drop_regr = 0.0
+    tmodel.go.drop_gcn = tmodel.go.drop_readout = 0.0
+    tmodel.train()
+    opt = torch.optim.Adam(tmodel.parameters(), lr=lr,
+                           weight_decay=weight_decay)
+
+    tt = {k: torch.from_numpy(np.array(arrays[k][train_idx]))
+          for k in ("x", "adj", "snps", "clini", "tsne")}
+    ty = torch.from_numpy(np.array(arrays["y"][train_idx])).long()
+
+    losses_torch = []
+    for epoch in range(1, epochs + 1):
+        opt.zero_grad()
+        loss = seven_term_loss(tmodel, tt["x"], tt["adj"], tt["snps"], ty,
+                               tt["clini"], tt["tsne"], lw)
+        loss.backward()
+        opt.step()
+        losses_torch.append(float(loss.detach()))
+        # reference in-place StepLR (train_eval_sgcn_img_snps.py:169-171)
+        if decay_every and epoch % decay_every == 0:
+            for g in opt.param_groups:
+                g["lr"] = g["lr"] * factor
+    losses_torch = np.asarray(losses_torch)
+
+    tmodel.eval()
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(np.array(arrays["x"][test_idx])),
+                      torch.from_numpy(np.array(arrays["adj"][test_idx])),
+                      torch.from_numpy(np.array(arrays["snps"][test_idx])))
+    log_probs_t = tout[0].numpy()
+    pred_torch = log_probs_t.argmax(axis=1)
+    acc_torch = float(np.mean(pred_torch == y_test))
+    auc_torch = roc_auc_binary(y_test, np.exp(log_probs_t)[:, 1])
+
+    # ---- agreement --------------------------------------------------------
+    w = min(early_window, epochs)
+    early_rel = float(np.max(np.abs(losses_jax[:w] - losses_torch[:w])
+                             / np.abs(losses_torch[:w])))
+    final_rel = float(abs(losses_jax[-1] - losses_torch[-1])
+                      / abs(losses_torch[-1]))
+    pred_agree = float(np.mean(pred_jax == pred_torch))
+    learned = bool(losses_jax[-1] < 0.5 * losses_jax[0]
+                   and losses_torch[-1] < 0.5 * losses_torch[0])
+    ok = (early_rel <= early_rtol and final_rel <= final_loss_rtol
+          and abs(acc_jax - acc_torch) <= acc_tol and learned)
+    return {
+        "epochs": epochs, "subjects": subjects, "n_train": n_train,
+        "n_test": int(len(test_idx)),
+        "losses_jax": losses_jax, "losses_torch": losses_torch,
+        "early_window": w, "early_rel": early_rel, "final_rel": final_rel,
+        "acc_jax": acc_jax, "acc_torch": acc_torch,
+        "auc_jax": auc_jax, "auc_torch": auc_torch,
+        "pred_agree": pred_agree, "learned": learned, "ok": ok,
+    }
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Convergence-level A/B of the fused flagship: JAX vs "
+                    "the independent torch derivation, identical init/data, "
+                    "held-out metrics compared at convergence")
+    p.add_argument("--epochs", type=int, default=300,
+                   help="full-batch optimizer steps (one per epoch)")
+    p.add_argument("--subjects", type=int, default=120,
+                   help="planted-signal synthetic cohort size")
+    p.add_argument("--seed", type=int, default=7, help="cohort/init seed")
+    p.add_argument("--acc_tol", type=float, default=0.0,
+                   help="allowed |test-acc(jax) - test-acc(torch)|")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    r = run_convergence_ab(epochs=args.epochs, subjects=args.subjects,
+                           seed=args.seed, acc_tol=args.acc_tol)
+    lj, lt = r["losses_jax"], r["losses_torch"]
+    print("| epoch | loss_jax | loss_torch | rel_diff |")
+    print("|---|---|---|---|")
+    marks = sorted({0, 1, 2, r["early_window"] - 1,
+                    *range(0, r["epochs"], max(1, r["epochs"] // 10)),
+                    r["epochs"] - 1})
+    for e in marks:
+        rel = abs(lj[e] - lt[e]) / abs(lt[e])
+        print(f"| {e} | {lj[e]:.6f} | {lt[e]:.6f} | {rel:.2e} |")
+    summary = {k: r[k] for k in
+               ("epochs", "n_train", "n_test", "early_window", "early_rel",
+                "final_rel", "acc_jax", "acc_torch", "auc_jax", "auc_torch",
+                "pred_agree", "learned", "ok")}
+    print(json.dumps(summary))
+    return 0 if r["ok"] else 1
+
+
+if __name__ == "__main__":
+    from iggcn_tpu.utils.platform import honor_platform_env
+    honor_platform_env()
+    sys.exit(main())

@@ -1,0 +1,31 @@
+"""Convergence-level A/B in the suite: a small configuration of
+`scripts/convergence_ab.py` (the full 300-epoch record lives in
+BASELINE.md "Round 3 — convergence-level A/B").
+
+`test_trajectory_parity.py` pins the hot loop's semantics over six steps;
+this pins the CONVERGENCE claim end to end: trained from identical weights
+on an identical planted-signal cohort, the JAX flagship and the independent
+torch derivation must learn (loss halves), their early loss trajectories
+must agree tightly, and the two final models must make the same held-out
+predictions with the same accuracy.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts"))
+
+from convergence_ab import run_convergence_ab  # noqa: E402
+
+
+def test_convergence_ab_small():
+    r = run_convergence_ab(epochs=30, subjects=60)
+    assert r["learned"], "one framework failed to learn the planted task"
+    assert r["early_rel"] <= 1e-3, (
+        f"early loss trajectories diverged: {r['early_rel']:.2e}")
+    assert r["acc_jax"] == r["acc_torch"], (r["acc_jax"], r["acc_torch"])
+    assert r["pred_agree"] == 1.0, (
+        f"final models disagree on {100 * (1 - r['pred_agree']):.0f}% of "
+        "held-out subjects")
+    assert r["final_rel"] <= 0.05
+    assert r["ok"]

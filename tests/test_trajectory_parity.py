@@ -21,10 +21,10 @@ running-stat updates are live and must match step over step.
 import jax
 import numpy as np
 import torch
-import torch.nn.functional as F
 
 from iggcn_tpu.config import LossWeights, ModelConfig, TrainConfig
 from iggcn_tpu.models.fused_sgcn import FusedSGCN
+from iggcn_tpu.oracle.torch_losses import seven_term_loss
 from iggcn_tpu.oracle.torch_ref import (TorchFused, iter_fused_param_pairs,
                                         load_fused_params)
 from iggcn_tpu.train.steps import TrainState, make_optimizer, make_train_step
@@ -39,54 +39,6 @@ WEIGHT_DECAY = 1e-2
 # lr/2, 4-5 at lr/4 — the trajectory crosses TWO StepLR boundaries
 DECAY_EVERY = 2
 FACTOR = 0.5
-
-
-def _ent(p, eps=1e-6):
-    return -(p * torch.log(p + eps) + (1 - p) * torch.log(1 - p + eps))
-
-
-def _consist(s, sim):
-    deg = sim.sum(1)
-    gram = s @ s.t()
-    tr = (deg * gram.diag()).sum() - (sim * gram).sum()
-    return tr / (s.shape[0] ** 2)
-
-
-def _torch_seven_term_loss(model, x, adj, snps, y, clini, tsne, lw):
-    """The reference 7-term train loss, assembled independently from the
-    repo's `losses.py` (kernel/train_eval_sgcn_img_snps.py:511-548)."""
-    out = model(x, adj, snps)
-    out_m = model(x, adj, snps, is_explain=True)
-
-    loss = lw.disease * (F.nll_loss(out[0], y) + F.nll_loss(out_m[0], y))
-    loss = loss + lw.regr * (F.mse_loss(out[5], clini)
-                             + F.mse_loss(out_m[5], clini)) / 2
-
-    # sparsity penalty (loss_probability, kernel/sgcn_img_snp.py:153-181)
-    xp = torch.sigmoid(model.prob)
-    sp = torch.sigmoid(model.snps_prob)
-    d = x.shape[-1]
-    b = model.prob_bias.reshape(-1)
-    xf = x * model.prob
-    ep = torch.sigmoid((xf @ b[:d])[:, :, None] + (xf @ b[d:])[:, None, :])
-    mask = adj != 0
-    epm = ep[mask]
-    loss = loss + lw.prob * (
-        0.1 * (xp.abs().mean() + sp.abs().mean() + epm.abs().mean())
-        + 0.1 * (_ent(xp).mean() + _ent(sp).mean() + _ent(epm).mean()))
-
-    loss = loss + lw.reco * (((out[1] - snps) ** 2).sum()
-                             + ((out_m[1] - snps) ** 2).sum()) / 2
-
-    sim = torch.exp(-0.01 * torch.cdist(tsne, tsne) ** 2)
-    loss = loss + lw.simi * (_consist(out[2], sim)
-                             + _consist(out_m[2], sim)) / 2
-
-    wn = out[2] / out[2].norm(dim=1, keepdim=True).clamp_min(1e-12)
-    gram = wn.t() @ wn
-    eye = torch.eye(gram.shape[0])
-    loss = loss + lw.orth * ((gram - eye) ** 2).sum() / (out[2].shape[0] ** 2)
-    return loss
 
 
 def test_six_step_training_trajectory_matches_torch(topo, cohort):
@@ -145,7 +97,7 @@ def test_six_step_training_trajectory_matches_torch(topo, cohort):
     step1_stats_torch = None
     for epoch in range(1, STEPS + 1):
         opt.zero_grad()
-        loss = _torch_seven_term_loss(tmodel, x, adj, snps, y, clini, tsne,
+        loss = seven_term_loss(tmodel, x, adj, snps, y, clini, tsne,
                                       lw)
         loss.backward()
         opt.step()
