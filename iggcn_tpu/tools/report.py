@@ -35,7 +35,7 @@ import numpy as np
 
 METRIC_NAMES = ("acc", "auc", "f1", "sen", "spe")
 _RECORD_RE = re.compile(r"fold_result_(.+)_fold_(\d+)\.npz$")
-_IMP_RE = re.compile(r"(node|snps)_importance_(.+)_fold_(\d+)\.npy$")
+_IMP_RE = re.compile(r"(node|snps|mask)_importance_(.+)_fold_(\d+)\.npy$")
 
 
 def _score_matrix_rows(tag: str, mats: List[np.ndarray],
@@ -277,7 +277,9 @@ def collect_importance(res_dir: str) -> Dict[tuple, Dict[int, np.ndarray]]:
     trainers export raw logits (`node_importance_*` is the (rois, feat)
     `prob` parameter — one ROI per ROW, so sigmoid then mean over the feat
     axis; `snps_importance_*` is the (1, n_snps) SNP logit row — one SNP
-    per COLUMN, so sigmoid then flatten; reference `util/output.py:20-32`).
+    per COLUMN, so sigmoid then flatten; reference `util/output.py:20-32`;
+    `mask_importance_*` is the guide family's (d, 2) Gumbel-ST Bernoulli
+    mask logits — softmax[:, 1] = feature keep-probability).
     Returns `{(kind, tag): {fold: (n_features,) vector}}`. Permutation
     dirs yield nothing (their importance npys are suppressed, parity)."""
     out: Dict[tuple, Dict[int, np.ndarray]] = {}
@@ -293,11 +295,14 @@ def collect_importance(res_dir: str) -> Dict[tuple, Dict[int, np.ndarray]]:
             print(f"[report] skipping unreadable {path} ({e})",
                   file=sys.stderr)
             continue
-        v = 1.0 / (1.0 + np.exp(-np.asarray(arr, np.float64)))
-        if kind == "node" and v.ndim == 2:
-            v = v.mean(axis=1)
+        a = np.asarray(arr, np.float64)
+        if kind == "mask":
+            e = np.exp(a - a.max(axis=-1, keepdims=True))
+            v = (e / e.sum(axis=-1, keepdims=True))[:, 1]
         else:
-            v = v.reshape(-1)
+            v = 1.0 / (1.0 + np.exp(-a))
+            v = (v.mean(axis=1) if kind == "node" and v.ndim == 2
+                 else v.reshape(-1))
         out.setdefault((kind, tag), {})[fold] = v
     return out
 
@@ -338,7 +343,7 @@ def importance_stability(results_dirs: List[str], top_k: int = 10
         mean = mats.mean(axis=0)
         std = (mats.std(axis=0, ddof=1) if mats.shape[0] > 1
                else np.zeros(n_feat))
-        name = "ROI" if kind == "node" else "SNP"
+        name = {"node": "ROI", "snps": "SNP", "mask": "feature"}[kind]
         for i in np.argsort(-mean)[:k]:
             rows.append({
                 "tag": tag, "kind": kind, "feature": f"{name} {int(i)}",
@@ -427,9 +432,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "and — with --importance — mean-importance bars as "
                         "report_importance_<kind>_<tag>.png")
     p.add_argument("--importance", action="store_true", default=False,
-                   help="also aggregate the learned ROI/SNP importances "
-                        "(node_importance_*/snps_importance_* npys, in "
-                        "sigmoid analysis units) and report each top "
+                   help="also aggregate the learned importances "
+                        "(node_importance_*/snps_importance_* npys in "
+                        "sigmoid analysis units; the guide family's "
+                        "mask_importance_* in softmax keep-probability "
+                        "units) and report each top "
                         "feature's SELECTION STABILITY: the fraction of "
                         "replication units (runs when a tag spans >= 2 "
                         "dirs, e.g. the --cv_seeds per-seed layout; folds "

@@ -770,6 +770,14 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                 (np.asarray(pr["snps_prob"]) if "snps_prob" in pr else None),
                 np.asarray(pr["prob_bias"]),
                 is_permut_test=tcfg.is_permut_test)
+        elif res_dir is not None and "bias_n" in state.params:
+            # guide family: its interpretability tensor is the Gumbel mask
+            # logits (see artifacts.output_mask_importance for why the
+            # reference has no working equivalent of this export)
+            artifacts.output_mask_importance(
+                res_dir, result_file_name, fold,
+                np.asarray(jax.device_get(state.params["bias_n"])),
+                is_permut_test=tcfg.is_permut_test)
 
         if (export_bundle and best_bundle is not None and res_dir is not None
                 and not tcfg.is_permut_test

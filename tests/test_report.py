@@ -283,6 +283,24 @@ def test_importance_stability_single_run_fold_unit(tmp_path):
     assert snps[0]["feature"] == "SNP 1" and snps[0]["stability"] == 1.0
 
 
+def test_importance_mask_units(tmp_path):
+    """Guide-family mask logits aggregate in softmax KEEP-PROBABILITY
+    units (column 1), not sigmoid: logits (d, 2) with rows [0, L] have
+    keep-prob sigmoid(L), pinning both the axis and the normalization."""
+    d = str(tmp_path / "run")
+    os.makedirs(d)
+    keep = np.array([0.9, 0.2, 0.6, 0.4])
+    logits = np.stack([np.zeros(4), _logit(keep)], axis=1)     # (4, 2)
+    np.save(os.path.join(d, "mask_importance_result_g_fold_0.npy"), logits)
+    np.save(os.path.join(d, "mask_importance_result_g_fold_1.npy"), logits)
+    rows = report.importance_stability([d], top_k=2)
+    assert [r["kind"] for r in rows] == ["mask", "mask"]
+    assert rows[0]["feature"] == "feature 0"
+    assert rows[0]["mean_importance"] == pytest.approx(0.9, abs=1e-9)
+    assert rows[1]["feature"] == "feature 2"
+    assert all(r["stability"] == 1.0 and r["n_units"] == 2 for r in rows)
+
+
 def test_cli_importance_table_and_plot(tmp_path, capsys):
     """--importance prints the stability table (no plot-only keys leak);
     --plot adds one mean-importance bar png per (kind, tag)."""

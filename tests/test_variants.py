@@ -111,20 +111,45 @@ def test_no_cross_attention_path(cohort, topo):
     assert np.isfinite(np.asarray(out_m.log_probs)).all()
 
 
-def test_guide_and_clusterlabel_cv(topo):
+def test_guide_and_clusterlabel_cv(topo, tmp_path):
     """End-to-end cross_validation for the guide and cluster-label model
     kinds (CLI-path integration; the fused kind is covered by
-    test_cv_fold_scan)."""
+    test_cv_fold_scan). The guide run also pins its per-fold
+    interpretability export: mask_importance_*_fold_k.npy (d, 2) Gumbel
+    mask logits — the reference's version is dead code — and that
+    `iggcn-report --importance` aggregates them in keep-prob units."""
+    import glob
+    import os
+
     import numpy as np
 
     from iggcn_tpu.data.adni import synthetic_cohort
+    from iggcn_tpu.tools.report import importance_stability
     from iggcn_tpu.train.cv import cross_validation
 
     cohort = synthetic_cohort(np.random.default_rng(11), num_subjects=24)
     mcfg = ModelConfig(num_layers=2, hidden=4, hidden_linear=8, l_dim=8)
     tcfg = TrainConfig(epochs=1, batch_size=8, folds=3, seed=2)
     for kind in ("guide_imgsnp", "clusterlabel"):
-        res = cross_validation(cohort, topo, mcfg, tcfg, res_dir=None,
+        res_dir = str(tmp_path / kind)
+        res = cross_validation(cohort, topo, mcfg, tcfg, res_dir=res_dir,
                                model_kind=kind, verbose=False)
         assert np.isfinite(res.mean_test_loss), kind
         assert res.score_result.shape == (3, 1, 5)
+
+    masks = sorted(glob.glob(os.path.join(
+        str(tmp_path / "guide_imgsnp"), "mask_importance_*_fold_*.npy")))
+    assert len(masks) == 3, masks
+    logits = np.load(masks[0])
+    assert logits.ndim == 2 and logits.shape[1] == 2
+    rows = importance_stability([str(tmp_path / "guide_imgsnp")], top_k=4)
+    mask_rows = [r for r in rows if r["kind"] == "mask"]
+    assert len(mask_rows) == 4
+    assert all(r["unit"] == "fold" and r["n_units"] == 3 for r in mask_rows)
+    assert all(0.0 < r["mean_importance"] < 1.0 for r in mask_rows)
+    assert mask_rows[0]["feature"].startswith("feature ")
+    # cluster-label is SGCN-based: it exports node/snps importances and
+    # must NOT pick up the guide-only mask export
+    cl = str(tmp_path / "clusterlabel")
+    assert glob.glob(os.path.join(cl, "node_importance_*"))
+    assert not glob.glob(os.path.join(cl, "mask_importance_*"))
