@@ -198,13 +198,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=7, help="cohort/init seed")
     p.add_argument("--acc_tol", type=float, default=0.0,
                    help="allowed |test-acc(jax) - test-acc(torch)|")
+    p.add_argument("--early_rtol", type=float, default=1e-3,
+                   help="max relative loss difference over the first 3 "
+                        "steps; the default is calibrated for exact-fp32 "
+                        "CPU matmuls — on TPU the MXU's default matmul "
+                        "precision moves step-0 losses by ~5e-4 already "
+                        "(BASELINE.md records both), so pass ~2e-2 there "
+                        "or run with JAX_DEFAULT_MATMUL_PRECISION=highest")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     r = run_convergence_ab(epochs=args.epochs, subjects=args.subjects,
-                           seed=args.seed, acc_tol=args.acc_tol)
+                           seed=args.seed, acc_tol=args.acc_tol,
+                           early_rtol=args.early_rtol)
     lj, lt = r["losses_jax"], r["losses_torch"]
     print("| epoch | loss_jax | loss_torch | rel_diff |")
     print("|---|---|---|---|")
