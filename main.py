@@ -514,6 +514,11 @@ def _run_batch_file(path, argv, parser):
 def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
+    # the argv this run was ACTUALLY given, for cmd_input.txt: a --batch_file
+    # job must record its own line (the outer `--batch_file FILE` invocation
+    # is not reproducible once the file changes or is deleted), and a direct
+    # CLI run keeps recording sys.argv verbatim
+    args._argv = list(argv) if argv is not None else None
 
     if args.batch_file is not None:
         _run_batch_file(args.batch_file, argv, parser)
@@ -622,8 +627,11 @@ def _setup_run_dir(args):
     sub = "results_permuttest" if args.isPermutTest else "results"
     res_dir = os.path.join(os.getcwd(), sub, f"ADNI{args.save_appendix}")
     os.makedirs(res_dir, exist_ok=True)
+    argv_rec = getattr(args, "_argv", None)
+    cmd = (" ".join(sys.argv) if argv_rec is None
+           else "main.py " + " ".join(argv_rec))
     with open(os.path.join(res_dir, "cmd_input.txt"), "a") as fh:
-        fh.write("python " + " ".join(sys.argv) + "\n")
+        fh.write("python " + cmd + "\n")
     _write_env_manifest(res_dir)
 
     def logger(info):

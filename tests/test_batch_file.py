@@ -118,3 +118,10 @@ def test_batch_file_real_runs_match_standalone(tmp_path, monkeypatch):
         with np.load(pb) as zb, np.load(ps) as zs:
             assert np.array_equal(zb["losses"], zs["losses"])
             assert np.array_equal(zb["accs"], zs["accs"])
+
+    # each batch job's cmd_input.txt records ITS OWN command line (the
+    # reproducible one), not the outer --batch_file invocation (whose file
+    # may change or vanish)
+    cmd = (tmp_path / "results" / "ADNI_ba" / "cmd_input.txt").read_text()
+    assert "--seed 5 --save_appendix _ba" in cmd
+    assert "--batch_file" not in cmd
