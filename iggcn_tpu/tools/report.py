@@ -421,7 +421,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="permutation-run dirs (results_permuttest/...) to "
                         "compute p-values for the observed accuracies")
     p.add_argument("--csv", default=None,
-                   help="also write the summary as CSV to this path")
+                   help="also write the summary as CSV to this path (with "
+                        "--importance, the stability table goes to a "
+                        "sibling <path>_importance.csv)")
     p.add_argument("--plot", action="store_true", default=False,
                    help="render figures next to the records: per-tag "
                         "training curves (per-fold accuracy/loss by epoch, "
@@ -452,6 +454,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.importance and args.importance_top_k < 1:
+        print("[report] --importance_top_k must be >= 1", file=sys.stderr)
+        return 1
     rows = []
     for d in args.results_dirs:
         rows.extend(collect_dir(d))
@@ -484,10 +489,6 @@ def main(argv=None) -> int:
             print("| " + " | ".join(_fmt(r[c]) for c in cols) + " |")
     imp_rows: List[Dict] = []
     if args.importance:
-        if args.importance_top_k < 1:
-            print("[report] --importance_top_k must be >= 1",
-                  file=sys.stderr)
-            return 1
         imp_rows = importance_stability(args.results_dirs,
                                         top_k=args.importance_top_k)
         if imp_rows:
@@ -498,6 +499,14 @@ def main(argv=None) -> int:
             print("|" + "---|" * len(cols))
             for r in imp_rows:
                 print("| " + " | ".join(_fmt(r[c]) for c in cols) + " |")
+            if args.csv:
+                base, ext = os.path.splitext(args.csv)
+                imp_path = f"{base}_importance{ext or '.csv'}"
+                with open(imp_path, "w") as fh:
+                    fh.write(",".join(cols) + "\n")
+                    for r in imp_rows:
+                        fh.write(",".join(_fmt(r[c]) for c in cols) + "\n")
+                print(f"[report] wrote {imp_path}", file=sys.stderr)
         else:
             print("[report] no importance npys found (permutation dirs "
                   "suppress them; GCN_IMGSNP exports untrained values — "

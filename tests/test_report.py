@@ -323,6 +323,24 @@ def test_cli_importance_table_and_plot(tmp_path, capsys):
             assert fh.read(8) == b"\x89PNG\r\n\x1a\n", path
 
 
+def test_cli_importance_csv(tmp_path):
+    """--csv with --importance writes the sibling _importance.csv."""
+    d = str(tmp_path / "run")
+    _write_records(d, "result_x", _score())
+    roi = np.full(6, 0.2)
+    roi[3] = 0.9
+    _write_importance(d, "result_x", 0, roi)
+    csv_path = str(tmp_path / "out.csv")
+    rc = report.main([d, "--importance", "--csv", csv_path])
+    assert rc == 0
+    body = open(str(tmp_path / "out_importance.csv")).read()
+    assert body.splitlines()[0].startswith("tag,kind,feature,")
+    assert "ROI 3" in body
+    assert os.path.exists(csv_path)          # the summary csv still writes
+    # bad top_k fails before any table is printed
+    assert report.main([d, "--importance", "--importance_top_k", "0"]) == 1
+
+
 def test_cli_importance_none_found(tmp_path, capsys):
     d = str(tmp_path / "run")
     _write_records(d, "result_x", _score())
