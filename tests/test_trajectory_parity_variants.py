@@ -54,8 +54,9 @@ from tests.conftest import device_batch
 # the training window (and therefore every measured tolerance in this file)
 # is SHARED with the fused suite — import its constants so retuning one
 # suite cannot silently invalidate the other's calibration
-from tests.test_trajectory_parity import (B, DECAY_EVERY, FACTOR, LR, STEPS,
-                                          _consist, _ent)
+from iggcn_tpu.oracle.torch_losses import binary_entropy as _ent
+from iggcn_tpu.oracle.torch_losses import consistency as _consist
+from tests.test_trajectory_parity import B, DECAY_EVERY, FACTOR, LR, STEPS
 
 # Adam noise-walk bound for gradient-degenerate leaves (see the fused test's
 # analysis: true-zero gradients become full-lr steps of arbitrary sign under
