@@ -63,3 +63,26 @@ def seven_term_loss(model, x, adj, snps, y, clini, tsne, lw):
     eye = torch.eye(gram.shape[0])
     loss = loss + lw.orth * ((gram - eye) ** 2).sum() / (out[2].shape[0] ** 2)
     return loss
+
+
+def guide_loss(model, x, adj, snps, y, clini, lw, *, temperature=0.1,
+               rho=0.001, eps=1e-10):
+    """The guide family's training objective on a `TorchGuide` replica:
+    CE + regression MSE + SNP reconstruction + image surrogate
+    reconstruction + Bernoulli-KL sparsity on the Gumbel keep-probabilities
+    (`kernel/train_eval_guide_img_snps.py:450-489`; the positional lambda
+    list maps prob -> SNP recon, reco -> image recon, simi -> KL). Shared by
+    the trajectory-parity test and the convergence A/B so both compare the
+    SAME independent derivation."""
+    lp, snps_hat, _latent, reg, img_out, recon, rho_hat = model(
+        x, adj, snps, temperature=temperature)
+    s1 = (rho_hat * (torch.log(rho_hat + eps)
+                     - torch.log(torch.tensor(rho) + eps))).mean()
+    s2 = ((1 - rho_hat) * (torch.log(1 - rho_hat + eps)
+                           - torch.log(torch.tensor(1 - rho) + eps))
+          ).mean() + s1
+    return (lw.disease * F.nll_loss(lp, y)
+            + lw.regr * F.mse_loss(reg, clini)
+            + lw.prob * ((snps_hat - snps) ** 2).sum()
+            + lw.reco * ((img_out - recon) ** 2).sum()
+            + lw.simi * s2)

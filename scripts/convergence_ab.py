@@ -1,5 +1,5 @@
-"""Convergence-level A/B: the flagship trained to convergence in BOTH
-frameworks reaches the same model.
+"""Convergence-level A/B: a trainer family trained to convergence in BOTH
+frameworks reaches the same model (`--family fused|guide`).
 
 `tests/test_trajectory_parity.py` pins the hot loop's SEMANTICS over six
 optimizer steps (coupled-L2 Adam, StepLR boundaries, dual-pass BN, full
@@ -34,14 +34,22 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_convergence_ab(*, epochs=300, subjects=120, rois=30, strength=1.25,
-                       seed=7, lr=5e-3, decay_every=100, factor=0.5,
-                       weight_decay=1e-4, test_frac=0.25,
+def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
+                       strength=1.25, seed=7, lr=5e-3, decay_every=100,
+                       factor=0.5, weight_decay=1e-4, test_frac=0.25,
                        early_window=3, early_rtol=1e-3,
                        final_loss_rtol=0.05, acc_tol=0.0):
     """Train both frameworks; return the trajectories, held-out metrics and
     agreement verdicts. Dropout is zeroed on both sides (framework PRNGs
-    cannot be aligned); everything else runs in true train mode."""
+    cannot be aligned); everything else runs in true train mode.
+
+    `family` selects the trainer family under test:
+      * "fused" — the SGCNxGO flagship with the full 7-term objective
+        (`kernel/train_eval_sgcn_img_snps.py:511-548`);
+      * "guide" — the Gumbel-ST guided-autoencoder family in its
+        deterministic gumbel_zero parity mode
+        (`kernel/train_eval_guide_img_snps.py:450-489`).
+    """
     import jax
     import jax.numpy as jnp
     import torch
@@ -51,11 +59,15 @@ def run_convergence_ab(*, epochs=300, subjects=120, rois=30, strength=1.25,
     from iggcn_tpu.data.batching import cohort_batch_arrays
     from iggcn_tpu.data.go_graph import synthetic_topology
     from iggcn_tpu.models.fused_sgcn import FusedSGCN
-    from iggcn_tpu.oracle.torch_losses import seven_term_loss
-    from iggcn_tpu.oracle.torch_ref import TorchFused, load_fused_params
+    from iggcn_tpu.models.guide import GuideImgSnp
+    from iggcn_tpu.oracle.torch_losses import guide_loss, seven_term_loss
+    from iggcn_tpu.oracle.torch_ref import (TorchFused, TorchGuide,
+                                            load_fused_params,
+                                            load_guide_params)
     from iggcn_tpu.train.metrics import roc_auc_binary
-    from iggcn_tpu.train.steps import (TrainState, make_eval_step,
-                                       make_optimizer, make_train_step)
+    from iggcn_tpu.train.steps import (TrainState, guide_objective,
+                                       make_eval_step, make_optimizer,
+                                       make_train_step)
 
     rng = np.random.default_rng(seed)
     topo = synthetic_topology(rng)
@@ -85,22 +97,40 @@ def run_convergence_ab(*, epochs=300, subjects=120, rois=30, strength=1.25,
     train_b, test_b = subset(train_idx), subset(test_idx)
     n_train = len(train_idx)
 
-    lw = LossWeights(disease=1.0, regr=1.0, prob=0.5, reco=1.5e-6,
-                     simi=0.1, orth=0.1)
-    mcfg = ModelConfig(num_layers=2, hidden=8, rois=rois, hidden_linear=32,
-                       dropout_lin=0.0, dropout_regr=0.0, dropout_go=0.0,
-                       dropout_readout=0.0)
+    if family == "fused":
+        lw = LossWeights(disease=1.0, regr=1.0, prob=0.5, reco=1.5e-6,
+                         simi=0.1, orth=0.1)
+        mcfg = ModelConfig(num_layers=2, hidden=8, rois=rois,
+                           hidden_linear=32, dropout_lin=0.0,
+                           dropout_regr=0.0, dropout_go=0.0,
+                           dropout_readout=0.0)
+    elif family == "guide":
+        # the guide trainer's positional lambda list: prob -> SNP recon,
+        # reco -> image surrogate recon, simi -> Bernoulli-KL sparsity
+        lw = LossWeights(disease=1.0, regr=1.0, prob=1e-4, reco=1e-3,
+                         simi=0.1, orth=0.0)
+        mcfg = ModelConfig(num_layers=2, hidden=16, rois=rois,
+                           dropout_lin=0.0, dropout_regr=0.0,
+                           dropout_go=0.0, dropout_readout=0.0)
+    else:
+        raise ValueError(f"unknown family {family!r}")
     tcfg = TrainConfig(epochs=epochs, batch_size=n_train, lr=lr,
                        weight_decay=weight_decay, lr_decay_factor=factor,
                        lr_decay_step_size=decay_every, loss=lw)
+    objective = guide_objective if family == "guide" else None
 
     # ---- JAX ------------------------------------------------------------
-    model = FusedSGCN(cfg=mcfg, topo=topo)
+    if family == "guide":
+        model = GuideImgSnp(cfg=mcfg, topo=topo, gumbel_zero=True)
+    else:
+        model = FusedSGCN(cfg=mcfg, topo=topo)
     variables = jax.jit(model.init)(jax.random.PRNGKey(11), train_b["x"],
                                     train_b["adj"], train_b["snps"])
     init_params = jax.device_get(variables["params"])
     optimizer = make_optimizer(tcfg)
-    step_fn = make_train_step(model, mcfg, tcfg, optimizer)
+    step_fn = (make_train_step(model, mcfg, tcfg, optimizer, objective)
+               if objective is not None
+               else make_train_step(model, mcfg, tcfg, optimizer))
 
     @jax.jit
     def run(state, batch, key):
@@ -118,7 +148,9 @@ def run_convergence_ab(*, epochs=300, subjects=120, rois=30, strength=1.25,
     state, losses = run(state, train_b, jax.random.PRNGKey(2))
     losses_jax = np.asarray(losses) / n_train
 
-    eval_step = jax.jit(make_eval_step(model, mcfg, tcfg))
+    eval_step = jax.jit(make_eval_step(model, mcfg, tcfg, objective)
+                        if objective is not None
+                        else make_eval_step(model, mcfg, tcfg))
     ev = jax.device_get(eval_step(state.params, state.batch_stats, test_b))
     y_test = np.asarray(arrays["y"][test_idx])
     pred_jax = np.asarray(ev["pred"])
@@ -127,10 +159,18 @@ def run_convergence_ab(*, epochs=300, subjects=120, rois=30, strength=1.25,
     auc_jax = roc_auc_binary(y_test, prob_jax)
 
     # ---- torch (independent derivation) ----------------------------------
-    tmodel = TorchFused(topo, num_layers=mcfg.num_layers, hidden=mcfg.hidden,
-                        rois=rois, hidden_linear=mcfg.hidden_linear)
-    load_fused_params(tmodel, init_params)
-    tmodel.drop_lin = tmodel.drop_regr = 0.0
+    if family == "guide":
+        tmodel = TorchGuide(topo, go_hidden=mcfg.hidden, rois=rois,
+                            gumbel_zero=True)
+        load_guide_params(tmodel, init_params)
+        tmodel.drop_enc = tmodel.drop_dec = 0.0
+        tmodel.drop_lin = tmodel.drop_regr = 0.0
+    else:
+        tmodel = TorchFused(topo, num_layers=mcfg.num_layers,
+                            hidden=mcfg.hidden, rois=rois,
+                            hidden_linear=mcfg.hidden_linear)
+        load_fused_params(tmodel, init_params)
+        tmodel.drop_lin = tmodel.drop_regr = 0.0
     tmodel.go.drop_gcn = tmodel.go.drop_readout = 0.0
     tmodel.train()
     opt = torch.optim.Adam(tmodel.parameters(), lr=lr,
@@ -143,8 +183,12 @@ def run_convergence_ab(*, epochs=300, subjects=120, rois=30, strength=1.25,
     losses_torch = []
     for epoch in range(1, epochs + 1):
         opt.zero_grad()
-        loss = seven_term_loss(tmodel, tt["x"], tt["adj"], tt["snps"], ty,
-                               tt["clini"], tt["tsne"], lw)
+        if family == "guide":
+            loss = guide_loss(tmodel, tt["x"], tt["adj"], tt["snps"], ty,
+                              tt["clini"], lw, temperature=tcfg.temperature)
+        else:
+            loss = seven_term_loss(tmodel, tt["x"], tt["adj"], tt["snps"],
+                                   ty, tt["clini"], tt["tsne"], lw)
         loss.backward()
         opt.step()
         losses_torch.append(float(loss.detach()))
@@ -176,6 +220,7 @@ def run_convergence_ab(*, epochs=300, subjects=120, rois=30, strength=1.25,
     ok = (early_rel <= early_rtol and final_rel <= final_loss_rtol
           and abs(acc_jax - acc_torch) <= acc_tol and learned)
     return {
+        "family": family,
         "epochs": epochs, "subjects": subjects, "n_train": n_train,
         "n_test": int(len(test_idx)),
         "losses_jax": losses_jax, "losses_torch": losses_torch,
@@ -191,6 +236,10 @@ def build_parser() -> argparse.ArgumentParser:
         description="Convergence-level A/B of the fused flagship: JAX vs "
                     "the independent torch derivation, identical init/data, "
                     "held-out metrics compared at convergence")
+    p.add_argument("--family", choices=("fused", "guide"), default="fused",
+                   help="trainer family under test: the 7-term fused "
+                        "flagship or the Gumbel-ST guide family "
+                        "(deterministic gumbel_zero parity mode)")
     p.add_argument("--epochs", type=int, default=300,
                    help="full-batch optimizer steps (one per epoch)")
     p.add_argument("--subjects", type=int, default=120,
@@ -210,9 +259,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    r = run_convergence_ab(epochs=args.epochs, subjects=args.subjects,
-                           seed=args.seed, acc_tol=args.acc_tol,
-                           early_rtol=args.early_rtol)
+    r = run_convergence_ab(family=args.family, epochs=args.epochs,
+                           subjects=args.subjects, seed=args.seed,
+                           acc_tol=args.acc_tol, early_rtol=args.early_rtol)
     lj, lt = r["losses_jax"], r["losses_torch"]
     print("| epoch | loss_jax | loss_torch | rel_diff |")
     print("|---|---|---|---|")
@@ -223,7 +272,8 @@ def main(argv=None) -> int:
         rel = abs(lj[e] - lt[e]) / abs(lt[e])
         print(f"| {e} | {lj[e]:.6f} | {lt[e]:.6f} | {rel:.2e} |")
     summary = {k: r[k] for k in
-               ("epochs", "n_train", "n_test", "early_window", "early_rel",
+               ("family",
+                "epochs", "n_train", "n_test", "early_window", "early_rel",
                 "final_rel", "acc_jax", "acc_torch", "auc_jax", "auc_torch",
                 "pred_agree", "learned", "ok")}
     print(json.dumps(summary))

@@ -18,8 +18,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 from convergence_ab import run_convergence_ab  # noqa: E402
 
 
-def test_convergence_ab_small():
-    r = run_convergence_ab(epochs=30, subjects=60)
+def _assert_agrees(r):
     assert r["learned"], "one framework failed to learn the planted task"
     assert r["early_rel"] <= 1e-3, (
         f"early loss trajectories diverged: {r['early_rel']:.2e}")
@@ -29,3 +28,14 @@ def test_convergence_ab_small():
         "held-out subjects")
     assert r["final_rel"] <= 0.05
     assert r["ok"]
+
+
+def test_convergence_ab_small():
+    _assert_agrees(run_convergence_ab(epochs=30, subjects=60))
+
+
+def test_convergence_ab_guide_small():
+    """Same harness on the Gumbel-ST guide family (deterministic gumbel_zero
+    parity mode): CE + regr MSE + SNP recon + image surrogate recon +
+    Bernoulli-KL sparsity (`kernel/train_eval_guide_img_snps.py:450-489`)."""
+    _assert_agrees(run_convergence_ab(family="guide", epochs=30, subjects=60))

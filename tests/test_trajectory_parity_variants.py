@@ -56,6 +56,7 @@ from tests.conftest import device_batch
 # suite cannot silently invalidate the other's calibration
 from iggcn_tpu.oracle.torch_losses import binary_entropy as _ent
 from iggcn_tpu.oracle.torch_losses import consistency as _consist
+from iggcn_tpu.oracle.torch_losses import guide_loss
 from tests.test_trajectory_parity import B, DECAY_EVERY, FACTOR, LR, STEPS
 
 # Adam noise-walk bound for gradient-degenerate leaves (see the fused test's
@@ -359,21 +360,10 @@ def test_guide_trajectory_matches_torch(topo, cohort):
     tm.train()
     tb = _torch_batch(batch)
     y = tb["y"].long()
-    rho, eps = 0.001, 1e-10
 
     def loss_fn():
-        lp, snps_hat, latent, reg, img_out, recon, rho_hat = tm(
-            tb["x"], tb["adj"], tb["snps"], temperature=tcfg.temperature)
-        s1 = (rho_hat * (torch.log(rho_hat + eps)
-                         - torch.log(torch.tensor(rho) + eps))).mean()
-        s2 = ((1 - rho_hat) * (torch.log(1 - rho_hat + eps)
-                               - torch.log(torch.tensor(1 - rho) + eps))
-              ).mean() + s1
-        return (lw.disease * F.nll_loss(lp, y)
-                + lw.regr * F.mse_loss(reg, tb["clini"])
-                + lw.prob * ((snps_hat - tb["snps"]) ** 2).sum()
-                + lw.reco * ((img_out - recon) ** 2).sum()
-                + lw.simi * s2)
+        return guide_loss(tm, tb["x"], tb["adj"], tb["snps"], y, tb["clini"],
+                          lw, temperature=tcfg.temperature)
 
     def guide_bn_stats():
         stats = {name: (getattr(tm.go, name).running_mean.numpy().copy(),
