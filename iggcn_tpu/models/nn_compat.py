@@ -25,6 +25,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def unbiased_var_factor(n_red):
+    """Bessel's correction n/(n-1): torch stores the UNBIASED variance in
+    `running_var` while normalizing with the biased one — a real divergence
+    found (and fixed) by the trajectory-parity suite in round 3. Hoisted to
+    a module function so the mutation audit (`tests/mutations.py`) can
+    verify that suite still catches the biased-variance misreading."""
+    return n_red / jnp.maximum(n_red - 1.0, 1.0)
+
+
 def pyg_glorot(key, shape, dtype=jnp.float32):
     """PyG glorot init (GCNConv/GATConv/GraphConv weights):
     U(+-sqrt(6 / (fan_in + fan_out)))."""
@@ -128,7 +137,7 @@ class BatchNorm1d(nn.Module):
             if not self.is_initializing():
                 # torch stores the UNBIASED variance in running_var while
                 # normalizing with the biased one
-                bessel = n_red / jnp.maximum(n_red - 1.0, 1.0)
+                bessel = unbiased_var_factor(n_red)
                 new_mean = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 new_var = (1 - self.momentum) * ra_var.value + self.momentum * (var * bessel)
                 if weight is not None:

@@ -25,6 +25,15 @@ enable_compilation_cache()
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# test-sensitivity audit hook: when IGGCN_MUTATION names a known plausible
+# misimplementation, apply it BEFORE any test module imports framework
+# symbols — scripts/mutation_audit.py then asserts the pinned test FAILS
+_mutation = os.environ.get("IGGCN_MUTATION")
+if _mutation:
+    from tests.mutations import apply_mutation  # noqa: E402
+
+    apply_mutation(_mutation)
+
 from iggcn_tpu.data.adni import synthetic_cohort  # noqa: E402
 from iggcn_tpu.data.go_graph import synthetic_topology  # noqa: E402
 

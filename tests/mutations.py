@@ -1,0 +1,112 @@
+"""Named plausible misimplementations for the test-sensitivity audit.
+
+A test suite that never fails proves nothing about its own sensitivity.
+Each entry here re-introduces a REALISTIC semantic drift — the kind of bug
+a porter actually writes (several were real bugs caught during this build:
+the biased running variance was found by the trajectory suite in round 3)
+— as a runtime monkeypatch. `scripts/mutation_audit.py` runs the pinned
+target test under each mutation (via the `IGGCN_MUTATION` env var, applied
+by `tests/conftest.py` before any test module imports) and asserts the
+test FAILS, i.e. the suite would have caught the bug.
+
+Patches target module-level names looked up at call/trace time, so the
+framework code under test picks them up without modification.
+"""
+import jax.numpy as jnp
+
+
+def _steplr_off_by_one():
+    """Decay the LR one epoch EARLY — the classic StepLR boundary
+    misreading (the reference decays in-place AFTER epoch % step_size == 0,
+    `kernel/train_eval_sgcn_img_snps.py:169-171`)."""
+    from iggcn_tpu.train import steps
+    orig = steps.lr_at_step
+
+    def mutated(tcfg, step, steps_per_epoch):
+        return orig(tcfg, step + steps_per_epoch, steps_per_epoch)
+
+    steps.lr_at_step = mutated
+
+
+def _bn_biased_running_var():
+    """Store the BIASED batch variance in running_var (drop Bessel's
+    correction) — the real round-3 bug the trajectory suite caught."""
+    from iggcn_tpu.models import nn_compat
+    nn_compat.unbiased_var_factor = lambda n_red: 1.0
+
+
+def _adam_decoupled_decay():
+    """AdamW-style decoupled weight decay instead of torch's coupled L2
+    (decay added to the gradients BEFORE the Adam transform)."""
+    import optax
+
+    from iggcn_tpu.train import steps
+
+    def mutated(weight_decay=0.0):
+        if weight_decay:
+            return optax.chain(optax.scale_by_adam(),
+                               optax.add_decayed_weights(weight_decay))
+        return optax.scale_by_adam()
+
+    steps.adam_transform = mutated
+
+
+def _gcn_no_self_loops():
+    """Drop the self-loop insertion from gcn_norm — a plausible reading of
+    'symmetric normalization' that diverges from PyG's gcn_norm."""
+    from iggcn_tpu.ops import gcn
+    orig = gcn.gcn_propagation_matrix
+
+    def mutated(adj, *, add_self_loops=True, **kw):
+        del add_self_loops
+        return orig(adj, add_self_loops=False, **kw)
+
+    gcn.gcn_propagation_matrix = mutated
+
+
+def _sparsity_entropy_dropped():
+    """Omit the binary-entropy half of the sparsity penalty (keep only the
+    L1 half) — an easy term to lose in `kernel/sgcn_img_snp.py:153-181`."""
+    from iggcn_tpu.train import losses
+    losses._binary_entropy = lambda p, eps=1e-6: jnp.zeros_like(p)
+
+
+def _consistency_unnormalized():
+    """Drop the 1/n^2 normalization from the similarity-consistency term
+    (`kernel/train_eval_sgcn_img_snps.py:529-535` divides by n^2)."""
+    from iggcn_tpu.train import losses
+    orig = losses.consistency_loss
+
+    def mutated(s, weight_matrix, sample_weight=None):
+        n = s.shape[0]
+        return orig(s, weight_matrix, sample_weight) * (n * n)
+
+    losses.consistency_loss = mutated
+
+
+MUTATIONS = {
+    "steplr_off_by_one": _steplr_off_by_one,
+    "bn_biased_running_var": _bn_biased_running_var,
+    "adam_decoupled_decay": _adam_decoupled_decay,
+    "gcn_no_self_loops": _gcn_no_self_loops,
+    "sparsity_entropy_dropped": _sparsity_entropy_dropped,
+    "consistency_unnormalized": _consistency_unnormalized,
+}
+
+# the test (file) pinned to catch each mutation — used by the audit script
+TARGETS = {
+    "steplr_off_by_one": "tests/test_lr_schedule.py",
+    "bn_biased_running_var": "tests/test_trajectory_parity.py",
+    "adam_decoupled_decay": "tests/test_trajectory_parity.py",
+    "gcn_no_self_loops": "tests/test_conv_parity.py",
+    "sparsity_entropy_dropped": "tests/test_losses_golden.py",
+    "consistency_unnormalized": "tests/test_losses_golden.py",
+}
+
+
+def apply_mutation(name: str) -> None:
+    try:
+        MUTATIONS[name]()
+    except KeyError:
+        raise SystemExit(
+            f"unknown IGGCN_MUTATION {name!r}; known: {sorted(MUTATIONS)}")
