@@ -84,6 +84,44 @@ def _consistency_unnormalized():
     losses.consistency_loss = mutated
 
 
+def _impute_fit_on_all_splits():
+    """Fit the KNN imputer on train+val+test TOGETHER — the classic
+    cross-validation leakage bug (the reference fits on the train fold
+    only, `util/tool.py:22-73`). Written out as the full alternative
+    implementation a leaky port would contain."""
+    import numpy as np
+
+    from iggcn_tpu.data import impute
+    from iggcn_tpu.data.adni import CLINICAL_SELECT_INDEX
+
+    def mutated(demographics_splits, scaler4score,
+                clinical_score_index=-1, k=3):
+        from sklearn.impute import KNNImputer
+        imputer = KNNImputer(n_neighbors=k)
+        imputer.fit(np.vstack(demographics_splits))
+        imputed = [imputer.transform(d) for d in demographics_splits]
+        scaled = [scaler4score.transform(d) for d in imputed]
+        sel = (CLINICAL_SELECT_INDEX if clinical_score_index == -1
+               else np.array([clinical_score_index]))
+        return [s[:, sel].astype(np.float32) for s in scaled]
+
+    impute.knn_impute_scores = mutated
+
+
+def _padding_weights_ignored():
+    """Average data losses over ALL rows instead of w-masked real rows —
+    zero-weight epoch-padding rows silently enter every loss term (the
+    invariant that makes padded dense batches bit-match the reference's
+    ragged final batch)."""
+    from iggcn_tpu.train import losses
+
+    def mutated(values, sample_weight=None):
+        del sample_weight
+        return jnp.mean(values)
+
+    losses.weighted_mean = mutated
+
+
 MUTATIONS = {
     "steplr_off_by_one": _steplr_off_by_one,
     "bn_biased_running_var": _bn_biased_running_var,
@@ -91,6 +129,8 @@ MUTATIONS = {
     "gcn_no_self_loops": _gcn_no_self_loops,
     "sparsity_entropy_dropped": _sparsity_entropy_dropped,
     "consistency_unnormalized": _consistency_unnormalized,
+    "impute_fit_on_all_splits": _impute_fit_on_all_splits,
+    "padding_weights_ignored": _padding_weights_ignored,
 }
 
 # the test (file) pinned to catch each mutation — used by the audit script
@@ -101,6 +141,8 @@ TARGETS = {
     "gcn_no_self_loops": "tests/test_conv_parity.py",
     "sparsity_entropy_dropped": "tests/test_losses_golden.py",
     "consistency_unnormalized": "tests/test_losses_golden.py",
+    "impute_fit_on_all_splits": "tests/test_data_units.py",
+    "padding_weights_ignored": "tests/test_padding_exactness.py",
 }
 
 

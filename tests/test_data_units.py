@@ -57,8 +57,13 @@ def test_knn_impute_is_leakage_safe():
     scaler = MinMaxScaler().fit(train)
 
     out1 = knn_impute_scores([train, val.copy()], scaler)
+    # adversarial perturbation (the weak random version let the
+    # fit-on-all-splits leakage mutation SURVIVE — mutation audit): make the
+    # other val rows zero-distance neighbors of the NaN row with a wildly
+    # different value in the missing column, so a leaky imputer MUST move
     val2 = val.copy()
-    val2[3:] = rng.random((5, 9))        # perturb other val rows
+    val2[3:] = val[0]
+    val2[3:, 5] = 123.0
     out2 = knn_impute_scores([train, val2], scaler)
     assert out1[0].shape == (30, 3) and out1[1].shape == (8, 3)
     assert np.isfinite(out1[1]).all()

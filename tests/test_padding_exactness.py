@@ -89,6 +89,42 @@ def test_snps_go_bn_stats_ignore_padding_rows():
         mut_real["batch_stats"], mut_pad["batch_stats"])
 
 
+def test_loss_terms_ignore_padding_rows():
+    """The w-masked loss reductions themselves (nll/mse means, consistency,
+    orthogonality) on a padded batch must equal the unpadded means — found
+    MISSING by the mutation audit: `padding_weights_ignored` survived the
+    stats-only pins above."""
+    from iggcn_tpu.train import losses
+
+    rng = np.random.default_rng(5)
+    lp = jnp.asarray(np.log(rng.dirichlet(np.ones(2), size=6)
+                            ).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 2, size=6))
+    pred = jnp.asarray(rng.normal(size=(6, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(6, 3)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
+    sim = jnp.asarray(rng.random((8, 8)).astype(np.float32))
+
+    pad = lambda a: jnp.concatenate([a, a[:2]])  # noqa: E731
+    w = jnp.asarray([1.0] * 6 + [0.0] * 2)
+
+    np.testing.assert_allclose(
+        float(losses.nll_loss(pad(lp), pad(y), w)),
+        float(losses.nll_loss(lp, y)), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(losses.mse_loss(pad(pred), pad(tgt), w)),
+        float(losses.mse_loss(pred, tgt)), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(losses.consistency_loss(pad(s), sim, w)),
+        float(losses.consistency_loss(s, sim[:6, :6])), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(losses.orthogonal_loss(pad(s), w)),
+        float(losses.orthogonal_loss(s)), rtol=1e-5)
+    # and the duplicates DO shift an unweighted mean (the guarded bug)
+    assert not np.isclose(float(losses.nll_loss(pad(lp), pad(y))),
+                          float(losses.nll_loss(lp, y)), rtol=1e-6)
+
+
 def test_sgcn_ori_bn_stats_ignore_padding_rows():
     """SGCNOri (the one BN-bearing image-only model) must honor the mask:
     its objective trains on padded batches whose extra rows duplicate row 0
