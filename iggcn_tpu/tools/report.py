@@ -52,7 +52,9 @@ def _score_matrix_rows(tag: str, mats: List[np.ndarray],
     row = {
         "dir": src, "tag": tag,
         "folds": score.shape[0], "epochs": score.shape[1],
-        "best_epoch": best,
+        # 1-based, matching the trainer's log lines (cv.py prints
+        # `epoch:{e + 1}`) so the report cross-references log.txt directly
+        "best_epoch": best + 1,
         "acc": float(acc_mean[best]),
         "acc_std": float(score[:, best, 0].std(ddof=1)
                          if score.shape[0] > 1 else 0.0),
@@ -203,20 +205,37 @@ COLUMNS = ("dir", "tag", "folds", "epochs", "best_epoch", "acc", "acc_std",
            "auc", "f1", "sen", "spe")
 
 
-def render_table(rows: List[Dict]) -> str:
-    lines = ["| " + " | ".join(COLUMNS) + " |",
-             "|" + "---|" * len(COLUMNS)]
+def render_table(rows: List[Dict], columns=COLUMNS) -> str:
+    lines = ["| " + " | ".join(columns) + " |",
+             "|" + "---|" * len(columns)]
     for r in rows:
-        lines.append("| " + " | ".join(_fmt(r.get(c, "")) for c in COLUMNS)
+        lines.append("| " + " | ".join(_fmt(r.get(c, "")) for c in columns)
                      + " |")
     return "\n".join(lines)
 
 
-def render_csv(rows: List[Dict]) -> str:
-    lines = [",".join(COLUMNS)]
+def render_csv(rows: List[Dict], columns=COLUMNS) -> str:
+    lines = [",".join(columns)]
     for r in rows:
-        lines.append(",".join(_fmt(r.get(c, "")) for c in COLUMNS))
+        lines.append(",".join(_fmt(r.get(c, "")) for c in columns))
     return "\n".join(lines) + "\n"
+
+
+def _dedup_dirs(dirs: List[str], what: str) -> List[str]:
+    """Drop repeated dirs (same realpath) keeping first-given spellings — a
+    re-matching shell glob would otherwise double-count every tag and
+    fabricate an across-run 'replication' of a dir with itself (or double
+    every permutation null)."""
+    seen, out = set(), []
+    for d in dirs:
+        rp = os.path.realpath(d)
+        if rp in seen:
+            print(f"[report] ignoring duplicate {what} dir {d}",
+                  file=sys.stderr)
+            continue
+        seen.add(rp)
+        out.append(d)
+    return out
 
 
 def permutation_pvalue(observed_rows: List[Dict], null_dirs: List[str]
@@ -331,6 +350,14 @@ def importance_stability(results_dirs: List[str], top_k: int = 10
             runs.setdefault(key, []).append((d, np.stack(vecs)))
     rows: List[Dict] = []
     for (kind, tag), per_run in sorted(runs.items()):
+        if len({m.shape[1] for _, m in per_run}) != 1:
+            # e.g. a 90-ROI run and a 270-ROI --isMultiFusion run sharing a
+            # (layers, hidden, h) tag — skip like the per-fold check above
+            # instead of crashing the whole report on np.stack
+            print(f"[report] importance widths of {(kind, tag)} disagree "
+                  f"across dirs ({sorted({m.shape[1] for _, m in per_run})});"
+                  " skipping", file=sys.stderr)
+            continue
         if len(per_run) >= 2:
             unit = "run"
             mats = np.stack([m.mean(axis=0) for _, m in per_run])
@@ -457,8 +484,9 @@ def main(argv=None) -> int:
     if args.importance and args.importance_top_k < 1:
         print("[report] --importance_top_k must be >= 1", file=sys.stderr)
         return 1
+    results_dirs = _dedup_dirs(args.results_dirs, "results")
     rows = []
-    for d in args.results_dirs:
+    for d in results_dirs:
         rows.extend(collect_dir(d))
     if not rows:
         print("[report] no result records found (fold_result_*.npz / "
@@ -472,40 +500,29 @@ def main(argv=None) -> int:
     rep = replication_rows(rows)
     if rep:
         print()
-        cols = ("tag", "runs", "acc_mean", "acc_std", "acc_min", "acc_max")
-        print("| " + " | ".join(cols) + " |")
-        print("|" + "---|" * len(cols))
-        for r in rep:
-            print("| " + " | ".join(_fmt(r[c]) for c in cols) + " |")
+        print(render_table(rep, ("tag", "runs", "acc_mean", "acc_std",
+                                 "acc_min", "acc_max")))
     reg_rows = []
-    for d in args.results_dirs:
+    for d in results_dirs:
         reg_rows.extend(collect_regression(d))
     if reg_rows:
         print()
-        cols = ("dir", "tag", "score", "corr", "r2", "rmse")
-        print("| " + " | ".join(cols) + " |")
-        print("|" + "---|" * len(cols))
-        for r in reg_rows:
-            print("| " + " | ".join(_fmt(r[c]) for c in cols) + " |")
+        print(render_table(reg_rows,
+                           ("dir", "tag", "score", "corr", "r2", "rmse")))
     imp_rows: List[Dict] = []
     if args.importance:
-        imp_rows = importance_stability(args.results_dirs,
+        imp_rows = importance_stability(results_dirs,
                                         top_k=args.importance_top_k)
         if imp_rows:
-            print()
             cols = ("tag", "kind", "feature", "mean_importance",
                     "importance_std", "stability", "unit", "n_units")
-            print("| " + " | ".join(cols) + " |")
-            print("|" + "---|" * len(cols))
-            for r in imp_rows:
-                print("| " + " | ".join(_fmt(r[c]) for c in cols) + " |")
+            print()
+            print(render_table(imp_rows, cols))
             if args.csv:
                 base, ext = os.path.splitext(args.csv)
                 imp_path = f"{base}_importance{ext or '.csv'}"
                 with open(imp_path, "w") as fh:
-                    fh.write(",".join(cols) + "\n")
-                    for r in imp_rows:
-                        fh.write(",".join(_fmt(r[c]) for c in cols) + "\n")
+                    fh.write(render_csv(imp_rows, cols))
                 print(f"[report] wrote {imp_path}", file=sys.stderr)
         else:
             print("[report] no importance npys found (permutation dirs "
@@ -514,31 +531,22 @@ def main(argv=None) -> int:
     pv: List[Dict] = []
     pvr: List[Dict] = []
     if args.permut_null is not None:
-        printed = False
-        pv = permutation_pvalue(rows, args.permut_null)
+        null_dirs = _dedup_dirs(args.permut_null, "null")
+        pv = permutation_pvalue(rows, null_dirs)
         if pv:
-            printed = True
             print()
-            cols = ("tag", "observed_acc", "null_n", "null_mean", "null_max",
-                    "p_value")
-            print("| " + " | ".join(cols) + " |")
-            print("|" + "---|" * len(cols))
-            for r in pv:
-                print("| " + " | ".join(_fmt(r[c]) for c in cols) + " |")
-        pvr = permutation_pvalue_regression(reg_rows, args.permut_null)
+            print(render_table(pv, ("tag", "observed_acc", "null_n",
+                                    "null_mean", "null_max", "p_value")))
+        pvr = permutation_pvalue_regression(reg_rows, null_dirs)
         if pvr:
-            printed = True
             print()
-            cols = ("tag", "score", "observed_corr", "null_n", "null_mean",
-                    "null_max", "p_value")
-            print("| " + " | ".join(cols) + " |")
-            print("|" + "---|" * len(cols))
-            for r in pvr:
-                print("| " + " | ".join(_fmt(r[c]) for c in cols) + " |")
-        if not printed:
+            print(render_table(pvr, ("tag", "score", "observed_corr",
+                                     "null_n", "null_mean", "null_max",
+                                     "p_value")))
+        if not (pv or pvr):
             return 1
     if args.plot:
-        for path in make_plots(args.results_dirs, pv, pvr, imp_rows):
+        for path in make_plots(results_dirs, pv, pvr, imp_rows):
             print(f"[report] wrote {path}", file=sys.stderr)
     return 0
 

@@ -42,6 +42,7 @@ from iggcn_tpu.train.fold_parallel import (extend_perms, fold_mesh,
                                            run_folds_parallel,
                                            stacked_data_specs)
 from iggcn_tpu.train.fold_scan import make_epoch_fns, make_fold_runner
+from iggcn_tpu.train.records import config_fingerprint
 from iggcn_tpu.train.steps import (OBJECTIVES, TrainState,
                                    make_optimizer)
 from iggcn_tpu.utils.fetch import device_get_tree
@@ -477,11 +478,24 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     # resume: load completed folds (validated against the run config)
     done_folds: Dict[int, Dict[str, np.ndarray]] = {}
     # the guard covers every config axis that changes the saved surface but
-    # not the record FILENAME (the tag already encodes layers/hidden/h)
+    # not the record FILENAME (the tag already encodes layers/hidden/h):
+    # the explicit ints give a readable mismatch message; the fingerprint
+    # covers everything else — model family, lr, loss/sparsity weights,
+    # temperature, clinical_score_index (a review pass found the old
+    # int-only meta silently mixed guide-trained folds into a gcn run).
+    # Execution-strategy knobs whose results are identical (fold_scan /
+    # fold_parallel / device_gather / dual_pass_vmap / scan_unroll) are
+    # excluded so a resume may switch them.
+    run_identity = dataclasses.asdict(tcfg)
+    for _k in ("use_fold_scan", "fold_parallel", "device_gather",
+               "dual_pass_vmap", "scan_unroll"):
+        run_identity.pop(_k)
     want_meta = np.asarray(
         [tcfg.epochs, tcfg.folds, tcfg.seed, tcfg.batch_size,
          int(tcfg.no_val), int(tcfg.is_permut_test),
-         int(external_test is not None)], np.int64)
+         int(external_test is not None),
+         config_fingerprint(model_kind=model_kind, mcfg=mcfg,
+                            **run_identity)], np.int64)
     if resume and res_dir is not None:
         for f in range(tcfg.folds):
             path = fold_result_path(f)
@@ -491,8 +505,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                 with np.load(path) as zf:
                     if not np.array_equal(zf["meta"], want_meta):
                         print(f"[resume] {path} was written by a different "
-                              f"config (epochs/folds/seed/batch_size "
-                              f"{zf['meta'].tolist()} vs "
+                              f"config (meta {zf['meta'].tolist()} vs "
                               f"{want_meta.tolist()}); retraining fold {f}")
                         continue
                     done_folds[f] = {k: zf[k] for k in zf.files}

@@ -25,6 +25,7 @@ from iggcn_tpu.data.sampler import (imbalanced_sample_indices,
 from iggcn_tpu.data.splits import k_fold
 from iggcn_tpu.data.tu import GraphDataset
 from iggcn_tpu.train.losses import nll_loss
+from iggcn_tpu.train.records import config_fingerprint
 from iggcn_tpu.train.steps import adam_transform, steplr_host
 
 
@@ -172,8 +173,19 @@ def cross_validation_generic(dataset: GraphDataset, model, *,
         return os.path.join(
             record_dir, f"fold_result_generic_{record_tag}_fold_{fold}.npz")
 
-    want_meta = np.asarray([epochs, folds, seed, batch_size, int(no_val)],
-                           np.int64)
+    # explicit ints + a fingerprint of the rest of the run identity (model
+    # class + its flax fields, lr/decay/weight_decay, objective wiring) —
+    # the record tag does not encode them (see records.config_fingerprint)
+    want_meta = np.asarray(
+        [epochs, folds, seed, batch_size, int(no_val),
+         config_fingerprint(
+             model_cls=type(model).__name__,
+             model_fields=repr(model), lr=lr,
+             lr_decay_factor=lr_decay_factor,
+             lr_decay_step_size=lr_decay_step_size,
+             weight_decay=weight_decay, needs_mask=needs_mask,
+             needs_assign=needs_assign, adj_only=adj_only,
+             aux_loss=aux_loss, takes_weight=takes_weight)], np.int64)
     done_folds = {}
     if resume and record_dir is not None:
         for f in range(folds):

@@ -24,6 +24,7 @@ from iggcn_tpu.data.sampler import (imbalanced_sample_indices,
 from iggcn_tpu.data.splits import k_fold
 from iggcn_tpu.models.go_network import GeneOntologyNetwork
 from iggcn_tpu.train import metrics
+from iggcn_tpu.train.records import config_fingerprint
 from iggcn_tpu.train.steps import adam_transform, steplr_host
 
 
@@ -163,7 +164,13 @@ def cross_validation_snps(snps: np.ndarray, labels: np.ndarray,
         return os.path.join(
             record_dir, f"fold_result_snps_{model_kind}_fold_{fold}.npz")
 
-    want_meta = np.asarray([epochs, folds, seed, batch_size], np.int64)
+    # explicit ints + a fingerprint of the remaining run identity (lr,
+    # lambda0, GO dims — model_kind is checked separately below and already
+    # names the record file)
+    want_meta = np.asarray(
+        [epochs, folds, seed, batch_size,
+         config_fingerprint(lr=lr, lambda0=lambda0, l_dim=l_dim, n_l=n_l,
+                            f_dim=tuple(f_dim))], np.int64)
     done_folds = {}
     if resume and record_dir is not None:
         for f in range(folds):

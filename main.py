@@ -7,6 +7,7 @@ directory is absent (pass --synthetic to force it).
 import argparse
 import dataclasses
 import os
+import shlex
 import sys
 import time
 
@@ -451,7 +452,6 @@ def _run_batch_file(path, argv, parser):
     reload), the processed-cohort disk cache, and the initialized backend.
     Keep-going semantics: a failing line is reported with its error and the
     batch continues; the process exits 1 if any line failed."""
-    import shlex
     import traceback
 
     given = [a for a in (argv if argv is not None else sys.argv[1:])
@@ -621,15 +621,30 @@ def main(argv=None):
     _run_experiment(args, parser)
 
 
+def _improves(loss: float, best_loss: float) -> bool:
+    """NaN-aware grid-selection comparison (review finding: `NaN < inf` is
+    False, so a diverged combo used to leave the initial placeholder in
+    place and the Result line printed 0.000 with combo[0]'s hypers). A NaN
+    loss only fills the initial inf placeholder — so an all-diverged sweep
+    still reports its first combo's measured accuracies — and any real loss
+    beats a NaN best."""
+    if np.isnan(loss):
+        return bool(np.isinf(best_loss))
+    return bool(np.isnan(best_loss)) or loss < best_loss
+
+
 def _setup_run_dir(args):
     """Create the results dir (reference naming), record the command line
     and the env manifest, and return (res_dir, logger)."""
     sub = "results_permuttest" if args.isPermutTest else "results"
     res_dir = os.path.join(os.getcwd(), sub, f"ADNI{args.save_appendix}")
     os.makedirs(res_dir, exist_ok=True)
+    # shlex.join preserves quoting so the recorded line is re-runnable even
+    # when an argument contains spaces (plain ' '.join would record
+    # `--save_appendix _a b` for the value "_a b")
     argv_rec = getattr(args, "_argv", None)
-    cmd = (" ".join(sys.argv) if argv_rec is None
-           else "main.py " + " ".join(argv_rec))
+    cmd = (shlex.join(sys.argv) if argv_rec is None
+           else "main.py " + shlex.join(argv_rec))
     with open(os.path.join(res_dir, "cmd_input.txt"), "a") as fh:
         fh.write("python " + cmd + "\n")
     _write_env_manifest(res_dir)
@@ -892,7 +907,7 @@ def _run_permut_batch_parallel(base_args, parser, seeds):
         for s, res in enumerate(results):
             print(f"[throughput] seed {seeds[s]}: "
                   f"{res.throughput_graphs_per_sec:.1f} graphs/s")
-            if res.mean_test_loss < bests[s][0]:
+            if _improves(res.mean_test_loss, bests[s][0]):
                 bests[s] = (res.mean_test_loss, res.best_acc,
                             res.best_acc_std)
                 best_hypers[s] = (num_layers, hidden, h)
@@ -1001,7 +1016,7 @@ def _run_cv_seed_batch(base_args, parser, seeds):
         for s, res in enumerate(results):
             print(f"[throughput] seed {seeds[s]}: "
                   f"{res.throughput_graphs_per_sec:.1f} graphs/s")
-            if res.mean_test_loss < bests[s][0]:
+            if _improves(res.mean_test_loss, bests[s][0]):
                 bests[s] = (res.mean_test_loss, res.best_acc,
                             res.best_acc_std)
                 best_hypers[s] = (num_layers, hidden, h)
@@ -1145,7 +1160,7 @@ def _run_zoo_experiment(args, res_dir, logger, dataset, combos):
             record_tag=(f"{args.model}_layers{num_layers}"
                         f"_hidden{hidden}_h{h}"),
             resume=args.resume, **cv_kw)
-        if res.mean_loss < best[0]:
+        if _improves(res.mean_loss, best[0]):
             best = (res.mean_loss, res.best_acc, res.best_acc_std)
             best_hyper = (num_layers, hidden, h)
     log = (f"Result - {best[1]:.3f} +/- {best[2]:.3f}, with "
@@ -1295,7 +1310,7 @@ def _run_experiment(args, parser):
                 model_kind=model_kind, export_bundle=args.export_bundle,
                 resume=args.resume)
         print(f"[throughput] {res.throughput_graphs_per_sec:.1f} graphs/s")
-        if res.mean_test_loss < best[0]:
+        if _improves(res.mean_test_loss, best[0]):
             best = (res.mean_test_loss, res.best_acc, res.best_acc_std)
             best_hyper = (num_layers, hidden, h)
 

@@ -324,3 +324,34 @@ def test_permut_seeds_batch_matches_standalone_runs(tmp_path, monkeypatch):
     # distinct seeds hold distinct shuffled score pairings in their records
     with np.load(batch1[0]) as z1, np.load(batch2[0]) as z2:
         assert not np.array_equal(z1["true_scores"], z2["true_scores"])
+
+
+def test_cmd_input_preserves_shell_quoting(tmp_path, monkeypatch):
+    """cmd_input.txt must record a RE-RUNNABLE line: an argument containing
+    a space is re-quoted via shlex (review finding: a plain ' '.join
+    recorded `--save_appendix _a b`, which argparse rejects on replay)."""
+    import argparse
+    import shlex
+
+    monkeypatch.chdir(tmp_path)
+    ns = argparse.Namespace(isPermutTest=False, save_appendix="_q")
+    ns._argv = ["--synthetic", "--save_appendix", "_a b"]
+    cli._setup_run_dir(ns)
+    cmd = (tmp_path / "results" / "ADNI_q" / "cmd_input.txt").read_text()
+    rec = cmd.strip().split()
+    assert rec[:2] == ["python", "main.py"]
+    assert shlex.split(cmd.strip())[2:] == ns._argv
+
+
+def test_improves_is_nan_aware():
+    """Grid selection must not let a NaN (diverged) combo freeze the
+    placeholder: NaN never beats a real loss, a real loss always beats a
+    NaN best, and NaN fills only the initial inf placeholder (so an
+    all-diverged sweep still reports measured accuracies, not 0.000)."""
+    inf, nan = float("inf"), float("nan")
+    assert cli._improves(1.0, inf)
+    assert cli._improves(nan, inf)          # fills the placeholder
+    assert cli._improves(1.0, nan)          # real beats NaN
+    assert not cli._improves(nan, 1.0)      # NaN never beats real
+    assert not cli._improves(nan, nan)      # keep the first diverged combo
+    assert cli._improves(0.5, 1.0) and not cli._improves(2.0, 1.0)

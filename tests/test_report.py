@@ -51,7 +51,9 @@ def test_collect_fused_records(tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert r["tag"] == "result_x_layers2"
-    assert (r["folds"], r["epochs"], r["best_epoch"]) == (3, 4, 2)
+    # best_epoch is 1-BASED (matches the trainer's `epoch:{e+1}` log lines):
+    # the planted argmax at index 2 reports as epoch 3
+    assert (r["folds"], r["epochs"], r["best_epoch"]) == (3, 4, 3)
     np.testing.assert_allclose(r["acc"], 0.9)
     np.testing.assert_allclose(r["auc"], score[:, 2, 1].mean())
 
@@ -347,3 +349,30 @@ def test_cli_importance_none_found(tmp_path, capsys):
     rc = report.main([d, "--importance"])
     assert rc == 0
     assert "no importance npys" in capsys.readouterr().err
+
+
+def test_duplicate_results_dirs_are_ignored(tmp_path, capsys):
+    """The same dir given twice (e.g. an overlapping shell glob) must not
+    double-count tags or fabricate a self-'replication' table (review
+    finding)."""
+    d = str(tmp_path / "run")
+    _write_records(d, "result_x_layers2", _score())
+    rc = report.main([d, d + os.sep])        # second spelling, same realpath
+    assert rc == 0
+    out, err = capsys.readouterr()
+    assert "ignoring duplicate results dir" in err
+    assert out.count("result_x_layers2") == 1      # one summary row
+    assert "acc_mean" not in out                   # no replication table
+
+
+def test_importance_width_mismatch_across_dirs_is_skipped(tmp_path, capsys):
+    """A 90-wide and a 270-wide (multifusion) run sharing a tag must be
+    skipped with a warning, not crash np.stack (review finding)."""
+    _write_importance(str(tmp_path / "a"), "result_x", 0,
+                      np.random.default_rng(0).random((90, 3)))
+    _write_importance(str(tmp_path / "b"), "result_x", 0,
+                      np.random.default_rng(1).random((270, 3)))
+    rows = report.importance_stability(
+        [str(tmp_path / "a"), str(tmp_path / "b")])
+    assert rows == []
+    assert "widths" in capsys.readouterr().err

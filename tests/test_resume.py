@@ -96,19 +96,54 @@ def test_partial_resume_reproduces_uninterrupted_run(cohort, topo, cfgs,
     assert len(glob.glob(os.path.join(d, "fold_result_res_fold_*.npz"))) == 3
 
 
-@pytest.mark.parametrize("change", [dict(seed=8), dict(no_val=True)])
+@pytest.mark.parametrize("change", [
+    dict(seed=8), dict(no_val=True),
+    # fingerprint-guarded axes (review finding: the old int-only meta let
+    # these silently mix into the aggregates on --resume)
+    dict(lr=2e-3),
+    dict(loss=LossWeights(disease=0.0, regr=1.0, prob=0.5,
+                          reco=1.5e-6, simi=0.1)),
+])
 def test_resume_discards_mismatched_config(cohort, topo, cfgs, base_run,
                                            tmp_path, capsys, change):
     mcfg, tcfg = cfgs
     d, _ = _copy_base(base_run, tmp_path)
-    # a changed seed (splits differ) or mode (no_val folds val into train)
-    # invalidates every saved fold
+    # a changed seed (splits differ), mode (no_val folds val into train),
+    # or hyperparameter (lr / loss weighting) invalidates every saved fold
     tcfg2 = dataclasses.replace(tcfg, **change)
     resumed = _run(cohort, topo, mcfg, tcfg2, d, resume=True)
     out = capsys.readouterr().out
     assert "different config" in out
     # everything retrained -> real throughput again
     assert resumed.throughput_graphs_per_sec > 0.0
+
+
+def test_resume_discards_other_model_family(cohort, topo, cfgs, base_run,
+                                            tmp_path, capsys):
+    """Records trained by one model family must not resume into another —
+    the record filename is the same for every fused family, so only the
+    meta fingerprint separates them (review finding)."""
+    mcfg, tcfg = cfgs
+    d, _ = _copy_base(base_run, tmp_path)
+    resumed = _run(cohort, topo, mcfg, tcfg, d, resume=True,
+                   model_kind="gcn_imgsnp")
+    assert "different config" in capsys.readouterr().out
+    assert resumed.throughput_graphs_per_sec > 0.0
+
+
+def test_resume_allows_execution_strategy_flip(cohort, topo, cfgs, base_run,
+                                               tmp_path, capsys):
+    """Execution-strategy knobs with identical results (use_fold_scan here)
+    are EXCLUDED from the fingerprint: a resume may switch them and still
+    restore every fold."""
+    mcfg, tcfg = cfgs
+    d, base = _copy_base(base_run, tmp_path)
+    tcfg2 = dataclasses.replace(tcfg, use_fold_scan=not tcfg.use_fold_scan)
+    resumed = _run(cohort, topo, mcfg, tcfg2, d, resume=True)
+    assert "different config" not in capsys.readouterr().out
+    _assert_same(base, resumed)
+    # nothing trained -> no steady-state throughput claim
+    assert resumed.throughput_graphs_per_sec == 0.0
 
 
 def test_resume_ignores_corrupt_record(cohort, topo, cfgs, base_run,
