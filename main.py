@@ -827,6 +827,46 @@ def _dedup_cohort(base_cohort, cohort):
     return dataclasses.replace(cohort, **repl)
 
 
+def _fused_seed_sweep(base_args, dcfg, seeds, loggers, run_combo):
+    """Shared combo-sweep driver for the per-seed batch modes (the SPMD
+    permutation-null batch and the --cv_seeds replication batch used to
+    carry two drifting copies of this block): sweep the (layers, hidden, h)
+    grid, run `run_combo(mcfg, tcfg, result_file_name)` (returns one
+    CVResult per seed), track each seed's NaN-aware best, and print/log
+    the per-seed Result lines. Returns the per-seed bests."""
+    combos = _combos(base_args)
+    if base_args.search and FUSION_MODELS[base_args.model] == "sgcn_ori":
+        print("[search] SGCN_Ori has a fixed architecture; running one "
+              "configuration instead of the grid")
+        combos = combos[:1]
+    bests = [(float("inf"), 0.0, 0.0)] * len(seeds)
+    best_hypers = [combos[0]] * len(seeds)
+    for num_layers, hidden, h in combos:
+        result_file_name = (f"result_sgcn_img_snp_layers{num_layers}"
+                            f"_hidden{hidden}_h{h}")
+        mcfg, tcfg = _fused_cfgs(base_args, dcfg, num_layers, hidden)
+        msg = f"Using {num_layers} layers, {hidden} hidden units, h = {h}"
+        print(msg)
+        for logger in loggers:
+            logger(msg)
+        with _profile_ctx(base_args):
+            results = run_combo(mcfg, tcfg, result_file_name)
+        for s, res in enumerate(results):
+            print(f"[throughput] seed {seeds[s]}: "
+                  f"{res.throughput_graphs_per_sec:.1f} graphs/s")
+            if _improves(res.mean_test_loss, bests[s][0]):
+                bests[s] = (res.mean_test_loss, res.best_acc,
+                            res.best_acc_std)
+                best_hypers[s] = (num_layers, hidden, h)
+    for s in range(len(seeds)):
+        log = (f"Result - {bests[s][1]:.3f} +/- {bests[s][2]:.3f}, with "
+               f"{best_hypers[s][0]} layers and {best_hypers[s][1]} hidden "
+               f"units and h = {best_hypers[s][2]}")
+        print(log)
+        loggers[s](log)
+    return bests
+
+
 def _run_permut_batch_parallel(base_args, parser, seeds):
     """SPMD permutation-null batch: under `--permut_seeds --fold_parallel`
     (fused families), ALL seeds x folds train as ONE sharded device program
@@ -868,11 +908,6 @@ def _run_permut_batch_parallel(base_args, parser, seeds):
         loggers.append(logger)
         variants.append((seed, cohort))
 
-    combos = _combos(base_args)
-    if base_args.search and FUSION_MODELS[base_args.model] == "sgcn_ori":
-        print("[search] SGCN_Ori has a fixed architecture; running one "
-              "configuration instead of the grid")
-        combos = combos[:1]
     dcfg = _build_dcfg(run_args[0])
     model_kind = FUSION_MODELS[base_args.model]
 
@@ -886,38 +921,17 @@ def _run_permut_batch_parallel(base_args, parser, seeds):
               f"exceeds --spmd_batch_entries {max_entries}; running "
               f"{len(chunks)} SPMD programs of <= {per_chunk} seeds")
 
-    bests = [(float("inf"), 0.0, 0.0)] * len(seeds)
-    best_hypers = [combos[0]] * len(seeds)
-    for num_layers, hidden, h in combos:
-        result_file_name = (f"result_sgcn_img_snp_layers{num_layers}"
-                            f"_hidden{hidden}_h{h}")
-        mcfg, tcfg = _fused_cfgs(base_args, dcfg, num_layers, hidden)
-        msg = f"Using {num_layers} layers, {hidden} hidden units, h = {h}"
-        print(msg)
-        for logger in loggers:
-            logger(msg)
-        with _profile_ctx(base_args):
-            results = []
-            for ch in chunks:
-                results.extend(cross_validation_permut_batch(
-                    variants[ch], topo, mcfg, tcfg, res_dirs=res_dirs[ch],
-                    result_file_name=result_file_name,
-                    clinical_score_index=base_args.clinical_score_index,
-                    loggers=loggers[ch], model_kind=model_kind))
-        for s, res in enumerate(results):
-            print(f"[throughput] seed {seeds[s]}: "
-                  f"{res.throughput_graphs_per_sec:.1f} graphs/s")
-            if _improves(res.mean_test_loss, bests[s][0]):
-                bests[s] = (res.mean_test_loss, res.best_acc,
-                            res.best_acc_std)
-                best_hypers[s] = (num_layers, hidden, h)
+    def run_combo(mcfg, tcfg, result_file_name):
+        results = []
+        for ch in chunks:
+            results.extend(cross_validation_permut_batch(
+                variants[ch], topo, mcfg, tcfg, res_dirs=res_dirs[ch],
+                result_file_name=result_file_name,
+                clinical_score_index=base_args.clinical_score_index,
+                loggers=loggers[ch], model_kind=model_kind))
+        return results
 
-    for s, seed in enumerate(seeds):
-        log = (f"Result - {bests[s][1]:.3f} +/- {bests[s][2]:.3f}, with "
-               f"{best_hypers[s][0]} layers and {best_hypers[s][1]} hidden "
-               f"units and h = {best_hypers[s][2]}")
-        print(log)
-        loggers[s](log)
+    _fused_seed_sweep(base_args, dcfg, seeds, loggers, run_combo)
     print(f"[permut] {len(seeds)} null runs done (one SPMD program per "
           f"configuration); p-values: python -m iggcn_tpu.tools.report "
           f"<observed_dir> --permut_null "
@@ -964,11 +978,6 @@ def _run_cv_seed_batch(base_args, parser, seeds):
     rng = np.random.default_rng(base_args.seed)
     cohort, topo = _load_cohort(base_args, dcfg, rng)
 
-    combos = _combos(base_args)
-    if base_args.search and FUSION_MODELS[base_args.model] == "sgcn_ori":
-        print("[search] SGCN_Ori has a fixed architecture; running one "
-              "configuration instead of the grid")
-        combos = combos[:1]
     model_kind = FUSION_MODELS[base_args.model]
     use_spmd = base_args.fold_parallel and not base_args.resume
     if base_args.fold_parallel and base_args.resume:
@@ -982,51 +991,29 @@ def _run_cv_seed_batch(base_args, parser, seeds):
               f" running {len(chunks)} SPMD programs of <= {per_chunk} "
               "seeds")
 
-    bests = [(float("inf"), 0.0, 0.0)] * len(seeds)
-    best_hypers = [combos[0]] * len(seeds)
-    for num_layers, hidden, h in combos:
-        result_file_name = (f"result_sgcn_img_snp_layers{num_layers}"
-                            f"_hidden{hidden}_h{h}")
-        mcfg, tcfg = _fused_cfgs(base_args, dcfg, num_layers, hidden)
-        msg = f"Using {num_layers} layers, {hidden} hidden units, h = {h}"
-        print(msg)
-        for logger in loggers:
-            logger(msg)
-        with _profile_ctx(base_args):
-            if use_spmd:
-                results = []
-                for ch in chunks:
-                    results.extend(cross_validation_seed_batch(
-                        cohort, seeds[ch], topo, mcfg, tcfg,
-                        res_dirs=res_dirs[ch],
-                        result_file_name=result_file_name,
-                        clinical_score_index=base_args.clinical_score_index,
-                        loggers=loggers[ch], model_kind=model_kind,
-                        export_bundle=base_args.export_bundle))
-            else:
-                results = [cross_validation(
-                    cohort, topo, mcfg,
-                    dataclasses.replace(tcfg, seed=seed),
-                    res_dir=res_dirs[i], result_file_name=result_file_name,
+    def run_combo(mcfg, tcfg, result_file_name):
+        if use_spmd:
+            results = []
+            for ch in chunks:
+                results.extend(cross_validation_seed_batch(
+                    cohort, seeds[ch], topo, mcfg, tcfg,
+                    res_dirs=res_dirs[ch],
+                    result_file_name=result_file_name,
                     clinical_score_index=base_args.clinical_score_index,
-                    logger=loggers[i], model_kind=model_kind,
-                    export_bundle=base_args.export_bundle,
-                    resume=base_args.resume)
-                    for i, seed in enumerate(seeds)]
-        for s, res in enumerate(results):
-            print(f"[throughput] seed {seeds[s]}: "
-                  f"{res.throughput_graphs_per_sec:.1f} graphs/s")
-            if _improves(res.mean_test_loss, bests[s][0]):
-                bests[s] = (res.mean_test_loss, res.best_acc,
-                            res.best_acc_std)
-                best_hypers[s] = (num_layers, hidden, h)
+                    loggers=loggers[ch], model_kind=model_kind,
+                    export_bundle=base_args.export_bundle))
+            return results
+        return [cross_validation(
+            cohort, topo, mcfg,
+            dataclasses.replace(tcfg, seed=seed),
+            res_dir=res_dirs[i], result_file_name=result_file_name,
+            clinical_score_index=base_args.clinical_score_index,
+            logger=loggers[i], model_kind=model_kind,
+            export_bundle=base_args.export_bundle,
+            resume=base_args.resume)
+            for i, seed in enumerate(seeds)]
 
-    for s, seed in enumerate(seeds):
-        log = (f"Result - {bests[s][1]:.3f} +/- {bests[s][2]:.3f}, with "
-               f"{best_hypers[s][0]} layers and {best_hypers[s][1]} hidden "
-               f"units and h = {best_hypers[s][2]}")
-        print(log)
-        loggers[s](log)
+    bests = _fused_seed_sweep(base_args, dcfg, seeds, loggers, run_combo)
     _replication_summary(seeds, [b[1] for b in bests], loggers, base)
 
 
