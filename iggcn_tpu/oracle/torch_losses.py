@@ -65,6 +65,19 @@ def seven_term_loss(model, x, adj, snps, y, clini, tsne, lw):
     return loss
 
 
+def snps_bce_loss(model, x, y, lambda0):
+    """SNP-only GO trainer objective on a `TorchGoClassifier` replica:
+    BCE(sum) over the positive-class probability + lambda0 * sum-MSE SNP
+    reconstruction (`kernel/train_eval_snps.py:298-335` as-intended; the
+    upstream trainer is broken — undefined `model`, arity mismatch).
+    Shared by the 6-step trajectory test and the convergence A/B."""
+    _, x_hat, y_hat = model(x)
+    p = y_hat[:, 0].clamp(1e-7, 1.0)
+    q = (1 - y_hat[:, 0]).clamp(1e-7, 1.0)
+    bce = -(y * torch.log(p) + (1 - y) * torch.log(q)).sum()
+    return bce + lambda0 * ((x_hat - x) ** 2).sum()
+
+
 def guide_loss(model, x, adj, snps, y, clini, lw, *, temperature=0.1,
                rho=0.001, eps=1e-10):
     """The guide family's training objective on a `TorchGuide` replica:

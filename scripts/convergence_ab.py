@@ -86,6 +86,15 @@ def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
     test_idx = order[::int(np.ceil(len(order) / n_test))][:n_test]
     train_idx = np.setdiff1d(np.arange(subjects), test_idx)
 
+    if family == "snps":
+        return _run_snps_ab(cohort, topo, train_idx, test_idx,
+                            epochs=epochs, subjects=subjects, lr=lr,
+                            decay_every=decay_every, factor=factor,
+                            early_window=early_window,
+                            early_rtol=early_rtol,
+                            final_loss_rtol=final_loss_rtol,
+                            acc_tol=acc_tol)
+
     arrays = cohort_batch_arrays(cohort)
     arrays.pop("sbj_id")
 
@@ -208,7 +217,120 @@ def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
     acc_torch = float(np.mean(pred_torch == y_test))
     auc_torch = roc_auc_binary(y_test, np.exp(log_probs_t)[:, 1])
 
-    # ---- agreement --------------------------------------------------------
+    return _verdict(family, epochs, subjects, n_train, len(test_idx),
+                    losses_jax, losses_torch, pred_jax, pred_torch,
+                    acc_jax, acc_torch, auc_jax, auc_torch,
+                    early_window, early_rtol, final_loss_rtol, acc_tol)
+
+
+def _run_snps_ab(cohort, topo, train_idx, test_idx, *, epochs, subjects,
+                 lr, decay_every, factor, early_window, early_rtol,
+                 final_loss_rtol, acc_tol, lambda0=1e-5):
+    """The SNP-only GO classifier family (`--model Gene_ontology_network`):
+    BCE(sum) + lambda0 * sum-MSE recon via the exact production step
+    (`snps_trainer.build_snps_steps`) vs `oracle.torch_losses.snps_bce_loss`
+    on a `TorchGoClassifier` replica — the same pairing the 6-step
+    trajectory test pins (`tests/test_trajectory_parity_snps.py`), trained
+    to convergence. The loss series are per-run SUMS (identical batch on
+    both sides), so relative comparisons carry over unchanged."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import torch
+
+    from iggcn_tpu.models.go_network import GeneOntologyNetwork
+    from iggcn_tpu.oracle.torch_losses import snps_bce_loss
+    from iggcn_tpu.oracle.torch_ref import (TorchGoClassifier,
+                                            load_go_classifier_params)
+    from iggcn_tpu.train.metrics import roc_auc_binary
+    from iggcn_tpu.train.snps_trainer import build_snps_steps
+    from iggcn_tpu.train.steps import steplr_host
+
+    y_all = (np.asarray(cohort.y) > 0).astype(np.float32)
+    snps_all = np.asarray(cohort.snps, np.float32)
+    x_tr = jnp.asarray(snps_all[train_idx])
+    y_tr = jnp.asarray(y_all[train_idx])
+    n_train = len(train_idx)
+    w = jnp.ones((n_train,), jnp.float32)
+
+    # ---- JAX (exact production step) -------------------------------------
+    model = GeneOntologyNetwork(topo=topo, dropout_gcn=0.0,
+                                dropout_readout=0.0, dropout_cls=(0.0, 0.0))
+
+    def _init_all(mod, x):
+        latent, _, _ = mod(x)
+        return mod.classify(latent, x)
+
+    variables = jax.jit(lambda r, x: model.init(r, x, method=_init_all))(
+        jax.random.PRNGKey(11), x_tr)
+    init_params = jax.device_get(variables["params"])
+    optimizer = optax.scale_by_adam(b1=0.9, b2=0.999)
+    train_step, eval_batch = build_snps_steps(model, optimizer, lambda0,
+                                              use_mlp=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    opt_state = optimizer.init(params)
+    rng = jax.random.PRNGKey(2)
+    losses_jax = []
+    for epoch in range(epochs):
+        lr_t = jnp.float32(steplr_host(lr, factor, decay_every, epoch))
+        rng, srng = jax.random.split(rng)
+        params, stats, opt_state, loss = train_step(
+            params, stats, opt_state, x_tr, y_tr, w, srng, lr_t)
+        losses_jax.append(float(loss))
+    losses_jax = np.asarray(losses_jax)
+
+    x_te = jnp.asarray(snps_all[test_idx])
+    y_te = jnp.asarray(y_all[test_idx])
+    w_te = jnp.ones((len(test_idx),), jnp.float32)
+    _, _, prob = eval_batch(params, stats, x_te, y_te, w_te)
+    prob_jax = np.asarray(prob)
+    pred_jax = (prob_jax > 0.5).astype(int)
+    acc_jax = float(np.mean(pred_jax == y_all[test_idx]))
+    auc_jax = roc_auc_binary(y_all[test_idx], prob_jax)
+
+    # ---- torch (independent derivation) ----------------------------------
+    tm = TorchGoClassifier(topo)
+    load_go_classifier_params(tm, init_params)
+    tm.go.drop_gcn = tm.go.drop_readout = 0.0
+    tm.drop_cls = (0.0, 0.0)
+    tm.train()
+    opt = torch.optim.Adam(tm.parameters(), lr=lr)
+    x_t = torch.from_numpy(snps_all[train_idx].copy())
+    y_t = torch.from_numpy(y_all[train_idx].copy())
+    losses_torch = []
+    for epoch in range(epochs):
+        for g in opt.param_groups:    # host-side StepLR, trainer parity
+            g["lr"] = steplr_host(lr, factor, decay_every, epoch)
+        opt.zero_grad()
+        loss = snps_bce_loss(tm, x_t, y_t, lambda0)
+        loss.backward()
+        opt.step()
+        losses_torch.append(float(loss.detach()))
+    losses_torch = np.asarray(losses_torch)
+
+    tm.eval()
+    with torch.no_grad():
+        _, _, y_hat_t = tm(torch.from_numpy(snps_all[test_idx].copy()))
+    prob_t = y_hat_t[:, 0].numpy()
+    pred_torch = (prob_t > 0.5).astype(int)
+    acc_torch = float(np.mean(pred_torch == y_all[test_idx]))
+    auc_torch = roc_auc_binary(y_all[test_idx], prob_t)
+
+    return _verdict("snps", epochs, subjects, n_train, len(test_idx),
+                    losses_jax, losses_torch, pred_jax, pred_torch,
+                    acc_jax, acc_torch, auc_jax, auc_torch,
+                    early_window, early_rtol, final_loss_rtol, acc_tol)
+
+
+def _verdict(family, epochs, subjects, n_train, n_test, losses_jax,
+             losses_torch, pred_jax, pred_torch, acc_jax, acc_torch,
+             auc_jax, auc_torch, early_window, early_rtol,
+             final_loss_rtol, acc_tol):
+    """Shared agreement computation: early-window semantic agreement,
+    final-loss agreement, held-out metric equality, and the learned check
+    (loss halves in BOTH frameworks)."""
+    import numpy as np
+
     w = min(early_window, epochs)
     early_rel = float(np.max(np.abs(losses_jax[:w] - losses_torch[:w])
                              / np.abs(losses_torch[:w])))
@@ -222,7 +344,7 @@ def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
     return {
         "family": family,
         "epochs": epochs, "subjects": subjects, "n_train": n_train,
-        "n_test": int(len(test_idx)),
+        "n_test": int(n_test),
         "losses_jax": losses_jax, "losses_torch": losses_torch,
         "early_window": w, "early_rel": early_rel, "final_rel": final_rel,
         "acc_jax": acc_jax, "acc_torch": acc_torch,
@@ -236,10 +358,12 @@ def build_parser() -> argparse.ArgumentParser:
         description="Convergence-level A/B of the fused flagship: JAX vs "
                     "the independent torch derivation, identical init/data, "
                     "held-out metrics compared at convergence")
-    p.add_argument("--family", choices=("fused", "guide"), default="fused",
+    p.add_argument("--family", choices=("fused", "guide", "snps"),
+                   default="fused",
                    help="trainer family under test: the 7-term fused "
-                        "flagship or the Gumbel-ST guide family "
-                        "(deterministic gumbel_zero parity mode)")
+                        "flagship, the Gumbel-ST guide family "
+                        "(deterministic gumbel_zero parity mode), or the "
+                        "SNP-only GO classifier")
     p.add_argument("--epochs", type=int, default=300,
                    help="full-batch optimizer steps (one per epoch)")
     p.add_argument("--subjects", type=int, default=120,

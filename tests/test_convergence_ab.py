@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 from convergence_ab import run_convergence_ab  # noqa: E402
 
 
-def _assert_agrees(r):
+def _assert_agrees(r, final_rtol=0.05):
     assert r["learned"], "one framework failed to learn the planted task"
     assert r["early_rel"] <= 1e-3, (
         f"early loss trajectories diverged: {r['early_rel']:.2e}")
@@ -26,7 +26,7 @@ def _assert_agrees(r):
     assert r["pred_agree"] == 1.0, (
         f"final models disagree on {100 * (1 - r['pred_agree']):.0f}% of "
         "held-out subjects")
-    assert r["final_rel"] <= 0.05
+    assert r["final_rel"] <= final_rtol
     assert r["ok"]
 
 
@@ -39,3 +39,14 @@ def test_convergence_ab_guide_small():
     parity mode): CE + regr MSE + SNP recon + image surrogate recon +
     Bernoulli-KL sparsity (`kernel/train_eval_guide_img_snps.py:450-489`)."""
     _assert_agrees(run_convergence_ab(family="guide", epochs=30, subjects=60))
+
+
+def test_convergence_ab_snps_small():
+    """Same harness on the SNP-only GO classifier (the exact production
+    step, `snps_trainer.build_snps_steps`). At 30 epochs the loss is still
+    in steep descent, where chaotic fp32 drift peaks — the final-loss gate
+    is therefore the descent bound 0.15, not the at-optimum 0.05 (the full
+    300-epoch run re-converges to rel 1.1e-2, recorded in BASELINE.md)."""
+    _assert_agrees(run_convergence_ab(family="snps", epochs=30, subjects=60,
+                                      final_loss_rtol=0.15),
+                   final_rtol=0.15)

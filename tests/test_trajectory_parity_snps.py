@@ -21,6 +21,7 @@ import optax
 import torch
 
 from iggcn_tpu.models.go_network import GeneOntologyNetwork
+from iggcn_tpu.oracle.torch_losses import snps_bce_loss
 from iggcn_tpu.oracle.torch_ref import (TorchGoClassifier,
                                         iter_go_classifier_param_pairs,
                                         load_go_classifier_params)
@@ -107,11 +108,7 @@ def test_six_step_snps_trajectory_matches_torch(topo, cohort):
         for g in opt.param_groups:   # host-side StepLR, trainer parity
             g["lr"] = steplr_host(LR, FACTOR, DECAY_EVERY, epoch)
         opt.zero_grad()
-        _, x_hat, y_hat = tm(x_t)
-        p = y_hat[:, 0].clamp(1e-7, 1.0)
-        q = (1 - y_hat[:, 0]).clamp(1e-7, 1.0)
-        bce = -(y_t * torch.log(p) + (1 - y_t) * torch.log(q)).sum()
-        loss = bce + LAMBDA0 * ((x_hat - x_t) ** 2).sum()
+        loss = snps_bce_loss(tm, x_t, y_t, LAMBDA0)
         loss.backward()
         opt.step()
         losses_torch.append(float(loss.detach()))
