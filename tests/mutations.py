@@ -84,6 +84,24 @@ def _consistency_unnormalized():
     losses.consistency_loss = mutated
 
 
+def _fold_padding_gate_removed():
+    """Drop the all-padding-batch no-op gate from the train step — the
+    param-only sparsity penalties then step Adam (and advance the LR step
+    counter) on batches that are 100% fold-equalization padding."""
+    from iggcn_tpu.train import steps
+    orig = steps.make_train_step
+
+    def mutated(model, mcfg, tcfg, optimizer, objective=None, *,
+                gate_padding=None):
+        del gate_padding
+        if objective is None:
+            return orig(model, mcfg, tcfg, optimizer, gate_padding=False)
+        return orig(model, mcfg, tcfg, optimizer, objective,
+                    gate_padding=False)
+
+    steps.make_train_step = mutated
+
+
 def _impute_fit_on_all_splits():
     """Fit the KNN imputer on train+val+test TOGETHER — the classic
     cross-validation leakage bug (the reference fits on the train fold
@@ -131,6 +149,7 @@ MUTATIONS = {
     "consistency_unnormalized": _consistency_unnormalized,
     "impute_fit_on_all_splits": _impute_fit_on_all_splits,
     "padding_weights_ignored": _padding_weights_ignored,
+    "fold_padding_gate_removed": _fold_padding_gate_removed,
 }
 
 # the test (file) pinned to catch each mutation — used by the audit script
@@ -143,6 +162,7 @@ TARGETS = {
     "consistency_unnormalized": "tests/test_losses_golden.py",
     "impute_fit_on_all_splits": "tests/test_data_units.py",
     "padding_weights_ignored": "tests/test_padding_exactness.py",
+    "fold_padding_gate_removed": "tests/test_padding_exactness.py",
 }
 
 

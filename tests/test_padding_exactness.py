@@ -89,6 +89,64 @@ def test_snps_go_bn_stats_ignore_padding_rows():
         mut_real["batch_stats"], mut_pad["batch_stats"])
 
 
+def test_all_padding_batch_is_a_complete_noop():
+    """Fold-size equalization in fold-parallel mode can produce batches
+    that are 100% padding (w == 0 everywhere). The data losses vanish
+    under the mask, but the PARAM-ONLY sparsity penalties do not — without
+    `make_train_step(gate_padding=True)`'s no-op gate, smaller folds would
+    take extra Adam steps on penalty gradients and the LR-driving step
+    counter would advance. The fold-parallel == sequential equivalence
+    tests cannot catch this: stratified fold sizes differ by at most the
+    class count, so all-padding batches never arise there (found by the
+    mutation audit's coverage probing)."""
+    import pytest
+
+    from iggcn_tpu.config import LossWeights, ModelConfig, TrainConfig
+    from iggcn_tpu.data.adni import synthetic_cohort
+    from iggcn_tpu.data.go_graph import synthetic_topology
+    from iggcn_tpu.models.fused_sgcn import FusedSGCN
+    from iggcn_tpu.train.steps import (TrainState, make_optimizer,
+                                       make_train_step)
+    from tests.conftest import device_batch
+
+    topo = synthetic_topology(np.random.default_rng(0))
+    cohort = synthetic_cohort(np.random.default_rng(1), num_subjects=8)
+    mcfg = ModelConfig(num_layers=1, hidden=4, hidden_linear=8, l_dim=8)
+    tcfg = TrainConfig(epochs=1, batch_size=8, fold_parallel=True,
+                       loss=LossWeights(disease=1.0, prob=0.5))
+    batch = device_batch(cohort, 8)
+    batch["w"] = jnp.zeros((8,), jnp.float32)      # 100% padding
+
+    model = FusedSGCN(cfg=mcfg, topo=topo)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch["x"],
+                                    batch["adj"], batch["snps"])
+    optimizer = make_optimizer(tcfg)
+    state = TrainState.create(variables, optimizer, steps_per_epoch=1)
+
+    gated = jax.jit(make_train_step(model, mcfg, tcfg, optimizer))
+    s1, _ = gated(state, batch, jax.random.PRNGKey(3))
+    for a, b in zip(jax.tree_util.tree_leaves(
+                        (state.params, state.batch_stats, state.step)),
+                    jax.tree_util.tree_leaves(
+                        (s1.params, s1.batch_stats, s1.step))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # without the gate the sparsity-penalty gradients DO step Adam — the
+    # bug the gate exists to prevent (and what the gate-removal mutation
+    # reintroduces)
+    state = TrainState.create(variables, optimizer, steps_per_epoch=1)
+    ungated = jax.jit(make_train_step(model, mcfg, tcfg, optimizer,
+                                      gate_padding=False))
+    s2, _ = ungated(state, batch, jax.random.PRNGKey(3))
+    moved = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                                jax.tree_util.tree_leaves(s2.params)))
+    assert moved > 1e-5, "expected the ungated step to move the params"
+    with pytest.raises(AssertionError):
+        np.testing.assert_array_equal(np.asarray(state.step),
+                                      np.asarray(s2.step))
+
+
 def test_loss_terms_ignore_padding_rows():
     """The w-masked loss reductions themselves (nll/mse means, consistency,
     orthogonality) on a padded batch must equal the unpadded means — found
