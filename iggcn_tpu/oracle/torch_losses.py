@@ -25,6 +25,43 @@ def consistency(s: torch.Tensor, sim: torch.Tensor) -> torch.Tensor:
     return tr / (s.shape[0] ** 2)
 
 
+def sparsity_penalty(model, x, adj, with_snps=True):
+    """loss_probability (`kernel/sgcn_img_snp.py:153-181`): L1 + binary
+    entropy over the sigmoid node/SNP importances and the masked edge
+    probabilities. `with_snps=False` is the image-only variant
+    (`kernel/sgcn.py:88-109`: node L1 / N, no SNP term)."""
+    xp = torch.sigmoid(model.prob)
+    d = x.shape[-1]
+    b = model.prob_bias.reshape(-1)
+    xf = x * model.prob
+    ep = torch.sigmoid((xf @ b[:d])[:, :, None] + (xf @ b[d:])[:, None, :])
+    epm = ep[adj != 0]
+    if with_snps:
+        sp = torch.sigmoid(model.snps_prob)
+        l1 = xp.abs().mean() + sp.abs().mean() + epm.abs().mean()
+        ent = (binary_entropy(xp).mean() + binary_entropy(sp).mean()
+               + binary_entropy(epm).mean())
+    else:
+        l1 = xp.abs().sum() / xp.shape[0] + epm.abs().mean()
+        ent = binary_entropy(xp).mean() + binary_entropy(epm).mean()
+    return 0.1 * l1 + 0.1 * ent
+
+
+def orthogonality(hidden):
+    """||W_n^T W_n - I||_F^2 / B^2 with row-normalized hidden rows
+    (`kernel/sgcn_img_snp.py:198-205`)."""
+    wn = hidden / hidden.norm(dim=1, keepdim=True).clamp_min(1e-12)
+    gram = wn.t() @ wn
+    eye = torch.eye(gram.shape[0])
+    return ((gram - eye) ** 2).sum() / (hidden.shape[0] ** 2)
+
+
+def tsne_similarity(tsne):
+    """RBF affinity over the t-SNE features
+    (`kernel/train_eval_sgcn_img_snps.py:529-535`)."""
+    return torch.exp(-0.01 * torch.cdist(tsne, tsne) ** 2)
+
+
 def seven_term_loss(model, x, adj, snps, y, clini, tsne, lw):
     """The reference 7-term train loss on a `TorchFused` replica: dual-pass
     CE + regression MSE + sparsity (L1+entropy over sigmoid importances and
@@ -37,32 +74,44 @@ def seven_term_loss(model, x, adj, snps, y, clini, tsne, lw):
     loss = loss + lw.regr * (F.mse_loss(out[5], clini)
                              + F.mse_loss(out_m[5], clini)) / 2
 
-    # sparsity penalty (loss_probability, kernel/sgcn_img_snp.py:153-181)
-    xp = torch.sigmoid(model.prob)
-    sp = torch.sigmoid(model.snps_prob)
-    d = x.shape[-1]
-    b = model.prob_bias.reshape(-1)
-    xf = x * model.prob
-    ep = torch.sigmoid((xf @ b[:d])[:, :, None] + (xf @ b[d:])[:, None, :])
-    mask = adj != 0
-    epm = ep[mask]
-    loss = loss + lw.prob * (
-        0.1 * (xp.abs().mean() + sp.abs().mean() + epm.abs().mean())
-        + 0.1 * (binary_entropy(xp).mean() + binary_entropy(sp).mean()
-                 + binary_entropy(epm).mean()))
+    loss = loss + lw.prob * sparsity_penalty(model, x, adj)
 
     loss = loss + lw.reco * (((out[1] - snps) ** 2).sum()
                              + ((out_m[1] - snps) ** 2).sum()) / 2
 
-    sim = torch.exp(-0.01 * torch.cdist(tsne, tsne) ** 2)
+    sim = tsne_similarity(tsne)
     loss = loss + lw.simi * (consistency(out[2], sim)
                              + consistency(out_m[2], sim)) / 2
 
-    wn = out[2] / out[2].norm(dim=1, keepdim=True).clamp_min(1e-12)
-    gram = wn.t() @ wn
-    eye = torch.eye(gram.shape[0])
-    loss = loss + lw.orth * ((gram - eye) ** 2).sum() / (out[2].shape[0] ** 2)
-    return loss
+    return loss + lw.orth * orthogonality(out[2])
+
+
+def gcn_fusion_loss(model, x, adj, snps, y, clini, tsne, lw):
+    """GCN_IMGSNP objective on a `TorchFused` replica: SINGLE forward,
+    CE + regression MSE + SNP recon + similarity consistency +
+    orthogonality — no sparsity term, no masked second pass
+    (`kernel/train_eval_gcn_img_snps.py:448-483`)."""
+    out = model(x, adj, snps)
+    sim = tsne_similarity(tsne)
+    return (lw.disease * F.nll_loss(out[0], y)
+            + lw.regr * F.mse_loss(out[5], clini)
+            + lw.reco * ((out[1] - snps) ** 2).sum()
+            + lw.simi * consistency(out[2], sim)
+            + lw.orth * orthogonality(out[2]))
+
+
+def clusterlabel_loss(model, x, adj, snps, y, clust_y, lw):
+    """SGCN_GCN_CLUSTERLABEL objective on a `TorchClusterLabel` replica:
+    dual sequential pass, averaged disease/cluster CE on both passes,
+    UNWEIGHTED sparsity penalty, averaged SNP reconstruction
+    (`kernel/train_eval_sgcn_clusterlabel.py:365-399`)."""
+    out = model(x, adj, snps)
+    out_m = model(x, adj, snps, is_explain=True)
+    ce = (F.nll_loss(out[0], y) + F.nll_loss(out[1], clust_y)) / 2
+    mi = (F.nll_loss(out_m[0], y) + F.nll_loss(out_m[1], clust_y)) / 2
+    recon = lw.reco * (((out[2] - snps) ** 2).sum()
+                       + ((out_m[2] - snps) ** 2).sum()) / 2
+    return ce + mi + sparsity_penalty(model, x, adj) + recon
 
 
 def snps_bce_loss(model, x, y, lambda0):

@@ -58,14 +58,20 @@ def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
     from iggcn_tpu.data.adni import synthetic_cohort
     from iggcn_tpu.data.batching import cohort_batch_arrays
     from iggcn_tpu.data.go_graph import synthetic_topology
+    from iggcn_tpu.models.clusterlabel import ClusterLabelSGCN
     from iggcn_tpu.models.fused_sgcn import FusedSGCN
     from iggcn_tpu.models.guide import GuideImgSnp
-    from iggcn_tpu.oracle.torch_losses import guide_loss, seven_term_loss
-    from iggcn_tpu.oracle.torch_ref import (TorchFused, TorchGuide,
+    from iggcn_tpu.oracle.torch_losses import (clusterlabel_loss,
+                                               gcn_fusion_loss, guide_loss,
+                                               seven_term_loss)
+    from iggcn_tpu.oracle.torch_ref import (TorchClusterLabel, TorchFused,
+                                            TorchGuide,
+                                            load_clusterlabel_params,
                                             load_fused_params,
                                             load_guide_params)
     from iggcn_tpu.train.metrics import roc_auc_binary
-    from iggcn_tpu.train.steps import (TrainState, guide_objective,
+    from iggcn_tpu.train.steps import (TrainState, clusterlabel_objective,
+                                       gcn_fusion_objective, guide_objective,
                                        make_eval_step, make_optimizer,
                                        make_train_step)
 
@@ -106,31 +112,39 @@ def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
     train_b, test_b = subset(train_idx), subset(test_idx)
     n_train = len(train_idx)
 
-    if family == "fused":
+    zero_drop = dict(dropout_lin=0.0, dropout_regr=0.0, dropout_go=0.0,
+                     dropout_readout=0.0)
+    if family in ("fused", "gcn"):
         lw = LossWeights(disease=1.0, regr=1.0, prob=0.5, reco=1.5e-6,
                          simi=0.1, orth=0.1)
         mcfg = ModelConfig(num_layers=2, hidden=8, rois=rois,
-                           hidden_linear=32, dropout_lin=0.0,
-                           dropout_regr=0.0, dropout_go=0.0,
-                           dropout_readout=0.0)
+                           hidden_linear=32, **zero_drop)
     elif family == "guide":
         # the guide trainer's positional lambda list: prob -> SNP recon,
         # reco -> image surrogate recon, simi -> Bernoulli-KL sparsity
         lw = LossWeights(disease=1.0, regr=1.0, prob=1e-4, reco=1e-3,
                          simi=0.1, orth=0.0)
-        mcfg = ModelConfig(num_layers=2, hidden=16, rois=rois,
-                           dropout_lin=0.0, dropout_regr=0.0,
-                           dropout_go=0.0, dropout_readout=0.0)
+        mcfg = ModelConfig(num_layers=2, hidden=16, rois=rois, **zero_drop)
+    elif family == "cluster":
+        lw = LossWeights(disease=1.0, regr=0.0, prob=0.5, reco=1.5e-6,
+                         simi=0.0, orth=0.0)
+        mcfg = ModelConfig(num_layers=2, hidden=8, rois=rois,
+                           hidden_linear=32, is_predict_cluster=True,
+                           **zero_drop)
     else:
         raise ValueError(f"unknown family {family!r}")
     tcfg = TrainConfig(epochs=epochs, batch_size=n_train, lr=lr,
                        weight_decay=weight_decay, lr_decay_factor=factor,
                        lr_decay_step_size=decay_every, loss=lw)
-    objective = guide_objective if family == "guide" else None
+    objective = {"fused": None, "gcn": gcn_fusion_objective,
+                 "guide": guide_objective,
+                 "cluster": clusterlabel_objective}[family]
 
     # ---- JAX ------------------------------------------------------------
     if family == "guide":
         model = GuideImgSnp(cfg=mcfg, topo=topo, gumbel_zero=True)
+    elif family == "cluster":
+        model = ClusterLabelSGCN(cfg=mcfg, topo=topo)
     else:
         model = FusedSGCN(cfg=mcfg, topo=topo)
     variables = jax.jit(model.init)(jax.random.PRNGKey(11), train_b["x"],
@@ -174,6 +188,12 @@ def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
         load_guide_params(tmodel, init_params)
         tmodel.drop_enc = tmodel.drop_dec = 0.0
         tmodel.drop_lin = tmodel.drop_regr = 0.0
+    elif family == "cluster":
+        tmodel = TorchClusterLabel(topo, num_layers=mcfg.num_layers,
+                                   hidden=mcfg.hidden, rois=rois,
+                                   hidden_linear=mcfg.hidden_linear)
+        load_clusterlabel_params(tmodel, init_params)
+        tmodel.drop_head = 0.0
     else:
         tmodel = TorchFused(topo, num_layers=mcfg.num_layers,
                             hidden=mcfg.hidden, rois=rois,
@@ -188,6 +208,7 @@ def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
     tt = {k: torch.from_numpy(np.array(arrays[k][train_idx]))
           for k in ("x", "adj", "snps", "clini", "tsne")}
     ty = torch.from_numpy(np.array(arrays["y"][train_idx])).long()
+    tcy = torch.from_numpy(np.array(arrays["clust_y"][train_idx])).long()
 
     losses_torch = []
     for epoch in range(1, epochs + 1):
@@ -195,6 +216,12 @@ def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
         if family == "guide":
             loss = guide_loss(tmodel, tt["x"], tt["adj"], tt["snps"], ty,
                               tt["clini"], lw, temperature=tcfg.temperature)
+        elif family == "gcn":
+            loss = gcn_fusion_loss(tmodel, tt["x"], tt["adj"], tt["snps"],
+                                   ty, tt["clini"], tt["tsne"], lw)
+        elif family == "cluster":
+            loss = clusterlabel_loss(tmodel, tt["x"], tt["adj"], tt["snps"],
+                                     ty, tcy, lw)
         else:
             loss = seven_term_loss(tmodel, tt["x"], tt["adj"], tt["snps"],
                                    ty, tt["clini"], tt["tsne"], lw)
@@ -358,12 +385,14 @@ def build_parser() -> argparse.ArgumentParser:
         description="Convergence-level A/B of the fused flagship: JAX vs "
                     "the independent torch derivation, identical init/data, "
                     "held-out metrics compared at convergence")
-    p.add_argument("--family", choices=("fused", "guide", "snps"),
+    p.add_argument("--family",
+                   choices=("fused", "gcn", "guide", "cluster", "snps"),
                    default="fused",
                    help="trainer family under test: the 7-term fused "
-                        "flagship, the Gumbel-ST guide family "
-                        "(deterministic gumbel_zero parity mode), or the "
-                        "SNP-only GO classifier")
+                        "flagship, the single-forward GCN fusion, the "
+                        "Gumbel-ST guide family (deterministic gumbel_zero "
+                        "parity mode), the cluster-label multitask family, "
+                        "or the SNP-only GO classifier")
     p.add_argument("--epochs", type=int, default=300,
                    help="full-batch optimizer steps (one per epoch)")
     p.add_argument("--subjects", type=int, default=120,

@@ -41,6 +41,20 @@ def test_convergence_ab_guide_small():
     _assert_agrees(run_convergence_ab(family="guide", epochs=30, subjects=60))
 
 
+def test_convergence_ab_gcn_small():
+    """Same harness on the single-forward GCN fusion family
+    (`kernel/train_eval_gcn_img_snps.py:448-483`)."""
+    _assert_agrees(run_convergence_ab(family="gcn", epochs=30, subjects=60))
+
+
+def test_convergence_ab_cluster_small():
+    """Same harness on the cluster-label multitask family: dual-pass
+    two-head CE + unweighted sparsity + averaged recon
+    (`kernel/train_eval_sgcn_clusterlabel.py:365-399`)."""
+    _assert_agrees(run_convergence_ab(family="cluster", epochs=30,
+                                      subjects=60))
+
+
 def test_convergence_ab_snps_small():
     """Same harness on the SNP-only GO classifier (the exact production
     step, `snps_trainer.build_snps_steps`). At 30 epochs the loss is still

@@ -54,9 +54,9 @@ from tests.conftest import device_batch
 # the training window (and therefore every measured tolerance in this file)
 # is SHARED with the fused suite — import its constants so retuning one
 # suite cannot silently invalidate the other's calibration
-from iggcn_tpu.oracle.torch_losses import binary_entropy as _ent
-from iggcn_tpu.oracle.torch_losses import consistency as _consist
-from iggcn_tpu.oracle.torch_losses import guide_loss
+from iggcn_tpu.oracle.torch_losses import (clusterlabel_loss,
+                                           gcn_fusion_loss, guide_loss,
+                                           sparsity_penalty)
 from tests.test_trajectory_parity import B, DECAY_EVERY, FACTOR, LR, STEPS
 
 # Adam noise-walk bound for gradient-degenerate leaves (see the fused test's
@@ -185,26 +185,6 @@ def _go_bn_stats(tgo):
                          "bn_latent2"]}
 
 
-def _torch_sparsity(model, x, adj, with_snps=True):
-    """loss_probability (`kernel/sgcn_img_snp.py:153-181`); `with_snps=False`
-    is the image-only variant (`kernel/sgcn.py:88-109`: node L1 /N, no SNP
-    term)."""
-    xp = torch.sigmoid(model.prob)
-    d = x.shape[-1]
-    b = model.prob_bias.reshape(-1)
-    xf = x * model.prob
-    ep = torch.sigmoid((xf @ b[:d])[:, :, None] + (xf @ b[d:])[:, None, :])
-    epm = ep[adj != 0]
-    if with_snps:
-        sp = torch.sigmoid(model.snps_prob)
-        l1 = xp.abs().mean() + sp.abs().mean() + epm.abs().mean()
-        ent = _ent(xp).mean() + _ent(sp).mean() + _ent(epm).mean()
-    else:
-        l1 = xp.abs().sum() / xp.shape[0] + epm.abs().mean()
-        ent = _ent(xp).mean() + _ent(epm).mean()
-    return 0.1 * l1 + 0.1 * ent
-
-
 def test_gcn_fusion_trajectory_matches_torch(topo, cohort):
     """GCN_IMGSNP: single forward, loss = CE + regr-MSE + recon + consist +
     orth (`kernel/train_eval_gcn_img_snps.py:448-483`)."""
@@ -225,18 +205,10 @@ def test_gcn_fusion_trajectory_matches_torch(topo, cohort):
     tm.train()
     tb = _torch_batch(batch)
     y = tb["y"].long()
-    sim = torch.exp(-0.01 * torch.cdist(tb["tsne"], tb["tsne"]) ** 2)
 
     def loss_fn():
-        out = tm(tb["x"], tb["adj"], tb["snps"])
-        wn = out[2] / out[2].norm(dim=1, keepdim=True).clamp_min(1e-12)
-        gram = wn.t() @ wn
-        orth = ((gram - torch.eye(gram.shape[0])) ** 2).sum() / (B * B)
-        return (lw.disease * F.nll_loss(out[0], y)
-                + lw.regr * F.mse_loss(out[5], tb["clini"])
-                + lw.reco * ((out[1] - tb["snps"]) ** 2).sum()
-                + lw.simi * _consist(out[2], sim)
-                + lw.orth * orth)
+        return gcn_fusion_loss(tm, tb["x"], tb["adj"], tb["snps"], y,
+                               tb["clini"], tb["tsne"], lw)
 
     losses_torch = None
     step1_bn = None
@@ -295,18 +267,10 @@ def test_clusterlabel_trajectory_matches_torch(topo, cohort):
     cy = tb["clust_y"].long()
 
     def loss_fn():
-        out = tm(tb["x"], tb["adj"], tb["snps"])
-        out_m = tm(tb["x"], tb["adj"], tb["snps"], is_explain=True)
-        ce = F.nll_loss(out[0], y)
-        ce_c = F.nll_loss(out[1], cy)
-        mi = F.nll_loss(out_m[0], y)
-        mi_c = F.nll_loss(out_m[1], cy)
         # clusterlabel applies the sparsity penalty UNWEIGHTED
         # (kernel/train_eval_sgcn_clusterlabel.py:365-399)
-        loss_prob = _torch_sparsity(tm, tb["x"], tb["adj"])
-        recon = lw.reco * (((out[2] - tb["snps"]) ** 2).sum()
-                           + ((out_m[2] - tb["snps"]) ** 2).sum()) / 2
-        return (ce + ce_c) / 2 + (mi + mi_c) / 2 + loss_prob + recon
+        return clusterlabel_loss(tm, tb["x"], tb["adj"], tb["snps"], y, cy,
+                                 lw)
 
     losses_torch = None
     step1_bn = None
@@ -444,7 +408,7 @@ def test_sgcn_image_trajectory_matches_torch(cohort):
     def loss_fn():
         lp = tm(tb["x"], tb["adj"])
         lp_m = tm(tb["x"], tb["adj"], is_explain=True)
-        loss_prob = _torch_sparsity(tm, tb["x"], tb["adj"], with_snps=False)
+        loss_prob = sparsity_penalty(tm, tb["x"], tb["adj"], with_snps=False)
         return F.nll_loss(lp, y) + loss_prob + F.nll_loss(lp_m, y)
 
     losses_torch = None
@@ -498,7 +462,7 @@ def test_sgcn_ori_one_step_matches_torch(cohort):
     lp = tm(tb["x"], tb["adj"])
     lp_m = tm(tb["x"], tb["adj"], is_explain=True)
     loss = (F.nll_loss(lp, y)
-            + _torch_sparsity(tm, tb["x"], tb["adj"], with_snps=False)
+            + sparsity_penalty(tm, tb["x"], tb["adj"], with_snps=False)
             + F.nll_loss(lp_m, y))
     loss.backward()
     opt.step()
