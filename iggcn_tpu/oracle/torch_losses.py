@@ -114,6 +114,19 @@ def clusterlabel_loss(model, x, adj, snps, y, clust_y, lw):
     return ce + mi + sparsity_penalty(model, x, adj) + recon
 
 
+def sgcn_image_loss(model, x, adj, y, *, lamda_ce=1.0, lamda_mi=1.0):
+    """Image-only SGCN trainer objective on a `TorchSgcnImage` /
+    `TorchSgcnOri` replica: lamda_ce*CE(plain) + loss_probability +
+    lamda_mi*CE(masked), dual sequential pass, no genetics branch
+    (`kernel/train_eval_sgcn.py:296-313`). Shared by the trajectory-parity
+    tests and the convergence A/B."""
+    lp = model(x, adj)
+    lp_m = model(x, adj, is_explain=True)
+    return (lamda_ce * F.nll_loss(lp, y)
+            + sparsity_penalty(model, x, adj, with_snps=False)
+            + lamda_mi * F.nll_loss(lp_m, y))
+
+
 def snps_bce_loss(model, x, y, lambda0):
     """SNP-only GO trainer objective on a `TorchGoClassifier` replica:
     BCE(sum) over the positive-class probability + lambda0 * sum-MSE SNP

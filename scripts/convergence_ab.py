@@ -48,7 +48,10 @@ def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
         (`kernel/train_eval_sgcn_img_snps.py:511-548`);
       * "guide" — the Gumbel-ST guided-autoencoder family in its
         deterministic gumbel_zero parity mode
-        (`kernel/train_eval_guide_img_snps.py:450-489`).
+        (`kernel/train_eval_guide_img_snps.py:450-489`);
+      * "sgcn" — the image-only SGCN family (SGCN_GCN), dual-pass
+        CE + sparsity penalty, no genetics branch
+        (`kernel/train_eval_sgcn.py:296-313`).
     """
     import jax
     import jax.numpy as jnp
@@ -61,19 +64,22 @@ def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
     from iggcn_tpu.models.clusterlabel import ClusterLabelSGCN
     from iggcn_tpu.models.fused_sgcn import FusedSGCN
     from iggcn_tpu.models.guide import GuideImgSnp
+    from iggcn_tpu.models.sgcn_image import SGCNImage
     from iggcn_tpu.oracle.torch_losses import (clusterlabel_loss,
                                                gcn_fusion_loss, guide_loss,
-                                               seven_term_loss)
+                                               seven_term_loss,
+                                               sgcn_image_loss)
     from iggcn_tpu.oracle.torch_ref import (TorchClusterLabel, TorchFused,
-                                            TorchGuide,
+                                            TorchGuide, TorchSgcnImage,
                                             load_clusterlabel_params,
                                             load_fused_params,
-                                            load_guide_params)
+                                            load_guide_params,
+                                            load_sgcn_image_params)
     from iggcn_tpu.train.metrics import roc_auc_binary
     from iggcn_tpu.train.steps import (TrainState, clusterlabel_objective,
                                        gcn_fusion_objective, guide_objective,
                                        make_eval_step, make_optimizer,
-                                       make_train_step)
+                                       make_train_step, sgcn_image_objective)
 
     rng = np.random.default_rng(seed)
     topo = synthetic_topology(rng)
@@ -131,6 +137,11 @@ def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
         mcfg = ModelConfig(num_layers=2, hidden=8, rois=rois,
                            hidden_linear=32, is_predict_cluster=True,
                            **zero_drop)
+    elif family == "sgcn":
+        # image-only: the objective reads only tcfg.sparsity (defaults
+        # lamda_ce = lamda_mi = 1, the reference's sgcn_hyperparameters)
+        lw = LossWeights(disease=1.0)
+        mcfg = ModelConfig(num_layers=2, hidden=16, rois=rois, **zero_drop)
     else:
         raise ValueError(f"unknown family {family!r}")
     tcfg = TrainConfig(epochs=epochs, batch_size=n_train, lr=lr,
@@ -138,17 +149,25 @@ def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
                        lr_decay_step_size=decay_every, loss=lw)
     objective = {"fused": None, "gcn": gcn_fusion_objective,
                  "guide": guide_objective,
-                 "cluster": clusterlabel_objective}[family]
+                 "cluster": clusterlabel_objective,
+                 "sgcn": sgcn_image_objective}[family]
 
     # ---- JAX ------------------------------------------------------------
     if family == "guide":
         model = GuideImgSnp(cfg=mcfg, topo=topo, gumbel_zero=True)
     elif family == "cluster":
         model = ClusterLabelSGCN(cfg=mcfg, topo=topo)
+    elif family == "sgcn":
+        model = SGCNImage(num_layers=mcfg.num_layers, hidden=mcfg.hidden,
+                          rois=rois, dropout_lin=0.0)
     else:
         model = FusedSGCN(cfg=mcfg, topo=topo)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(11), train_b["x"],
-                                    train_b["adj"], train_b["snps"])
+    if family == "sgcn":   # no genetics branch
+        variables = jax.jit(model.init)(jax.random.PRNGKey(11),
+                                        train_b["x"], train_b["adj"])
+    else:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(11), train_b["x"],
+                                        train_b["adj"], train_b["snps"])
     init_params = jax.device_get(variables["params"])
     optimizer = make_optimizer(tcfg)
     step_fn = (make_train_step(model, mcfg, tcfg, optimizer, objective)
@@ -194,13 +213,19 @@ def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
                                    hidden_linear=mcfg.hidden_linear)
         load_clusterlabel_params(tmodel, init_params)
         tmodel.drop_head = 0.0
+    elif family == "sgcn":
+        tmodel = TorchSgcnImage(num_layers=mcfg.num_layers,
+                                hidden=mcfg.hidden, rois=rois)
+        load_sgcn_image_params(tmodel, init_params)
+        tmodel.drop = 0.0
     else:
         tmodel = TorchFused(topo, num_layers=mcfg.num_layers,
                             hidden=mcfg.hidden, rois=rois,
                             hidden_linear=mcfg.hidden_linear)
         load_fused_params(tmodel, init_params)
         tmodel.drop_lin = tmodel.drop_regr = 0.0
-    tmodel.go.drop_gcn = tmodel.go.drop_readout = 0.0
+    if family != "sgcn":   # image-only model has no GO branch
+        tmodel.go.drop_gcn = tmodel.go.drop_readout = 0.0
     tmodel.train()
     opt = torch.optim.Adam(tmodel.parameters(), lr=lr,
                            weight_decay=weight_decay)
@@ -222,6 +247,8 @@ def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
         elif family == "cluster":
             loss = clusterlabel_loss(tmodel, tt["x"], tt["adj"], tt["snps"],
                                      ty, tcy, lw)
+        elif family == "sgcn":
+            loss = sgcn_image_loss(tmodel, tt["x"], tt["adj"], ty)
         else:
             loss = seven_term_loss(tmodel, tt["x"], tt["adj"], tt["snps"],
                                    ty, tt["clini"], tt["tsne"], lw)
@@ -236,9 +263,14 @@ def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
 
     tmodel.eval()
     with torch.no_grad():
-        tout = tmodel(torch.from_numpy(np.array(arrays["x"][test_idx])),
-                      torch.from_numpy(np.array(arrays["adj"][test_idx])),
-                      torch.from_numpy(np.array(arrays["snps"][test_idx])))
+        te_x = torch.from_numpy(np.array(arrays["x"][test_idx]))
+        te_adj = torch.from_numpy(np.array(arrays["adj"][test_idx]))
+        if family == "sgcn":
+            tout = (tmodel(te_x, te_adj),)
+        else:
+            tout = tmodel(
+                te_x, te_adj,
+                torch.from_numpy(np.array(arrays["snps"][test_idx])))
     log_probs_t = tout[0].numpy()
     pred_torch = log_probs_t.argmax(axis=1)
     acc_torch = float(np.mean(pred_torch == y_test))
@@ -386,13 +418,15 @@ def build_parser() -> argparse.ArgumentParser:
                     "the independent torch derivation, identical init/data, "
                     "held-out metrics compared at convergence")
     p.add_argument("--family",
-                   choices=("fused", "gcn", "guide", "cluster", "snps"),
+                   choices=("fused", "gcn", "guide", "cluster", "snps",
+                            "sgcn"),
                    default="fused",
                    help="trainer family under test: the 7-term fused "
                         "flagship, the single-forward GCN fusion, the "
                         "Gumbel-ST guide family (deterministic gumbel_zero "
                         "parity mode), the cluster-label multitask family, "
-                        "or the SNP-only GO classifier")
+                        "the SNP-only GO classifier, or the image-only "
+                        "SGCN (dual-pass CE + sparsity, no genetics branch)")
     p.add_argument("--epochs", type=int, default=300,
                    help="full-batch optimizer steps (one per epoch)")
     p.add_argument("--subjects", type=int, default=120,

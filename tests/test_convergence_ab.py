@@ -55,6 +55,13 @@ def test_convergence_ab_cluster_small():
                                       subjects=60))
 
 
+def test_convergence_ab_sgcn_small():
+    """Same harness on the image-only SGCN family (SGCN_GCN): dual-pass
+    CE + sparsity penalty, no genetics branch
+    (`kernel/train_eval_sgcn.py:296-313`)."""
+    _assert_agrees(run_convergence_ab(family="sgcn", epochs=30, subjects=60))
+
+
 def test_convergence_ab_snps_small():
     """Same harness on the SNP-only GO classifier (the exact production
     step, `snps_trainer.build_snps_steps`). At 30 epochs the loss is still

@@ -56,7 +56,7 @@ from tests.conftest import device_batch
 # suite cannot silently invalidate the other's calibration
 from iggcn_tpu.oracle.torch_losses import (clusterlabel_loss,
                                            gcn_fusion_loss, guide_loss,
-                                           sparsity_penalty)
+                                           sgcn_image_loss)
 from tests.test_trajectory_parity import B, DECAY_EVERY, FACTOR, LR, STEPS
 
 # Adam noise-walk bound for gradient-degenerate leaves (see the fused test's
@@ -406,10 +406,7 @@ def test_sgcn_image_trajectory_matches_torch(cohort):
     y = tb["y"].long()
 
     def loss_fn():
-        lp = tm(tb["x"], tb["adj"])
-        lp_m = tm(tb["x"], tb["adj"], is_explain=True)
-        loss_prob = sparsity_penalty(tm, tb["x"], tb["adj"], with_snps=False)
-        return F.nll_loss(lp, y) + loss_prob + F.nll_loss(lp_m, y)
+        return sgcn_image_loss(tm, tb["x"], tb["adj"], y)
 
     losses_torch = None
     for _, losses_torch in _run_torch(tm, loss_fn):
@@ -459,11 +456,7 @@ def test_sgcn_ori_one_step_matches_torch(cohort):
     tb = _torch_batch(batch)
     y = tb["y"].long()
     opt.zero_grad()
-    lp = tm(tb["x"], tb["adj"])
-    lp_m = tm(tb["x"], tb["adj"], is_explain=True)
-    loss = (F.nll_loss(lp, y)
-            + sparsity_penalty(tm, tb["x"], tb["adj"], with_snps=False)
-            + F.nll_loss(lp_m, y))
+    loss = sgcn_image_loss(tm, tb["x"], tb["adj"], y)
     loss.backward()
     opt.step()
 
