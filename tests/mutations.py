@@ -13,6 +13,7 @@ Patches target module-level names looked up at call/trace time, so the
 framework code under test picks them up without modification.
 """
 import jax.numpy as jnp
+import numpy as np
 
 
 def _steplr_off_by_one():
@@ -140,6 +141,57 @@ def _padding_weights_ignored():
     losses.weighted_mean = mutated
 
 
+def _kfold_val_is_next():
+    """Take the NEXT test fold as the validation fold instead of the
+    previous one — the reference's `val_indices = [test_indices[i-1]]`
+    (`kernel/train_eval_sgcn_img_snps.py:467-483`) reads equally plausibly
+    either way; the CV drivers' internal A/B tests would drift in lockstep
+    and stay green."""
+    from iggcn_tpu.data import splits
+    orig = splits.k_fold
+
+    def mutated(y, folds, seed):
+        tests = [te for _, te, _ in orig(y, folds, seed)]
+        out = []
+        for i in range(folds):
+            val = tests[(i + 1) % folds]
+            mask = np.ones(len(y), dtype=bool)
+            mask[tests[i]] = False
+            mask[val] = False
+            out.append((np.nonzero(mask)[0], tests[i], val))
+        return out
+
+    splits.k_fold = mutated
+
+
+def _ppr_row_normalized():
+    """Random-walk normalization D^-1 A in the PPR matrix instead of the
+    reference's symmetric D^-1/2 A D^-1/2 (`util_gdc.py:7-14`) — the three
+    diffusion implementations are cross-pinned against each other, so only
+    a hand-derived golden value catches a shared misreading."""
+    from iggcn_tpu.data import diffusion
+
+    def mutated(adj, alpha=0.05):
+        n = adj.shape[0]
+        h = adj / adj.sum(axis=1, keepdims=True)
+        return alpha * np.linalg.inv(np.eye(n) - (1 - alpha) * h)
+
+    diffusion.get_ppr_matrix = mutated
+
+
+def _topk_per_row():
+    """Sparsify the diffusion matrix by keeping top-k per ROW (then
+    row-normalizing) instead of the reference's per-COLUMN rule
+    (`util_gdc.py:25-31` argsorts axis=0 and divides by column sums)."""
+    from iggcn_tpu.data import diffusion
+    orig = diffusion.get_top_k_matrix
+
+    def mutated(a, k=5):
+        return np.ascontiguousarray(orig(np.ascontiguousarray(a.T), k).T)
+
+    diffusion.get_top_k_matrix = mutated
+
+
 MUTATIONS = {
     "steplr_off_by_one": _steplr_off_by_one,
     "bn_biased_running_var": _bn_biased_running_var,
@@ -150,6 +202,9 @@ MUTATIONS = {
     "impute_fit_on_all_splits": _impute_fit_on_all_splits,
     "padding_weights_ignored": _padding_weights_ignored,
     "fold_padding_gate_removed": _fold_padding_gate_removed,
+    "kfold_val_is_next": _kfold_val_is_next,
+    "ppr_row_normalized": _ppr_row_normalized,
+    "topk_per_row": _topk_per_row,
 }
 
 # the test (file) pinned to catch each mutation — used by the audit script
@@ -163,6 +218,9 @@ TARGETS = {
     "impute_fit_on_all_splits": "tests/test_data_units.py",
     "padding_weights_ignored": "tests/test_padding_exactness.py",
     "fold_padding_gate_removed": "tests/test_padding_exactness.py",
+    "kfold_val_is_next": "tests/test_splits.py",
+    "ppr_row_normalized": "tests/test_diffusion_golden.py",
+    "topk_per_row": "tests/test_diffusion_golden.py",
 }
 
 
