@@ -126,6 +126,14 @@ def orthogonal_loss(w: jax.Array, sample_weight: Optional[jax.Array] = None
     Parity: `OrthogonalConstraint` (`kernel/sgcn_img_snp.py:198-205`). With a
     padding mask, padded rows are zeroed (their normalized rows would be
     garbage) and B counts real rows.
+
+    When D > B the (D, D) gram is never materialized: by trace algebra,
+    ||W^T W - I_D||_F^2 = tr((W W^T)^2) - 2 ||W||_F^2 + D, which needs only
+    the (B, B) gram. At production-scale readouts (D in the 1e5 range, where
+    the direct form would allocate O(D^2) HBM) this is the difference between
+    fitting and OOM; with D > B the rank-deficient W^T W is far from I_D, so
+    the subtraction carries no catastrophic cancellation. D <= B keeps the
+    direct form so small-case numerics stay bit-identical to the oracle pins.
     """
     norm = jnp.linalg.norm(w, axis=1, keepdims=True)
     wn = w / jnp.maximum(norm, 1e-12)
@@ -134,8 +142,13 @@ def orthogonal_loss(w: jax.Array, sample_weight: Optional[jax.Array] = None
         b = jnp.maximum(jnp.sum(sample_weight), 1.0)
     else:
         b = w.shape[0]
+    d = w.shape[1]
+    if d > w.shape[0]:
+        gram_b = wn @ wn.T
+        sq = jnp.sum(jnp.square(gram_b)) - 2.0 * jnp.sum(jnp.square(wn)) + d
+        return sq / (b * b)
     gram = wn.T @ wn
-    eye = jnp.eye(w.shape[1], dtype=w.dtype)
+    eye = jnp.eye(d, dtype=w.dtype)
     return jnp.sum(jnp.square(gram - eye)) / (b * b)
 
 

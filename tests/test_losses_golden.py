@@ -156,6 +156,23 @@ def test_orthogonal_loss_golden():
     np.testing.assert_allclose(got_pad, want, rtol=1e-5)
 
 
+def test_orthogonal_loss_wide_matches_direct_form():
+    """D > B takes the trace-algebra path (no (D, D) gram); it must equal the
+    direct ||W_n^T W_n - I||_F^2 / B^2 definition, with and without padding."""
+    b, f = 5, 37
+    w = RNG.normal(size=(b, f)).astype(np.float32)
+    wn = w / np.linalg.norm(w, axis=1, keepdims=True)
+    want = (np.linalg.norm(wn.T @ wn - np.eye(f)) ** 2) / (b * b)
+    got = float(losses.orthogonal_loss(jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    wpad = np.concatenate([w, RNG.normal(size=(3, f)).astype(np.float32)])
+    sw = jnp.asarray([1.0] * b + [0.0] * 3)
+    got_pad = float(losses.orthogonal_loss(jnp.asarray(wpad),
+                                           sample_weight=sw))
+    np.testing.assert_allclose(got_pad, want, rtol=1e-5)
+
+
 def test_elementwise_losses_golden():
     """nll (F.nll_loss mean), mse (F.mse_loss mean), recon
     (sum-reduction MSE, train_eval_sgcn_img_snps.py:533-537)."""
