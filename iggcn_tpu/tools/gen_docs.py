@@ -100,7 +100,7 @@ def _import_main_module():
 def render_cli_md() -> str:
     main_mod = _import_main_module()
     from iggcn_tpu.tools import (doctor, explain, export_cohort,
-                                 profile_step, report, serve)
+                                 import_torch, profile_step, report, serve)
 
     parts: List[str] = [HEADER]
 
@@ -153,6 +153,15 @@ def render_cli_md() -> str:
          "ready for `iggcn-serve --npz` or the daemon's `/predict`. "
          "Host-side only.",
          export_cohort),
+        ("## `iggcn_tpu.tools.import_torch` (`iggcn-import-torch`)",
+         "Convert a reference-trained torch checkpoint "
+         "(`gcn_state_dict_*.pt`, the fused SGCN_GCN_IMGSNP family — the "
+         "only checkpoint the reference writes, and one it never loads "
+         "back) into a serving bundle. Architecture is inferred from the "
+         "tensor shapes; the GO topology must be supplied (same sources "
+         "the training run used) because the checkpoint stores only the "
+         "sparse gene-coding VALUE vectors.",
+         import_torch),
     ):
         parts.append("")
         parts.append(title + "\n")
