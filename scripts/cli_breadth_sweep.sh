@@ -84,6 +84,10 @@ run snp_go           python main.py $S --disease_id 0 --model Gene_ontology_netw
 # exported cohort must match: the fixture writer parameterizes dims)
 run export_serve     python scripts/_export_serve_check.py
 
+# checkpoint interop over the sweep's own bundle: reverse-export to a
+# reference-layout torch state_dict, import back, identical logits
+run import_interop   python scripts/_import_interop_check.py
+
 # analysis over the sweep's own outputs
 run report           python -m iggcn_tpu.tools.report results/ADNI_sw_fused
 run report_permut    python -m iggcn_tpu.tools.report results/ADNI_sw_fused --permut_null results_permuttest/ADNI_sw_perm results_permuttest/ADNI_sw_pb_permut1 results_permuttest/ADNI_sw_pb_permut2
