@@ -273,13 +273,47 @@ def _fold_parallel_prepped_shims(full, host):
     return prepped
 
 
+def _apply_warm_start(variables, warm):
+    """Replace a fresh init's params/batch_stats with externally supplied
+    trees (e.g. a converted reference checkpoint, `tools/import_torch`).
+    Tree structure and every leaf shape must match the model exactly;
+    dtypes are coerced to the init's."""
+    out = dict(variables)
+    for name, tree in (("params", warm[0]), ("batch_stats", warm[1])):
+        if tree is None:
+            continue
+        cur = variables.get(name)
+        if cur is None:
+            raise ValueError(f"warm start supplies {name!r} but the model "
+                             f"has no such collection")
+        want = jax.tree_util.tree_structure(jax.device_get(cur))
+        got = jax.tree_util.tree_structure(tree)
+        if want != got:
+            raise ValueError(
+                f"warm-start {name} tree does not match the model's: "
+                f"supplied {got}, model has {want} — was the checkpoint "
+                f"trained with a different architecture?")
+
+        def _chk(a, b):
+            if tuple(np.shape(a)) != tuple(np.shape(b)):
+                raise ValueError(
+                    f"warm-start {name} leaf shape {np.shape(b)} does not "
+                    f"match the model's {np.shape(a)}")
+            return np.asarray(b, np.asarray(a).dtype)
+
+        out[name] = jax.tree_util.tree_map(_chk, jax.device_get(cur), tree)
+    return out
+
+
 def _init_fold_state(model, optimizer, takes_snps, mcfg, b, seed, fold,
-                     steps_per_epoch):
+                     steps_per_epoch, warm=None):
     """Fresh model per fold (parity :101-107); returns (state, rng).
     `steps_per_epoch` = the fold's REAL train batches per epoch, carried in
     the state so the per-epoch LR decay is exact per fold. Deterministic in
     (seed, fold) only — permutation-batch seeds share identical inits, as
-    standalone runs would."""
+    standalone runs would. `warm`: optional (params, batch_stats) trees
+    that replace the fresh init (every fold then starts from the same
+    externally trained weights; the optimizer state still starts fresh)."""
     rng = jax.random.PRNGKey(seed + fold)
     init_rng, rng = jax.random.split(rng)
     # host zeros: jnp.zeros would be 3 eager device ops per fold, each a
@@ -289,6 +323,8 @@ def _init_fold_state(model, optimizer, takes_snps, mcfg, b, seed, fold,
     if takes_snps:
         dummy = dummy + (np.zeros((b, mcfg.num_snps), np.float32),)
     variables = jax.jit(model.init)(init_rng, *dummy)
+    if warm is not None:
+        variables = _apply_warm_start(variables, warm)
     state = TrainState.create(variables, optimizer, steps_per_epoch)
     return state, rng
 
@@ -304,6 +340,7 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
                      verbose: bool = True,
                      export_bundle: bool = False,
                      resume: bool = False,
+                     warm_start=None,
                      _injected=None) -> CVResult:
     """Run the full CV experiment. `tcfg.no_val` selects the without-val
     variant; `model_kind` selects the model family and its objective
@@ -331,6 +368,14 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     mismatches are discarded loudly and retrained. Under `fold_parallel`
     all folds train in ONE program, so a partial set of saved folds
     retrains everything (only a fully-complete set is skippable).
+
+    `warm_start`: optional `(params, batch_stats, tag)` — every fold starts
+    from these externally trained collections instead of a fresh random
+    init (optimizer state still starts fresh; the reference has no
+    equivalent — its checkpoints are write-only). Used by
+    `main.py --init_from_torch` with a converted reference checkpoint
+    (`tools/import_torch`). `tag` (checkpoint name + content hash) enters
+    the resume fingerprint so warm and fresh runs never mix records.
 
     `_injected`: private — `(parallel_out, prepped, parallel_dt)` from
     `cross_validation_permut_batch`, whose single seeds x folds SPMD
@@ -369,7 +414,9 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
 
     def init_state(fold, steps_per_epoch):
         return _init_fold_state(model, optimizer, takes_snps, mcfg, b,
-                                tcfg.seed, fold, steps_per_epoch)
+                                tcfg.seed, fold, steps_per_epoch,
+                                warm=(warm_start[:2] if warm_start is not None
+                                      else None))
 
     def impute_fold(train_idx, test_idx, val_idx):
         return _impute_fold(cohort, external_test, use_val,
@@ -490,6 +537,11 @@ def cross_validation(cohort: AdniCohort, topo, mcfg: ModelConfig,
     for _k in ("use_fold_scan", "fold_parallel", "device_gather",
                "dual_pass_vmap", "scan_unroll"):
         run_identity.pop(_k)
+    if warm_start is not None:
+        # warm-started folds are a different run identity than fresh-init
+        # ones; the tag (checkpoint name + content hash) keeps resumes from
+        # mixing the two
+        run_identity["warm_start"] = str(warm_start[2])
     want_meta = np.asarray(
         [tcfg.epochs, tcfg.folds, tcfg.seed, tcfg.batch_size,
          int(tcfg.no_val), int(tcfg.is_permut_test),

@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write a self-contained serving bundle per fold "
                         "(config+topology+params; serve with "
                         "iggcn_tpu.tools.serve)")
+    p.add_argument("--init_from_torch", type=str, default="",
+                   help="warm-start every fold of a fused-family experiment "
+                        "from a reference-trained torch checkpoint "
+                        "(gcn_state_dict_*.pt, converted in-process by "
+                        "iggcn_tpu.tools.import_torch; architecture must "
+                        "match the run's --layers/--hiddens). Optimizer "
+                        "state and data splits stay fresh")
     p.add_argument("--isSoftSimilarity", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="soft RBF subject-similarity consistency loss on "
@@ -564,6 +571,19 @@ def main(argv=None):
             parser.error("--export_bundle with --isPermutTest: permutation "
                          "runs train on shuffled labels; refusing to export "
                          "serving bundles from them")
+    if args.init_from_torch:
+        # the reference's only checkpoint artifact is the fused
+        # SGCN_GCN_IMGSNP state_dict; other families' trees cannot load it
+        if FUSION_MODELS.get(args.model) != "sgcn_imgsnp":
+            parser.error("--init_from_torch supports --model "
+                         "SGCN_GCN_IMGSNP only (the one family the "
+                         "reference writes checkpoints for)")
+        if args.cv_seeds is not None or args.permut_seeds is not None:
+            parser.error("--init_from_torch does not combine with the "
+                         "--cv_seeds/--permut_seeds SPMD batch paths")
+        if not os.path.exists(args.init_from_torch):
+            parser.error(f"--init_from_torch: {args.init_from_torch} "
+                         "does not exist")
     if args.resume and args.save_appendix == "":
         parser.error("--resume needs --save_appendix naming the results "
                      "dir of the interrupted run (a fresh timestamped "
@@ -761,6 +781,50 @@ def _load_cohort(args, dcfg, rng):
     if hit:
         print(f"[data] cohort loaded from cache ({key})")
     return cohort, topo
+
+
+def _build_warm_start(args, dcfg, topo, combos, logger):
+    """Convert `--init_from_torch` (a reference gcn_state_dict_*.pt) into a
+    `(params, batch_stats, tag)` warm-start for `cv.cross_validation`.
+    The checkpoint fixes one architecture, so a multi-combo grid refuses
+    up front, and every architectural field must match the run's config —
+    a silent partial load is never an option."""
+    import hashlib
+
+    from iggcn_tpu.tools import import_torch as it
+
+    if len(combos) > 1:
+        print("[init_from_torch] a grid search cannot warm-start from one "
+              "fixed-architecture checkpoint; pass --no-search with the "
+              "checkpoint's --layers/--hiddens", file=sys.stderr)
+        raise SystemExit(2)
+    sd = it._load_state_dict(args.init_from_torch)
+    try:
+        icfg = it.infer_model_config(sd, topo)
+        mcfg0, _ = _fused_cfgs(args, dcfg, combos[0][0], combos[0][1])
+        arch_fields = ("num_layers", "hidden", "rois", "feat_dim",
+                       "num_classes", "num_regr", "hidden_linear", "l_dim",
+                       "go_in_f_dim", "go_n_l", "go_f_dim", "num_snps",
+                       "is_use_prob4regr")
+        mismatch = [f"{f}: checkpoint {getattr(icfg, f)} vs run "
+                    f"{getattr(mcfg0, f)}" for f in arch_fields
+                    if getattr(icfg, f) != getattr(mcfg0, f)]
+        if mismatch:
+            print("[init_from_torch] checkpoint architecture does not "
+                  "match the run's configuration:\n  "
+                  + "\n  ".join(mismatch), file=sys.stderr)
+            raise SystemExit(2)
+        params, batch_stats = it.convert_fused_state_dict(sd, topo, icfg)
+    except it.ImportError_ as e:
+        print(f"[init_from_torch] FAILED: {e}", file=sys.stderr)
+        raise SystemExit(2)
+    with open(args.init_from_torch, "rb") as f:
+        digest = hashlib.sha1(f.read()).hexdigest()[:12]
+    tag = f"{os.path.basename(args.init_from_torch)}:{digest}"
+    msg = f"[init_from_torch] warm-starting every fold from {tag}"
+    print(msg)
+    logger(msg)
+    return params, batch_stats, tag
 
 
 def _fused_cfgs(args, dcfg, num_layers, hidden):
@@ -1270,6 +1334,10 @@ def _run_experiment(args, parser):
               "configuration instead of the grid")
         combos = combos[:1]
 
+    warm_start = None
+    if args.init_from_torch:
+        warm_start = _build_warm_start(args, dcfg, topo, combos, logger)
+
     best = (float("inf"), 0.0, 0.0)
     best_hyper = combos[0]
     for num_layers, hidden, h in combos:
@@ -1295,7 +1363,7 @@ def _run_experiment(args, parser):
                 result_file_name=result_file_name,
                 clinical_score_index=args.clinical_score_index, logger=logger,
                 model_kind=model_kind, export_bundle=args.export_bundle,
-                resume=args.resume)
+                resume=args.resume, warm_start=warm_start)
         print(f"[throughput] {res.throughput_graphs_per_sec:.1f} graphs/s")
         if _improves(res.mean_test_loss, best[0]):
             best = (res.mean_test_loss, res.best_acc, res.best_acc_std)
