@@ -581,6 +581,18 @@ def main(argv=None):
         if args.cv_seeds is not None or args.permut_seeds is not None:
             parser.error("--init_from_torch does not combine with the "
                          "--cv_seeds/--permut_seeds SPMD batch paths")
+        if args.isTestAdnitype:
+            # the held-out-type split binarizes labels AFTER warm-start
+            # validation, so a checkpoint matching --disease_id's head
+            # would pass the arch check and then fail the per-leaf shape
+            # guard at fold init (and one matching the binarized head
+            # would be falsely rejected up front). The combination is
+            # ill-defined — the reference checkpoint was trained on a
+            # different label space — so refuse it loudly.
+            parser.error("--init_from_torch does not combine with "
+                         "--isTestAdnitype: the held-out-ADNI-type split "
+                         "re-binarizes the classifier head, so the "
+                         "checkpoint's head cannot match the run's")
         if not os.path.exists(args.init_from_torch):
             parser.error(f"--init_from_torch: {args.init_from_torch} "
                          "does not exist")
@@ -833,11 +845,19 @@ def _fused_cfgs(args, dcfg, num_layers, hidden):
     path so a batched null's configuration cannot drift from a standalone
     run's."""
     from iggcn_tpu.config import LossWeights, ModelConfig, TrainConfig
+    # Resolve the --num_regr None default here (not only in main()) so
+    # direct callers — warm-start validation, tests, the SPMD batch
+    # drivers — always see the same post-coercion architecture main()
+    # trains with: a single selected clinical score means one regression
+    # head, otherwise all three (tau/adas13/mmse).
+    num_regr = args.num_regr
+    if num_regr is None:
+        num_regr = 1 if args.clinical_score_index != -1 else 3
     mcfg = ModelConfig(
         num_layers=num_layers, hidden=hidden,
         rois=270 if args.isMultiFusion else 90,
         feat_dim=1 if args.isMultiFusion else 3,
-        num_classes=dcfg.num_classes, num_regr=args.num_regr,
+        num_classes=dcfg.num_classes, num_regr=num_regr,
         is_cross_atten=args.isCrossAtten,
         is_soft_similarity=args.isSoftSimilarity,
         rbf_gamma=args.rbf_gamma, is_use_prob4regr=args.isuseProb4Regr,

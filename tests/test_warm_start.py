@@ -10,7 +10,6 @@ checkpoint through it. Pins: the warm trees enter the hot loop bit-exactly
 structure/shape guards fail loudly, the resume fingerprint separates warm
 from fresh runs, and the CLI refuses unsupported routes.
 """
-import dataclasses
 import os
 
 import jax
@@ -20,7 +19,6 @@ import pytest
 import main as cli
 from iggcn_tpu.config import ModelConfig, TrainConfig
 from iggcn_tpu.models.sgcn_image import SGCNImage
-from iggcn_tpu.train import cv as cv_mod
 from iggcn_tpu.train.checkpoint import load_checkpoint
 from iggcn_tpu.train.cv import (_apply_warm_start, _init_fold_state,
                                 cross_validation)
@@ -137,6 +135,11 @@ def test_cli_refuses_unsupported_routes(tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         cli.main(["--model", "SGCN_GCN_IMGSNP", "--init_from_torch",
+                  str(ck), "--isTestAdnitype"])
+    assert "isTestAdnitype" in capsys.readouterr().err
+
+    with pytest.raises(SystemExit):
+        cli.main(["--model", "SGCN_GCN_IMGSNP", "--init_from_torch",
                   str(tmp_path / "missing.pt")])
     assert "does not exist" in capsys.readouterr().err
 
@@ -150,7 +153,10 @@ def test_build_warm_start_arch_mismatch(topo, tmp_path, capsys):
     from iggcn_tpu.models.fused_sgcn import FusedSGCN
     from iggcn_tpu.tools.import_torch import export_reference_state_dict
 
-    cfg = ModelConfig(num_layers=2, hidden=4)
+    # num_classes must match the run side: the CLI's default --disease_id 3
+    # selects a 3-class cohort, and _fused_cfgs resolves --num_regr None to
+    # the 3-head default — so a default-flag run expects (3 classes, 3 regr)
+    cfg = ModelConfig(num_layers=2, hidden=4, num_classes=3)
     model = FusedSGCN(cfg=cfg, topo=topo)
     import jax.numpy as jnp
     v = model.init(jax.random.PRNGKey(0),
@@ -187,3 +193,58 @@ def test_build_warm_start_arch_mismatch(topo, tmp_path, capsys):
                                                [(2, 4, 2)], lambda m: None)
     assert tag.startswith("sd.pt:")
     assert "conv_w_0" in params and "go_network" in stats
+
+
+def test_cli_warm_start_happy_path(tmp_path, monkeypatch):
+    """Full-CLI drive: `main.py --init_from_torch <matching.pt>` trains, and
+    with lr=0 fold 0's saved params are bit-equal to the checkpoint — the
+    imported reference weights (not a fresh init) entered every fold."""
+    import torch
+
+    from iggcn_tpu.data.go_graph import synthetic_topology
+    from iggcn_tpu.models.fused_sgcn import FusedSGCN
+    from iggcn_tpu.tools.import_torch import (_load_state_dict,
+                                              convert_fused_state_dict,
+                                              export_reference_state_dict,
+                                              infer_model_config)
+
+    seed = 1000
+    # the CLI's synthetic route draws topo from default_rng(--seed) before
+    # the cohort (main._load_cohort); reproduce it so the checkpoint's GO
+    # dims match the run's
+    topo = synthetic_topology(np.random.default_rng(seed))
+    cfg = ModelConfig(num_layers=2, hidden=4, num_classes=3)
+    model = FusedSGCN(cfg=cfg, topo=topo)
+    import jax.numpy as jnp
+    v = model.init(jax.random.PRNGKey(7),
+                   jnp.zeros((2, cfg.rois, cfg.feat_dim)),
+                   jnp.zeros((2, cfg.rois, cfg.rois)),
+                   jnp.zeros((2, cfg.num_snps)))
+    sd = export_reference_state_dict(jax.device_get(v["params"]),
+                                     jax.device_get(v["batch_stats"]),
+                                     topo, cfg)
+    ck = tmp_path / "gcn_state_dict_ref.pt"
+    torch.save({k: torch.from_numpy(np.asarray(a)) for k, a in sd.items()},
+               ck)
+
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--model", "SGCN_GCN_IMGSNP", "--synthetic",
+              "--synthetic_subjects", "24", "--epochs", "1", "--fold", "3",
+              "--lr", "0", "--seed", str(seed), "--no-search", "--layers",
+              "2", "--hiddens", "4", "--init_from_torch", str(ck),
+              "--save_appendix", "_warmcli"])
+
+    sd_back = _load_state_dict(str(ck))
+    icfg = infer_model_config(sd_back, topo)
+    want_params, _ = convert_fused_state_dict(sd_back, topo, icfg)
+    ckpt = (tmp_path / "results" / "ADNI_warmcli" /
+            "gcn_state_dict_result_sgcn_img_snp_layers2_hidden4_h2_fold_0"
+            ".msgpack")
+    assert ckpt.exists()
+    loaded = load_checkpoint(str(ckpt), {"params": want_params,
+                                         "batch_stats": {}})
+    flat_want = dict(_tree_paths(want_params))
+    for path, arr in _tree_paths(loaded["params"]):
+        np.testing.assert_array_equal(arr, flat_want[path], err_msg=path)
+    log = (tmp_path / "results" / "ADNI_warmcli" / "log.txt").read_text()
+    assert "warm-starting every fold" in log
