@@ -21,10 +21,14 @@ import numpy as np
 # measured torch-CPU oracle throughput on this image (fallback only)
 FALLBACK_TORCH_GPS = 225.0  # measured 2026-08 on this image (bench_torch)
 
-SUBJECTS = 512
-EPOCHS_TIMED = 50
+# scale knobs are env-tunable so the full control flow can be driven
+# end-to-end on CPU in minutes (the defaults are the TPU artifact config)
+SUBJECTS = int(os.environ.get("IGGCN_BENCH_SUBJECTS", "512"))
+EPOCHS_TIMED = int(os.environ.get("IGGCN_BENCH_EPOCHS", "50"))
 BATCH = 32                      # reference default; oracle comparison batch
-BATCH_SWEEP = (32, 64, 128, 256)  # throughput is reported at the best batch
+BATCH_SWEEP = tuple(
+    int(b) for b in
+    os.environ.get("IGGCN_BENCH_SWEEP", "32,64,128,256").split(","))
 
 
 def build_data():
@@ -39,7 +43,12 @@ def build_data():
     return topo, cohort
 
 
-def bench_jax(topo, cohort, batch=BATCH, **tcfg_overrides):
+def bench_jax(topo, cohort, batch=BATCH, attention_impl=None, donate=None,
+              **tcfg_overrides):
+    """One training-throughput leg. `attention_impl` overrides the GO
+    branch's aggregation ('dense'/'edge'; None = the shipped 'auto');
+    `donate` overrides buffer donation (None = the IGGCN_BENCH_DONATE env
+    knob) — both exist so the budgeted A/B legs can attest the defaults."""
     import jax
     import jax.numpy as jnp
 
@@ -50,7 +59,8 @@ def bench_jax(topo, cohort, batch=BATCH, **tcfg_overrides):
     from iggcn_tpu.train.steps import TrainState, make_optimizer
 
     use_pallas = os.environ.get("IGGCN_BENCH_PALLAS", "0") == "1"
-    mcfg = ModelConfig(num_layers=2, hidden=16, use_pallas_gcn=use_pallas)
+    mcfg = ModelConfig(num_layers=2, hidden=16, use_pallas_gcn=use_pallas,
+                       go_attention_impl=attention_impl or "auto")
     tcfg = TrainConfig(epochs=EPOCHS_TIMED + 1, batch_size=batch,
                        **tcfg_overrides)
     model = FusedSGCN(cfg=mcfg, topo=topo)
@@ -63,11 +73,13 @@ def bench_jax(topo, cohort, batch=BATCH, **tcfg_overrides):
     optimizer = make_optimizer(tcfg, steps)
     train_epoch, _ = _epoch_fns(model, mcfg, tcfg, optimizer)
 
-    # IGGCN_BENCH_DONATE=1: donate the state buffers to the epoch program
-    # (params+opt state update in place instead of allocating a second copy
-    # in HBM). A/B knob for the TPU window; XLA may already reuse the
-    # buffers, so measure rather than assume.
-    donate = (0,) if os.environ.get("IGGCN_BENCH_DONATE", "0") == "1" else ()
+    # IGGCN_BENCH_DONATE=1 (or donate=True): donate the state buffers to
+    # the epoch program (params+opt state update in place instead of
+    # allocating a second copy in HBM). A/B knob for the TPU window; XLA
+    # may already reuse the buffers, so measure rather than assume.
+    if donate is None:
+        donate = os.environ.get("IGGCN_BENCH_DONATE", "0") == "1"
+    donate = (0,) if donate else ()
 
     @functools.partial(jax.jit, donate_argnums=donate)
     def run_epochs(state, data, perms, rng):
@@ -327,121 +339,250 @@ def _canary():
 # a healthy window measures both canaries at ~25-40 ms; a contended one
 # inflates them 3-30x (the chip is time-shared and the host page-fault
 # throughput swings too). The round-end artifact should not record a
-# degraded window if a healthy one is a retry away.
+# degraded window if a healthy one is a retry away — but retries must
+# never forfeit the artifact either (BENCH_r03 was rc=124 with ZERO
+# output), so every retry/sleep/leg is gated on the global budget below
+# and a cumulative partial JSON line lands after every completed leg.
 CANARY_HEALTHY_MS = 120.0
 MAX_ATTEMPTS = 3
 RETRY_SLEEP_S = 45.0
+# Global wall-clock budget. The driver's own timeout killed r3's bench at
+# rc=124 with nothing printed; the default here must leave the final JSON
+# comfortably inside any plausible driver window.
+BUDGET_S = float(os.environ.get("IGGCN_BENCH_BUDGET_S", "420"))
 
 
-def _measure_once(topo, cohort):
-    """One canary-bracketed sweep + inference measurement."""
-    canary_pre = _canary()   # attest the window BEFORE the timed sweep too
-    # sweep the batch size (training throughput is batch-tunable; the GO
-    # branch's edge-list attention scales ~linearly past batch 64) and
-    # report the best sustained rate; per-batch results go to stderr
-    per_batch, per_batch_extras = {}, {}
-    for b in BATCH_SWEEP:
+class _Budget:
+    """Hard wall-clock budget: every optional leg asks `allow(est, label)`
+    before starting; a leg that would cross the deadline is skipped loudly
+    (recorded in the JSON) instead of silently eating the artifact."""
+
+    def __init__(self, total_s: float):
+        self.total = total_s
+        self.t0 = time.monotonic()
+        self.skipped = []
+
+    def elapsed(self) -> float:
+        return time.monotonic() - self.t0
+
+    def remaining(self) -> float:
+        return self.total - self.elapsed()
+
+    def allow(self, est_s: float, label: str) -> bool:
+        if self.remaining() >= est_s:
+            return True
+        self.skipped.append(label)
+        print(f"[bench] budget: skipping {label} "
+              f"({self.remaining():.0f}s left < ~{est_s:.0f}s needed)",
+              file=sys.stderr)
+        return False
+
+
+class _Emitter:
+    """Cumulative result state, printed as a full JSON line after every
+    completed leg — a timeout mid-run leaves the best-so-far measurement
+    on stdout instead of nothing. Intermediate lines carry "partial": true;
+    the last (complete) line drops it, so a tail-parser naturally picks the
+    most complete result."""
+
+    def __init__(self, budget: _Budget):
+        self.budget = budget
+        self.state = {"metric": "fused_sgcn_go_train_throughput",
+                      "value": None, "unit": "graphs/sec/chip",
+                      "vs_baseline": None}
+
+    def update(self, **kv):
+        self.state.update(kv)
+
+    def emit(self, final: bool = False):
+        out = dict(self.state)
+        out["elapsed_s"] = round(self.budget.elapsed(), 1)
+        if self.budget.skipped:
+            out["skipped_legs"] = list(self.budget.skipped)
+        if not final:
+            out["partial"] = True
+        print(json.dumps(out), flush=True)
+
+
+def _install_term_handler(emitter):
+    """`timeout`-style SIGTERM/SIGINT mid-leg: flush the best-so-far line
+    before dying. Best-effort — a handler cannot interrupt a blocking
+    tunnel fetch, which is why the budget keeps us clear of the driver's
+    timeout in the first place."""
+    import signal
+
+    def _on_term(signum, frame):  # pragma: no cover - signal path
+        emitter.update(terminated_by_signal=signum)
+        emitter.emit()
+        raise SystemExit(0 if emitter.state.get("value") else 1)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_term)
+        except (ValueError, OSError):
+            pass
+
+
+def _train_sweep(topo, cohort, budget, emitter, per_batch, per_batch_extras):
+    """One pass over the batch sweep, best-batch-first so an early budget
+    stop still records the headline configuration. Keeps the max over
+    attempts per batch (contention only ever understates)."""
+    leg_est = 60.0   # first-leg guess; replaced by measured leg wall
+    for b in sorted(BATCH_SWEEP, reverse=True):
+        if per_batch and not budget.allow(leg_est, f"train_b{b}"):
+            break
+        t0 = time.monotonic()
         gps_b, _, extras_b = bench_jax(topo, cohort, batch=b)
-        per_batch[b] = round(gps_b, 1)
-        per_batch_extras[b] = extras_b
+        leg_est = max(20.0, (time.monotonic() - t0) * 1.2)
+        if round(gps_b, 1) > per_batch.get(b, 0.0):
+            per_batch[b] = round(gps_b, 1)
+            per_batch_extras[b] = extras_b
         print(f"[bench] batch {b}: {gps_b:.0f} graphs/s {extras_b}",
               file=sys.stderr)
-    best_batch = max(per_batch, key=per_batch.get)
-    # serving throughput at the winning batch, fp32 and bf16 (the training
-    # bench is deliberately fp32 — exact oracle parity; serving has no
-    # numerical-cliff loss terms, so bf16 is the deploy dtype)
-    infer_extras = {}
-    try:
-        import jax.numpy as jnp
-        # serving has no backward pass, so its batch optimum sits HIGHER
-        # than training's (measured: monotonic up to the whole cohort on
-        # the 512-subject bench cohort; falls past 512 only once the
-        # cohort is HBM-streamed) — sweep rather than inherit best_batch
-        infer_sweep = {
-            b: round(bench_infer(topo, cohort, batch=b), 1)
-            for b in sorted({best_batch, min(512, len(cohort))})}
-        infer_batch = max(infer_sweep, key=infer_sweep.get)
-        infer_extras["infer_gps_fp32"] = infer_sweep[infer_batch]
-        infer_extras["infer_gps_bf16"] = round(
-            bench_infer(topo, cohort, batch=infer_batch,
-                        dtype=jnp.bfloat16), 1)
-        infer_extras["infer_batch"] = infer_batch
-        print(f"[bench] inference: {infer_extras} (sweep {infer_sweep})",
-              file=sys.stderr)
-    except Exception as e:  # pragma: no cover
-        print(f"[bench] inference bench failed ({e})", file=sys.stderr)
-    # the torch-CPU oracle runs INSIDE the canary bracket so vs_baseline's
-    # denominator is attested by canary_post and retried with everything
-    # else (host contention slows the CPU oracle just like the device legs).
-    # The oracle also gets its best batch (it prefers small ones: the dense
-    # (B, n, n) GO tensors crush the CPU at large B) so the ratio compares
-    # best-effort against best-effort.
-    try:
-        torch_gps = max(
-            bench_torch(topo, cohort, budget_s=8.0, batch=b)
-            for b in {8, 16, BATCH, best_batch})
-    except Exception as e:  # pragma: no cover
-        print(f"[bench] torch baseline failed ({e}); using fallback",
-              file=sys.stderr)
-        torch_gps = None
-    canary_post = _canary()
-    return (per_batch, per_batch_extras, best_batch, infer_extras,
-            torch_gps, canary_pre, canary_post)
-
-
-def _probe_with_retries():
-    """Bounded retry around the backend probe (shared helper in
-    utils/platform.py) so a transient tunnel outage at round end doesn't
-    forfeit the round's bench artifact."""
-    from iggcn_tpu.utils.platform import probe_backend_with_retries
-    return probe_backend_with_retries(
-        log=lambda msg: print(msg.replace("[iggcn]", "[bench]"),
-                              file=sys.stderr))
+        best = max(per_batch, key=per_batch.get)
+        emitter.update(value=per_batch[best], batch=best,
+                       per_batch={str(k): v for k, v in
+                                  sorted(per_batch.items())},
+                       **per_batch_extras[best])
+        if emitter.state.get("baseline_source") in (None,
+                                                    "fallback_constant"):
+            emitter.update(vs_baseline=round(
+                per_batch[best] / FALLBACK_TORCH_GPS, 3),
+                baseline_source="fallback_constant")
+        emitter.emit()
+    return leg_est
 
 
 def main():
     from iggcn_tpu.utils.cache import enable_compilation_cache
-    from iggcn_tpu.utils.platform import honor_platform_env
+    from iggcn_tpu.utils.platform import (honor_platform_env,
+                                          probe_backend_with_retries)
 
+    budget = _Budget(BUDGET_S)
+    emitter = _Emitter(budget)
+    _install_term_handler(emitter)
     honor_platform_env()   # JAX_PLATFORMS=cpu must actually mean cpu
-    err = _probe_with_retries()
+    # the probe-retry ladder alone must never eat the whole budget: cap it
+    # at 60% so a late-recovering tunnel still gets one full sweep
+    err = probe_backend_with_retries(
+        log=lambda msg: print(msg.replace("[iggcn]", "[bench]"),
+                              file=sys.stderr),
+        deadline_s=budget.remaining() * 0.6)
     if err is not None:
         # one parseable line + nonzero exit beats an unbounded hang
-        print(json.dumps({"metric": "fused_sgcn_go_train_throughput",
-                          "value": None, "unit": "graphs/sec/chip",
-                          "error": err}))
+        emitter.update(error=err)
+        emitter.emit(final=True)
         print(f"[bench] {err}", file=sys.stderr)
         sys.exit(1)
     enable_compilation_cache()
     topo, cohort = build_data()
-    for attempt in range(1, MAX_ATTEMPTS + 1):
-        (per_batch, per_batch_extras, best_batch, infer_extras,
-         torch_gps, canary_pre, canary_post) = _measure_once(topo, cohort)
+
+    # ---- training sweep (the headline number), canary-bracketed ---------
+    per_batch, per_batch_extras = {}, {}
+    canary_pre = _canary()
+    attempt, sweep_wall = 0, None
+    while True:
+        attempt += 1
+        t0 = time.monotonic()
+        leg_est = _train_sweep(topo, cohort, budget, emitter, per_batch,
+                               per_batch_extras)
+        sweep_wall = time.monotonic() - t0
+        canary_post = _canary()
+        emitter.update(attempts=attempt, **dict(zip(
+            ("canary_roundtrip_ms", "canary_compute_ms"),
+            map(list, zip(canary_pre, canary_post)))))
         worst = max(*canary_pre, *canary_post)
-        if worst <= CANARY_HEALTHY_MS or attempt == MAX_ATTEMPTS:
+        if worst <= CANARY_HEALTHY_MS or attempt >= MAX_ATTEMPTS:
+            break
+        sleep_s = min(RETRY_SLEEP_S, max(0.0, budget.remaining()) * 0.1)
+        if not budget.allow(sleep_s + sweep_wall * 0.8 + 10.0,
+                            f"retry_{attempt + 1}"):
             break
         print(f"[bench] contended window (worst canary {worst:.0f} ms > "
-              f"{CANARY_HEALTHY_MS:.0f}); retrying in {RETRY_SLEEP_S:.0f} s "
+              f"{CANARY_HEALTHY_MS:.0f}); retrying in {sleep_s:.0f} s "
               f"(attempt {attempt}/{MAX_ATTEMPTS})", file=sys.stderr)
-        time.sleep(RETRY_SLEEP_S)
+        time.sleep(sleep_s)
+        canary_pre = _canary()
+
+    best_batch = max(per_batch, key=per_batch.get)
     gps = per_batch[best_batch]
-    if torch_gps is None:
-        torch_gps = FALLBACK_TORCH_GPS
-    result = {
-        "metric": "fused_sgcn_go_train_throughput",
-        "value": gps,
-        "unit": "graphs/sec/chip",
-        "vs_baseline": round(gps / torch_gps, 3),
-        "batch": best_batch,
-        "per_batch": per_batch,
-        # [pre, post] pairs bound the whole timed window
-        **dict(zip(("canary_roundtrip_ms", "canary_compute_ms"),
-                   map(list, zip(canary_pre, canary_post)))),
-        "attempts": attempt,
-        **per_batch_extras[best_batch],
-        **infer_extras,
-    }
-    print(json.dumps(result))
+
+    # ---- torch-CPU oracle (vs_baseline denominator) ---------------------
+    # host-side; it gets its best batch too (it prefers small ones: the
+    # dense (B, n, n) GO tensors crush the CPU at large B) so the ratio
+    # compares best-effort against best-effort
+    if budget.allow(45.0, "torch_oracle"):
+        per_call = min(8.0, max(2.0, budget.remaining() / 8.0))
+        try:
+            torch_gps = max(
+                bench_torch(topo, cohort, budget_s=per_call, batch=b)
+                for b in {8, 16, BATCH, best_batch})
+            emitter.update(vs_baseline=round(gps / torch_gps, 3),
+                           baseline_source="torch_cpu_oracle_measured",
+                           torch_oracle_gps=round(torch_gps, 1))
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] torch baseline failed ({e}); using fallback",
+                  file=sys.stderr)
+            emitter.update(vs_baseline=round(gps / FALLBACK_TORCH_GPS, 3),
+                           baseline_source="fallback_constant")
+        emitter.emit()
+
+    # ---- serving throughput, fp32 + bf16 --------------------------------
+    # (the training bench is deliberately fp32 — exact oracle parity;
+    # serving has no numerical-cliff loss terms, so bf16 is the deploy
+    # dtype). Serving's batch optimum sits HIGHER than training's
+    # (measured: monotonic up to the whole cohort) — sweep, don't inherit.
+    if budget.allow(60.0, "inference"):
+        try:
+            import jax.numpy as jnp
+            infer_sweep = {
+                b: round(bench_infer(topo, cohort, batch=b), 1)
+                for b in sorted({best_batch, min(512, len(cohort))})}
+            infer_batch = max(infer_sweep, key=infer_sweep.get)
+            emitter.update(infer_gps_fp32=infer_sweep[infer_batch],
+                           infer_batch=infer_batch)
+            if budget.allow(30.0, "inference_bf16"):
+                emitter.update(infer_gps_bf16=round(bench_infer(
+                    topo, cohort, batch=infer_batch, dtype=jnp.bfloat16), 1))
+            print(f"[bench] inference: sweep {infer_sweep}", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] inference bench failed ({e})", file=sys.stderr)
+        emitter.emit()
+
+    # ---- A/B legs: GO attention impl + buffer donation ------------------
+    # The sweep's 'auto' already measured dense@32 and edge@{64,128,256}
+    # (go_network's crossover is batch>=64), so only the OPPOSITE impl per
+    # batch is new compile work. Attests the auto threshold on-chip
+    # (VERDICT r3 weak #6) instead of trusting one r2 measurement.
+    if (os.environ.get("IGGCN_BENCH_AB", "1") == "1"
+            and budget.allow(max(60.0, leg_est * 1.5), "attention_ab")):
+        ab = {}
+        for b in (32, 64, 128):
+            if b not in per_batch:
+                continue
+            auto_impl = "edge" if b >= 64 else "dense"
+            other = "dense" if auto_impl == "edge" else "edge"
+            ab[f"{auto_impl}_b{b}"] = per_batch[b]
+            if not budget.allow(leg_est, f"attention_ab_{other}_b{b}"):
+                break
+            gps_o, _, _ = bench_jax(topo, cohort, batch=b,
+                                    attention_impl=other)
+            ab[f"{other}_b{b}"] = round(gps_o, 1)
+            print(f"[bench] attention A/B batch {b}: {auto_impl}(auto)="
+                  f"{per_batch[b]:.0f} {other}={gps_o:.0f} g/s",
+                  file=sys.stderr)
+        emitter.update(attention_ab=ab)
+        emitter.emit()
+    if (os.environ.get("IGGCN_BENCH_AB", "1") == "1"
+            and budget.allow(leg_est * 1.2, "donate_ab")):
+        gps_d, _, _ = bench_jax(topo, cohort, batch=best_batch, donate=True)
+        emitter.update(donate_ab={"off": gps, "on": round(gps_d, 1),
+                                  "batch": best_batch})
+        print(f"[bench] donate A/B batch {best_batch}: off={gps:.0f} "
+              f"on={gps_d:.0f} g/s", file=sys.stderr)
+        emitter.emit()
+
+    emitter.emit(final=True)
 
 
 if __name__ == "__main__":

@@ -88,6 +88,11 @@ class ModelConfig:
     # instead of per-layer XLA matmuls. Off-TPU backends fall back to the
     # interpreter (tests) — enable for TPU benchmarking.
     use_pallas_gcn: bool = False
+    # GO-branch edge-attention aggregation: 'dense' (masked (B, n, n)
+    # matmuls), 'edge' ((B, E) gathers + one-hot aggregation), or 'auto'
+    # (per traced batch size; crossover attested by the bench's
+    # attention-impl A/B leg — see go_network.GeneOntologyNetwork).
+    go_attention_impl: str = "auto"
     dropout_lin: float = 0.5
     dropout_regr: float = 0.3
     dropout_go: float = 0.4

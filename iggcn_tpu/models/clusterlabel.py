@@ -53,7 +53,7 @@ class ClusterLabelSGCN(nn.Module):
             topo=self.topo, in_f_dim=cfg.go_in_f_dim, n_l=cfg.go_n_l,
             f_dim=cfg.go_f_dim, l_dim=cfg.l_dim, dim_snps_atten=dim_atten,
             dropout_gcn=cfg.dropout_go, dropout_readout=cfg.dropout_readout,
-            name="go_network")
+            attention_impl=cfg.go_attention_impl, name="go_network")
         if cfg.is_cross_atten:
             e = dim_atten
             self.mha = MHAParams(

@@ -68,7 +68,8 @@ class GuideImgSnp(nn.Module):
             topo=self.topo, in_f_dim=2, n_l=cfg.go_n_l, f_dim=cfg.go_f_dim,
             l_dim=cfg.l_dim, dim_snps_atten=cfg.hidden,
             dropout_gcn=cfg.dropout_go, dropout_readout=cfg.dropout_readout,
-            activation="prelu", name="go_network")
+            activation="prelu",
+            attention_impl=cfg.go_attention_impl, name="go_network")
         self.lin1 = TorchLinear(self.hidden_linear, name="lin1")
         self.lin2 = TorchLinear(cfg.num_classes, name="lin2")
         self.lin1_regr = TorchLinear(self.hidden_linear, name="lin1_regr")

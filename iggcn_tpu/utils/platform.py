@@ -90,13 +90,16 @@ def probe_backend(timeout_s: float = 180.0):
     return None
 
 
-def probe_backend_with_retries(log=None):
+def probe_backend_with_retries(log=None, deadline_s=None):
     """Bounded retry around `probe_backend`: the axon tunnel has been
     observed down for minutes at a time (and fully dead for hours) — if a
     round-end artifact run (bench.py, the driver's entry() compile check)
     lands in a transient outage, one failed probe would forfeit it. Retry
     on a short probe timeout for ~15 min total, then give up loudly.
     Returns None when reachable, else the last error string.
+    `deadline_s` hard-caps the TOTAL probe window (first probe included) —
+    a caller with its own wall-clock budget (bench.py) must not let the
+    retry ladder alone consume it.
     Knobs: IGGCN_BENCH_PROBE_RETRIES (0 disables retrying),
     IGGCN_BENCH_PROBE_RETRY_SLEEP_S."""
     import sys
@@ -104,16 +107,23 @@ def probe_backend_with_retries(log=None):
 
     if log is None:
         log = lambda msg: print(msg, file=sys.stderr)  # noqa: E731
-    err = probe_backend()
+    t0 = time.monotonic()
+    remaining = (lambda: float("inf")) if deadline_s is None else (
+        lambda: deadline_s - (time.monotonic() - t0))
+    err = probe_backend(timeout_s=min(180.0, max(10.0, remaining() * 0.5)))
     if err is None:
         return None
     retries = int(os.environ.get("IGGCN_BENCH_PROBE_RETRIES", "6"))
     sleep_s = float(os.environ.get("IGGCN_BENCH_PROBE_RETRY_SLEEP_S", "60"))
     for attempt in range(1, retries + 1):
+        if remaining() < sleep_s + 15.0:
+            log(f"[iggcn] backend unreachable ({err}); probe deadline "
+                f"{deadline_s:.0f}s reached, giving up")
+            return err
         log(f"[iggcn] backend unreachable ({err}); retry "
             f"{attempt}/{retries} in {sleep_s:.0f}s")
         time.sleep(sleep_s)
-        err = probe_backend(timeout_s=60.0)
+        err = probe_backend(timeout_s=min(60.0, max(10.0, remaining())))
         if err is None:
             return None
     return err

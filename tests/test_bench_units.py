@@ -71,15 +71,145 @@ def test_probe_retry_recovers_from_transient_outage(monkeypatch):
 def test_probe_retry_gives_up_loudly(monkeypatch):
     import time as time_mod
 
-    import bench
     from iggcn_tpu.utils import platform as plat
 
     monkeypatch.setattr(plat, "probe_backend",
                         lambda timeout_s=180.0: "still down")
     monkeypatch.setattr(time_mod, "sleep", lambda s: None)
     monkeypatch.setenv("IGGCN_BENCH_PROBE_RETRIES", "2")
-    # through bench.py's wrapper: same helper, bench-labelled logging
-    assert bench._probe_with_retries() == "still down"
+    assert plat.probe_backend_with_retries() == "still down"
 
     monkeypatch.setenv("IGGCN_BENCH_PROBE_RETRIES", "0")  # retrying disabled
     assert plat.probe_backend_with_retries() == "still down"
+
+
+def test_probe_retry_respects_deadline(monkeypatch):
+    """The retry ladder alone must never eat a caller's wall-clock budget
+    (bench.py passes deadline_s so a dead tunnel leaves time for nothing
+    BUT the error line — not a 15-minute silent wait)."""
+    import time as time_mod
+
+    from iggcn_tpu.utils import platform as plat
+
+    calls = {"probe": 0, "sleeps": []}
+    monkeypatch.setattr(plat, "probe_backend",
+                        lambda timeout_s=180.0: calls.__setitem__(
+                            "probe", calls["probe"] + 1) or "down")
+    monkeypatch.setattr(time_mod, "sleep",
+                        lambda s: calls["sleeps"].append(s))
+    monkeypatch.setenv("IGGCN_BENCH_PROBE_RETRIES", "6")
+    monkeypatch.setenv("IGGCN_BENCH_PROBE_RETRY_SLEEP_S", "60")
+    # deadline below one sleep+probe: gives up after the FIRST probe
+    assert plat.probe_backend_with_retries(deadline_s=30.0) == "down"
+    assert calls["probe"] == 1 and calls["sleeps"] == []
+
+
+def _fake_bench_env(monkeypatch, leg_s=0.0, torch_gps=100.0,
+                    canary=(30.0, 30.0)):
+    """Patch bench.py's measurement legs with fast fakes so main()'s
+    budget/emission control flow can be driven in milliseconds."""
+    import time as time_mod
+
+    import bench
+    from iggcn_tpu.utils import cache as cache_mod
+    from iggcn_tpu.utils import platform as plat
+
+    calls = {"jax": [], "infer": [], "torch": []}
+
+    def fake_bench_jax(topo, cohort, batch=32, attention_impl=None,
+                       donate=None, **kw):
+        calls["jax"].append((batch, attention_impl, donate))
+        if leg_s:
+            time_mod.sleep(leg_s)
+        return 1000.0 + batch, 0.1, {"step_time_us": 1.0}
+
+    class _Cohort:
+        def __len__(self):
+            return 512
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setattr(plat, "probe_backend_with_retries",
+                        lambda log=None, deadline_s=None: None)
+    monkeypatch.setattr(plat, "honor_platform_env", lambda: None)
+    monkeypatch.setattr(cache_mod, "enable_compilation_cache",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(bench, "build_data", lambda: (None, _Cohort()))
+    monkeypatch.setattr(bench, "bench_jax", fake_bench_jax)
+    monkeypatch.setattr(bench, "bench_infer",
+                        lambda *a, **k: calls["infer"].append(k) or 5000.0)
+    monkeypatch.setattr(bench, "bench_torch",
+                        lambda *a, **k: calls["torch"].append(k) or torch_gps)
+    monkeypatch.setattr(bench, "_canary", lambda: canary)
+    return bench, calls
+
+
+def _json_lines(out):
+    import json
+
+    lines = [ln for ln in out.strip().splitlines() if ln.startswith("{")]
+    return [json.loads(ln) for ln in lines]
+
+
+def test_budgeted_main_emits_incremental_then_final(monkeypatch, capsys):
+    """Happy path: a JSON line lands after every leg (all parseable), the
+    last line is final (no 'partial'), carries the measured oracle ratio,
+    and both A/B legs ran."""
+    bench, calls = _fake_bench_env(monkeypatch)
+    monkeypatch.setattr(bench, "BUDGET_S", 300.0)
+    bench.main()
+    records = _json_lines(capsys.readouterr().out)
+    assert len(records) >= 4           # sweep legs + oracle + infer + A/B
+    assert all(r["metric"] == "fused_sgcn_go_train_throughput"
+               for r in records)
+    assert all(r.get("partial") for r in records[:-1])
+    final = records[-1]
+    assert "partial" not in final
+    assert final["value"] == 1256.0 and final["batch"] == 256
+    assert final["baseline_source"] == "torch_cpu_oracle_measured"
+    assert final["vs_baseline"] == round(1256.0 / 100.0, 3)
+    assert "attention_ab" in final and "donate_ab" in final
+    assert final["donate_ab"]["on"] == 1256.0
+    # the A/B legs measured the OPPOSITE impl of what 'auto' picks
+    assert ("dense_b64" in final["attention_ab"]
+            and "edge_b32" in final["attention_ab"])
+
+
+def test_budgeted_main_slow_window_still_parseable(monkeypatch, capsys):
+    """Forced-slow-window simulation (VERDICT r3 #1): legs so slow the
+    budget dies after the first — the output must STILL end in a parseable
+    line carrying the one measured number, with the skipped legs named."""
+    bench, calls = _fake_bench_env(monkeypatch, leg_s=0.25,
+                                   canary=(900.0, 900.0))
+    monkeypatch.setattr(bench, "BUDGET_S", 0.3)
+    bench.main()
+    records = _json_lines(capsys.readouterr().out)
+    final = records[-1]
+    assert "partial" not in final
+    assert final["value"] == 1256.0    # batch-256 leg ran (always) and won
+    assert final["skipped_legs"]       # everything else was budget-skipped
+    assert final["baseline_source"] == "fallback_constant"
+    assert len(calls["jax"]) == 1 and calls["infer"] == []
+    # unhealthy canaries did NOT trigger a retry: no budget for it
+    assert final["attempts"] == 1
+
+
+def test_budgeted_main_term_handler_flushes(monkeypatch, capsys):
+    """SIGTERM mid-run (the driver's timeout) flushes the best-so-far line
+    instead of dying silently."""
+    import os
+    import signal
+
+    bench, _ = _fake_bench_env(monkeypatch)
+    emitter = bench._Emitter(bench._Budget(10.0))
+    emitter.update(value=123.0, batch=32)
+    old = signal.getsignal(signal.SIGTERM)
+    try:
+        bench._install_term_handler(emitter)
+        with __import__("pytest").raises(SystemExit) as ei:
+            os.kill(os.getpid(), signal.SIGTERM)
+        assert ei.value.code == 0
+    finally:
+        signal.signal(signal.SIGTERM, old)
+    records = _json_lines(capsys.readouterr().out)
+    assert records[-1]["value"] == 123.0
+    assert records[-1]["terminated_by_signal"] == signal.SIGTERM
