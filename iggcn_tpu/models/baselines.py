@@ -102,6 +102,9 @@ class GATFlat(nn.Module):
 
 
 class _GINMLP(nn.Module):
+    """GIN0's / NestedGIN's per-conv MLP: Linear-BN-ReLU-Linear-BN-ReLU
+    (`kernel/gin.py:124-131,20-27`)."""
+
     hidden: int
 
     @nn.compact
@@ -112,6 +115,19 @@ class _GINMLP(nn.Module):
         h = TorchLinear(self.hidden, name="l2")(h)
         h = _bn_nodes(BatchNorm1d(name="bn2"), h, train, mask)
         return nn.relu(h)
+
+
+class _GINMLPLateBN(nn.Module):
+    """GIN's per-conv MLP: Linear-ReLU-Linear-ReLU-BN — ONE BatchNorm at
+    the END (`kernel/gin.py:190-196`), unlike GIN0's two interleaved BNs."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, mask=None):
+        h = nn.relu(TorchLinear(self.hidden, name="l1")(x))
+        h = nn.relu(TorchLinear(self.hidden, name="l2")(h))
+        return _bn_nodes(BatchNorm1d(name="bn1"), h, train, mask)
 
 
 def _bn_nodes(bn, h, train, mask):
@@ -127,8 +143,12 @@ def _bn_nodes(bn, h, train, mask):
 
 
 class GIN(nn.Module):
-    """`GIN`/`GIN0` (`kernel/gin.py:119-236`): GINConv with 2-layer BN MLPs,
-    JK-concat + global_add_pool readout. `train_eps` toggles GIN vs GIN0."""
+    """`GIN`/`GIN0` (`kernel/gin.py:119-236`): `train_eps=True` is the
+    reference `GIN` (`:188-236`) — learned eps, per-conv MLP
+    Linear-ReLU-Linear-ReLU-BN, global_MEAN_pool of the JK-concat;
+    `train_eps=False` is `GIN0` (`:119-183`) — eps fixed at 0, per-conv MLP
+    Linear-BN-ReLU-Linear-BN-ReLU, global_ADD_pool. The two variants differ
+    in all three of eps/MLP/readout, not just eps."""
 
     num_layers: int = 2
     hidden: int = 16
@@ -144,6 +164,7 @@ class GIN(nn.Module):
         # statistics; everything else is per-sample so they are harmless
         bn_mask = mask if sample_weight is None else (
             mask & (sample_weight > 0)[:, None])
+        mlp_cls = _GINMLPLateBN if self.train_eps else _GINMLP
         feats = []
         h = x
         for i in range(self.num_layers):
@@ -152,11 +173,12 @@ class GIN(nn.Module):
             else:
                 eps = 0.0
             agg = P.gin_conv_aggregate(h, adj, eps)
-            h = _GINMLP(self.hidden, name=f"mlp_{i}")(agg, train=train,
+            h = mlp_cls(self.hidden, name=f"mlp_{i}")(agg, train=train,
                                                       mask=bn_mask)
             h = h * mask[..., None]
             feats.append(h)
-        z = P.add_pool(jnp.concatenate(feats, -1), mask)
+        readout = P.mean_pool if self.train_eps else P.add_pool
+        z = readout(jnp.concatenate(feats, -1), mask)
         z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
         if train:
             z = dropout(self.make_rng("dropout"), z, 0.5)
@@ -362,39 +384,83 @@ class Graclus(nn.Module):
         return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
 
 
+class _DiffPoolBlock(nn.Module):
+    """`Block` (`kernel/diff_pool.py:114-133`): two DenseSAGEConvs with a
+    JK linear over their concat — x1 = relu(conv1(x)), x2 = relu(conv2(x1)),
+    out = lin([x1 ‖ x2]). DenseSAGEConv = lin_rel(A x / clamp(rowsum(A), 1))
+    + lin_root(x), lin_rel bias-free (PyG dense_sage_conv.py), masked rows
+    zeroed at the end. (The reference threads an `add_loop` flag its PyG
+    version ignores — no self-loop is added.)"""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x, adj, mask=None):
+        def conv(tag, h, out_dim):
+            deg = jnp.clip(jnp.sum(adj, axis=-1, keepdims=True), 1.0, None)
+            agg = jnp.einsum("bnm,bmf->bnf", adj, h,
+                             preferred_element_type=jnp.float32) / deg
+            o = (TorchLinear(out_dim, use_bias=False, name=f"{tag}_rel")(agg)
+                 + TorchLinear(out_dim, name=f"{tag}_root")(h))
+            if mask is not None:
+                o = o * mask[..., None]
+            return o
+
+        x1 = nn.relu(conv("conv1", x, self.hidden))
+        x2 = nn.relu(conv("conv2", x1, self.out))
+        return TorchLinear(self.out, name="lin")(
+            jnp.concatenate([x1, x2], axis=-1))
+
+
 class DiffPool(nn.Module):
-    """`DiffPool` (`kernel/diff_pool.py:135-183`): dense SAGE blocks with
-    0.25-coarsening assignment GNNs; returns (log_probs, link_loss, ent_loss)."""
+    """`DiffPool` (`kernel/diff_pool.py:135-183`): pool/embed Block pairs
+    with 0.25 coarsening — s = pool_block(x), x = relu(embed_block(x)),
+    readout x.mean over the FULL dense node axis (the reference's
+    `x.mean(dim=1)` divides by N with padding included — quirk parity),
+    then dense_diff_pool; (num_layers // 2) - 1 extra block pairs on the
+    coarsened (unmasked) graphs; JK-concat of the per-level readouts ->
+    lin1 -> dropout -> lin2. Returns (log_probs, link_loss, ent_loss)
+    summed over pools — the reference DISCARDS both losses
+    (`:95,168: x, adj, _, _ = dense_diff_pool(...)`); they are returned
+    for the canonical DiffPool objective (`generic_cv` aux_loss)."""
 
     max_nodes: int = 90
+    num_layers: int = 2
     hidden: int = 16
     num_classes: int = 2
 
     @nn.compact
     def __call__(self, x, adj, mask=None, *, train: bool = False,
                  sample_weight=None):
+        import math
+
         if mask is None:
             mask = _ones_mask(x)
-        n1 = max(1, int(0.25 * self.max_nodes))
-
-        def sage(tag, h, a, out):
-            ws = self.param(f"{tag}_ws", _glorot, (h.shape[-1], out))
-            wn = self.param(f"{tag}_wn", _glorot, (h.shape[-1], out))
-            bb = self.param(f"{tag}_b", nn.initializers.zeros, (out,))
-            return nn.relu(P.sage_conv(h, a, ws, wn, bb))
-
-        z = sage("embed1", x, adj, self.hidden) * mask[..., None]
-        s = sage("assign1", x, adj, n1)
-        x2, adj2, link1, ent1 = P.diff_pool(z, adj, s, mask,
-                                            sample_weight=sample_weight)
-        mask2 = jnp.ones(x2.shape[:2], bool)
-        z2 = sage("embed2", x2, adj2, self.hidden)
-        g = jnp.concatenate([P.mean_pool(z2, mask2), P.max_pool(z2, mask2)], -1)
+        n_k = max(1, math.ceil(0.25 * self.max_nodes))
+        s = _DiffPoolBlock(self.hidden, n_k, name="pool_block1")(x, adj, mask)
+        z = nn.relu(_DiffPoolBlock(self.hidden, self.hidden,
+                                   name="embed_block1")(x, adj, mask))
+        readouts = [jnp.mean(z, axis=1)]
+        x, adj, link, ent = P.diff_pool(z, adj, s, mask,
+                                        sample_weight=sample_weight)
+        for i in range(self.num_layers // 2 - 1):
+            n_k = max(1, math.ceil(0.25 * n_k))
+            s = _DiffPoolBlock(self.hidden, n_k,
+                               name=f"pool_block{i + 2}")(x, adj)
+            z = nn.relu(_DiffPoolBlock(self.hidden, self.hidden,
+                                       name=f"embed_block{i + 2}")(x, adj))
+            readouts.append(jnp.mean(z, axis=1))
+            mask_k = jnp.ones(z.shape[:2], bool)   # coarsened graphs: dense
+            x, adj, link_i, ent_i = P.diff_pool(z, adj, s, mask_k,
+                                                sample_weight=sample_weight)
+            link, ent = link + link_i, ent + ent_i
+        g = jnp.concatenate(readouts, -1)
         g = nn.relu(TorchLinear(self.hidden, name="lin1")(g))
         if train:
             g = dropout(self.make_rng("dropout"), g, 0.5)
         logp = jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(g), -1)
-        return logp, link1, ent1
+        return logp, link, ent
 
 
 class CNNModel(nn.Module):

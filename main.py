@@ -345,11 +345,15 @@ def _build_zoo_model(name: str, num_layers: int, hidden: int, dataset):
         # (kernel/diff_pool.py:95,168: `x, adj, _, _ = ...`), so the default
         # objective is plain NLL; pass aux_loss=True to
         # cross_validation_generic for the canonical DiffPool objective.
-        return (B.DiffPool(max_nodes=dataset.x.shape[1], hidden=hidden,
+        return (B.DiffPool(max_nodes=dataset.x.shape[1],
+                           num_layers=num_layers, hidden=hidden,
                            num_classes=nc),
                 dict(needs_mask=True, aux_loss=False, takes_weight=True))
     if name == "SortPool":
-        return B.SortPool(**common, k=min(10, dataset.x.shape[1])), mask
+        # the reference hardcodes k=30 regardless of graph size
+        # (kernel/sort_pool.py:27 `self.k = 30`); smaller graphs are
+        # zero-padded to k, exactly as PyG's global_sort_pool does
+        return B.SortPool(**common), mask
     if name == "Set2Set":
         return B.Set2SetNet(**common), mask
     if name == "GlobalAttention":
