@@ -154,6 +154,9 @@ class GIN(nn.Module):
     hidden: int = 16
     num_classes: int = 2
     train_eps: bool = True
+    # head dropout (reference hardcodes 0.5, kernel/gin.py:165,231) as an
+    # attribute so the trajectory-parity test can zero it
+    dropout_lin: float = 0.5
 
     @nn.compact
     def __call__(self, x, adj, mask=None, *, train: bool = False,
@@ -181,7 +184,7 @@ class GIN(nn.Module):
         z = readout(jnp.concatenate(feats, -1), mask)
         z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
         if train:
-            z = dropout(self.make_rng("dropout"), z, 0.5)
+            z = dropout(self.make_rng("dropout"), z, self.dropout_lin)
         return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
 
 
@@ -279,7 +282,10 @@ class SortPool(nn.Module):
         z = P.sort_pool(h, mask, self.k)                  # (B, k, H)
         z = nn.Conv(self.conv1d_channels, (self.conv1d_kernel,),
                     padding="VALID", name="conv1d")(z)    # (B, k-4, C)
-        z = nn.relu(z).reshape(z.shape[0], -1)
+        # the reference flattens the torch (B, C, L) layout channel-major
+        # (`sort_pool.py:68-69` x.view(len(x), -1) after Conv1d) — match
+        # that element order so lin1 weights are interchangeable
+        z = jnp.swapaxes(nn.relu(z), 1, 2).reshape(z.shape[0], -1)
         z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
         if train:
             z = dropout(self.make_rng("dropout"), z, 0.5)

@@ -1,0 +1,531 @@
+"""Independent torch re-derivations of the baseline zoo for golden parity.
+
+Pattern: `oracle/torch_ref.py` `TorchGcnFlat` — each mirror rebuilds the
+REFERENCE model's math (kernel/gin.py, graph_sage.py, top_k.py,
+sort_pool.py, set2set.py, global_attention.py, graclus.py, diff_pool.py)
+in torch on dense masked batches, registers parameters under the same
+names as the flax module, and loads a flax param tree via `load_flax`.
+The value of the pin comes from the INDEPENDENT primitives: torch's own
+`nn.LSTM` (gate order/layout), `nn.BatchNorm1d` (masked batch stats),
+`nn.Conv1d`, `torch.topk`/`torch.sort` (selection), per-sample Python
+loops where the JAX side uses vectorized masked ops. PyG itself is not
+installable here; these mirrors follow the published PyG-2.0.2 op
+semantics the reference imports (SAGEConv/GraphConv(aggr='mean') =
+lin_root(x) + lin_rel(mean of in-neighbors); TopKPooling score x·w/‖w‖,
+keep ceil(ratio·n), gate by tanh; global_sort_pool sort by last channel,
+zero-pad to k; Set2Set over nn.LSTM; GlobalAttention masked softmax;
+graclus+max_pool cluster feature-max with binary coarsened connectivity;
+DenseSAGEConv row-sum-normalized aggregation + dense_diff_pool).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+from torch import nn
+
+
+def _t(a) -> torch.Tensor:
+    return torch.from_numpy(np.asarray(a).copy())
+
+
+def _load_linear(lin: nn.Linear, tree: Dict[str, Any]) -> None:
+    """flax TorchLinear {kernel (in, out), bias} -> torch Linear."""
+    with torch.no_grad():
+        lin.weight.copy_(_t(tree["kernel"]).T)
+        if lin.bias is not None:
+            lin.bias.copy_(_t(tree["bias"]))
+
+
+def _neighbor_mean(x: torch.Tensor, adj: torch.Tensor) -> torch.Tensor:
+    """Mean of in-neighbors: edge r->c (adj[r, c] != 0) aggregates x[r] at
+    node c — PyG's source_to_target flow on edge_index built from a dense
+    adjacency."""
+    a = (adj != 0).to(x.dtype)
+    indeg = a.sum(dim=1)                                   # (B, N) at c
+    return torch.matmul(a.transpose(1, 2), x) / indeg.clamp(min=1.0)[..., None]
+
+
+class _SageStack(nn.Module):
+    """Shared conv stack: SAGEConv / GraphConv(aggr='mean') layers with the
+    flax zoo's parameter names (w_self_i, w_nb_i, b_i)."""
+
+    def __init__(self, dims):
+        super().__init__()
+        self.w_self = nn.ParameterList(
+            [nn.Parameter(torch.zeros(i, o)) for i, o in dims])
+        self.w_nb = nn.ParameterList(
+            [nn.Parameter(torch.zeros(i, o)) for i, o in dims])
+        self.b = nn.ParameterList(
+            [nn.Parameter(torch.zeros(o)) for _, o in dims])
+
+    def load_flax(self, params, offset: int = 0) -> None:
+        with torch.no_grad():
+            for i in range(len(self.w_self)):
+                self.w_self[i].copy_(_t(params[f"w_self_{i + offset}"]))
+                self.w_nb[i].copy_(_t(params[f"w_nb_{i + offset}"]))
+                self.b[i].copy_(_t(params[f"b_{i + offset}"]))
+
+    def layer(self, i: int, h: torch.Tensor, adj: torch.Tensor,
+              mask: torch.Tensor) -> torch.Tensor:
+        out = h @ self.w_self[i] + _neighbor_mean(h, adj) @ self.w_nb[i]
+        return F.relu(out + self.b[i]) * mask[..., None].to(h.dtype)
+
+
+class TorchZooSAGE(nn.Module):
+    """`GraphSAGE`(±JK) (`kernel/graph_sage.py:79-142`)."""
+
+    def __init__(self, num_layers=2, hidden=16, feat_dim=4, num_classes=2,
+                 jk=True):
+        super().__init__()
+        self.jk = jk
+        dims = [(feat_dim, hidden)] + [(hidden, hidden)] * (num_layers - 1)
+        self.stack = _SageStack(dims)
+        self.lin1 = nn.Linear(hidden * (num_layers if jk else 1), hidden)
+        self.lin2 = nn.Linear(hidden, num_classes)
+
+    def load_flax(self, params) -> None:
+        self.stack.load_flax(params)
+        _load_linear(self.lin1, params["lin1"])
+        _load_linear(self.lin2, params["lin2"])
+
+    def forward(self, x, adj, mask):
+        feats = []
+        h = x
+        for i in range(len(self.stack.w_self)):
+            h = self.stack.layer(i, h, adj, mask)
+            feats.append(h)
+        z = torch.cat(feats, -1) if self.jk else feats[-1]
+        m = mask[..., None].to(x.dtype)
+        z = (z * m).sum(1) / m.sum(1).clamp(min=1.0)      # masked mean pool
+        z = F.relu(self.lin1(z))
+        return F.log_softmax(self.lin2(z), dim=-1)
+
+
+class TorchZooGIN(nn.Module):
+    """`GIN`/`GIN0` (`kernel/gin.py:119-236`) with REAL nn.BatchNorm1d over
+    the valid-node flat list (PyG operates on the ragged node list; masked
+    rows never exist there). `train_eps=True` = reference GIN: learned eps,
+    MLP Linear-ReLU-Linear-ReLU-BN, mean-pool; False = GIN0: eps 0, MLP
+    Linear-BN-ReLU-Linear-BN-ReLU, add-pool."""
+
+    def __init__(self, num_layers=2, hidden=16, feat_dim=4, num_classes=2,
+                 train_eps=True):
+        super().__init__()
+        self.train_eps = train_eps
+        self.num_layers = num_layers
+        dims = [feat_dim] + [hidden] * num_layers
+        self.l1 = nn.ModuleList([nn.Linear(dims[i], hidden)
+                                 for i in range(num_layers)])
+        self.l2 = nn.ModuleList([nn.Linear(hidden, hidden)
+                                 for i in range(num_layers)])
+        self.bn1 = nn.ModuleList([nn.BatchNorm1d(hidden)
+                                  for _ in range(num_layers)])
+        self.bn2 = None if train_eps else nn.ModuleList(
+            [nn.BatchNorm1d(hidden) for _ in range(num_layers)])
+        if train_eps:
+            self.eps = nn.ParameterList([nn.Parameter(torch.zeros(()))
+                                         for _ in range(num_layers)])
+        self.lin1 = nn.Linear(num_layers * hidden, hidden)
+        self.lin2 = nn.Linear(hidden, num_classes)
+
+    def load_flax(self, params, stats) -> None:
+        with torch.no_grad():
+            for i in range(self.num_layers):
+                mlp, st = params[f"mlp_{i}"], stats[f"mlp_{i}"]
+                _load_linear(self.l1[i], mlp["l1"])
+                _load_linear(self.l2[i], mlp["l2"])
+                for bn_list, tag in ((self.bn1, "bn1"), (self.bn2, "bn2")):
+                    if bn_list is None:
+                        continue
+                    bn = bn_list[i]
+                    bn.weight.copy_(_t(mlp[tag]["scale"]))
+                    bn.bias.copy_(_t(mlp[tag]["bias"]))
+                    bn.running_mean.copy_(_t(st[tag]["mean"]))
+                    bn.running_var.copy_(_t(st[tag]["var"]))
+                if self.train_eps:
+                    self.eps[i].copy_(_t(params[f"eps_{i}"]))
+            _load_linear(self.lin1, params["lin1"])
+            _load_linear(self.lin2, params["lin2"])
+
+    def _bn(self, bn: nn.BatchNorm1d, h: torch.Tensor, mask: torch.Tensor
+            ) -> torch.Tensor:
+        """BN over the flat VALID rows only (train mode uses their batch
+        stats), masked rows pass through running stats (they are zeroed by
+        the caller anyway)."""
+        b, n, f = h.shape
+        flat = h.reshape(b * n, f)
+        idx = mask.reshape(b * n)
+        out = torch.zeros_like(flat)
+        out[idx] = bn(flat[idx])
+        with torch.no_grad():
+            bn.eval()
+            out[~idx] = bn(flat[~idx])
+            bn.train(self.training)
+        return out.reshape(b, n, f)
+
+    def forward(self, x, adj, mask):
+        a = (adj != 0).to(x.dtype)
+        feats = []
+        h = x
+        for i in range(self.num_layers):
+            eps = self.eps[i] if self.train_eps else 0.0
+            agg = (1.0 + eps) * h + torch.matmul(a.transpose(1, 2), h)
+            if self.train_eps:       # GIN: L-ReLU-L-ReLU-BN
+                z = F.relu(self.l1[i](agg))
+                z = F.relu(self.l2[i](z))
+                h = self._bn(self.bn1[i], z, mask)
+            else:                    # GIN0: L-BN-ReLU-L-BN-ReLU
+                z = F.relu(self._bn(self.bn1[i], self.l1[i](agg), mask))
+                h = F.relu(self._bn(self.bn2[i], self.l2[i](z), mask))
+            h = h * mask[..., None].to(x.dtype)
+            feats.append(h)
+        z = torch.cat(feats, -1)
+        m = mask[..., None].to(x.dtype)
+        if self.train_eps:
+            z = (z * m).sum(1) / m.sum(1).clamp(min=1.0)   # mean pool
+        else:
+            z = (z * m).sum(1)                             # add pool
+        z = F.relu(self.lin1(z))
+        return F.log_softmax(self.lin2(z), dim=-1)
+
+
+class TorchZooTopK(nn.Module):
+    """`TopK` (`kernel/top_k.py:15-40`): GraphConv(mean) stack, per-layer
+    mean-pool readout, TopKPooling(0.8) after convs with even index — the
+    selection runs through torch.topk per sample."""
+
+    def __init__(self, num_layers=3, hidden=16, feat_dim=4, num_classes=2,
+                 ratio=0.8):
+        super().__init__()
+        self.ratio = ratio
+        dims = [(feat_dim, hidden)] + [(hidden, hidden)] * (num_layers - 1)
+        self.stack = _SageStack(dims)
+        self.pool_w = nn.ParameterList(
+            [nn.Parameter(torch.zeros(hidden))
+             for i in range(num_layers - 1) if i % 2 == 0])
+        self.lin1 = nn.Linear(num_layers * hidden, hidden)
+        self.lin2 = nn.Linear(hidden, num_classes)
+
+    def load_flax(self, params) -> None:
+        self.stack.load_flax(params)
+        with torch.no_grad():
+            for j, i in enumerate(i for i in range(len(self.stack.w_self) - 1)
+                                  if i % 2 == 0):
+                self.pool_w[j].copy_(_t(params[f"pool_w_{i}"]))
+        _load_linear(self.lin1, params["lin1"])
+        _load_linear(self.lin2, params["lin2"])
+
+    @staticmethod
+    def _mean_pool(h, mask):
+        m = mask[..., None].to(h.dtype)
+        return (h * m).sum(1) / m.sum(1).clamp(min=1.0)
+
+    def forward(self, x, adj, mask):
+        h = self.stack.layer(0, x, adj, mask)
+        readouts = [self._mean_pool(h, mask)]
+        pool_j = 0
+        for i in range(len(self.stack.w_self) - 1):
+            h = self.stack.layer(i + 1, h, adj, mask)
+            readouts.append(self._mean_pool(h, mask))
+            if i % 2 == 0:
+                w = self.pool_w[pool_j]
+                pool_j += 1
+                score = h @ (w / w.norm().clamp(min=1e-12))
+                keep = torch.zeros_like(mask)
+                for s in range(h.shape[0]):                 # per-sample topk
+                    valid = mask[s].nonzero(as_tuple=True)[0]
+                    k = int(math.ceil(self.ratio * len(valid)))
+                    top = torch.topk(score[s, valid], k).indices
+                    keep[s, valid[top]] = True
+                h = torch.where(keep[..., None], h * torch.tanh(score)[..., None],
+                                torch.zeros_like(h))
+                adj = torch.where(keep[:, :, None] & keep[:, None, :], adj,
+                                  torch.zeros_like(adj))
+                mask = keep
+        z = torch.cat(readouts, -1)
+        z = F.relu(self.lin1(z))
+        return F.log_softmax(self.lin2(z), dim=-1)
+
+
+class TorchZooSortPool(nn.Module):
+    """`SortPool` (`kernel/sort_pool.py:11-73`, non-`original` branch): GCN
+    stack -> global_sort_pool (torch.sort by last channel, zero-pad to k)
+    -> REAL nn.Conv1d(hidden, 32, 5) -> lin1/lin2."""
+
+    def __init__(self, num_layers=2, hidden=16, feat_dim=4, num_classes=2,
+                 k=30, conv1d_channels=32, conv1d_kernel=5):
+        super().__init__()
+        self.k = k
+        self.num_layers = num_layers
+        dims = [feat_dim] + [hidden] * num_layers
+        self.conv_w = nn.ParameterList(
+            [nn.Parameter(torch.zeros(dims[i], dims[i + 1]))
+             for i in range(num_layers)])
+        self.conv_b = nn.ParameterList(
+            [nn.Parameter(torch.zeros(dims[i + 1]))
+             for i in range(num_layers)])
+        self.conv1d = nn.Conv1d(hidden, conv1d_channels, conv1d_kernel)
+        self.lin1 = nn.Linear(conv1d_channels * (k - conv1d_kernel + 1),
+                              hidden)
+        self.lin2 = nn.Linear(hidden, num_classes)
+
+    def load_flax(self, params) -> None:
+        with torch.no_grad():
+            for i in range(self.num_layers):
+                self.conv_w[i].copy_(_t(params[f"conv_w_{i}"]))
+                self.conv_b[i].copy_(_t(params[f"conv_b_{i}"]))
+            # flax nn.Conv kernel (window, in, out) -> torch (out, in, window)
+            self.conv1d.weight.copy_(
+                _t(params["conv1d"]["kernel"]).permute(2, 1, 0))
+            self.conv1d.bias.copy_(_t(params["conv1d"]["bias"]))
+            _load_linear(self.lin1, params["lin1"])
+            _load_linear(self.lin2, params["lin2"])
+
+    def forward(self, x, adj, mask):
+        from iggcn_tpu.oracle.torch_ref import TorchFused
+
+        prop = TorchFused.gcn_prop(adj)
+        h = x
+        for i in range(self.num_layers):
+            h = F.relu(torch.matmul(prop, h) @ self.conv_w[i]
+                       + self.conv_b[i]) * mask[..., None].to(x.dtype)
+        b, n, f = h.shape
+        key = torch.where(mask, h[..., -1], torch.full_like(h[..., -1], -1e30))
+        order = torch.sort(key, dim=1, descending=True).indices[:, :self.k]
+        g = torch.gather(h, 1, order[..., None].expand(-1, -1, f))
+        valid = torch.gather(mask, 1, order)
+        g = torch.where(valid[..., None], g, torch.zeros_like(g))
+        if n < self.k:
+            g = F.pad(g, (0, 0, 0, self.k - n))
+        z = F.relu(self.conv1d(g.permute(0, 2, 1)))        # (B, C, k-4)
+        z = z.reshape(b, -1)
+        z = F.relu(self.lin1(z))
+        return F.log_softmax(self.lin2(z), dim=-1)
+
+
+class TorchZooSet2Set(nn.Module):
+    """`Set2SetNet` (`kernel/set2set.py:14-35`) driven by a REAL
+    torch.nn.LSTM (PyG's Set2Set wraps nn.LSTM(2H, H)) — pins the JAX
+    side's hand-rolled cell: gate order i,f,g,o, both bias vectors, tanh
+    cell path."""
+
+    def __init__(self, num_layers=2, hidden=16, feat_dim=4, num_classes=2,
+                 processing_steps=4):
+        super().__init__()
+        self.steps = processing_steps
+        dims = [(feat_dim, hidden)] + [(hidden, hidden)] * (num_layers - 1)
+        self.stack = _SageStack(dims)
+        self.lstm = nn.LSTM(2 * hidden, hidden)
+        self.lin1 = nn.Linear(2 * hidden, hidden)
+        self.lin2 = nn.Linear(hidden, num_classes)
+
+    def load_flax(self, params) -> None:
+        self.stack.load_flax(params)
+        with torch.no_grad():
+            self.lstm.weight_ih_l0.copy_(_t(params["lstm_w_ih"]))
+            self.lstm.weight_hh_l0.copy_(_t(params["lstm_w_hh"]))
+            self.lstm.bias_ih_l0.copy_(_t(params["lstm_b_ih"]))
+            self.lstm.bias_hh_l0.copy_(_t(params["lstm_b_hh"]))
+        _load_linear(self.lin1, params["lin1"])
+        _load_linear(self.lin2, params["lin2"])
+
+    def forward(self, x, adj, mask):
+        h = x
+        for i in range(len(self.stack.w_self)):
+            h = self.stack.layer(i, h, adj, mask)
+        b, n, f = h.shape
+        q_star = h.new_zeros(b, 2 * f)
+        hc = (h.new_zeros(1, b, f), h.new_zeros(1, b, f))
+        for _ in range(self.steps):
+            q, hc = self.lstm(q_star.unsqueeze(0), hc)
+            q = q.squeeze(0)
+            e = (h * q[:, None, :]).sum(-1)
+            e = torch.where(mask, e, torch.full_like(e, -1e30))
+            a = torch.softmax(e, dim=1) * mask.to(h.dtype)
+            r = (a[..., None] * h).sum(1)
+            q_star = torch.cat([q, r], dim=-1)
+        z = F.relu(self.lin1(q_star))
+        return F.log_softmax(self.lin2(z), dim=-1)
+
+
+class TorchZooGlobalAttention(nn.Module):
+    """`GlobalAttentionNet` (`kernel/global_attention.py:14-35`)."""
+
+    def __init__(self, num_layers=2, hidden=16, feat_dim=4, num_classes=2):
+        super().__init__()
+        dims = [(feat_dim, hidden)] + [(hidden, hidden)] * (num_layers - 1)
+        self.stack = _SageStack(dims)
+        self.gate = nn.Linear(hidden, 1)
+        self.lin1 = nn.Linear(hidden, hidden)
+        self.lin2 = nn.Linear(hidden, num_classes)
+
+    def load_flax(self, params) -> None:
+        self.stack.load_flax(params)
+        _load_linear(self.gate, params["gate"])
+        _load_linear(self.lin1, params["lin1"])
+        _load_linear(self.lin2, params["lin2"])
+
+    def forward(self, x, adj, mask):
+        h = x
+        for i in range(len(self.stack.w_self)):
+            h = self.stack.layer(i, h, adj, mask)
+        e = self.gate(h)[..., 0]
+        e = torch.where(mask, e, torch.full_like(e, -1e30))
+        a = torch.softmax(e, dim=1) * mask.to(h.dtype)
+        z = (a[..., None] * h).sum(1)
+        z = F.relu(self.lin1(z))
+        return F.log_softmax(self.lin2(z), dim=-1)
+
+
+class TorchZooGraclus(nn.Module):
+    """`Graclus` (`kernel/graclus.py:10-41`): GraphConv(mean) stack with one
+    cluster max_pool coarsening (assignments precomputed host-side, same as
+    the JAX model — torch-cluster's graclus is randomized). Coarsened
+    connectivity is BINARY (PyG pool_edge coalesces with edge_attr None) and
+    self-loops are removed; per-cluster features are element-wise maxima."""
+
+    def __init__(self, num_layers=3, hidden=16, feat_dim=4, num_classes=2):
+        super().__init__()
+        dims = [(feat_dim, hidden)] + [(hidden, hidden)] * (num_layers - 1)
+        self.stack = _SageStack(dims)
+        self.lin1 = nn.Linear(num_layers * hidden, hidden)
+        self.lin2 = nn.Linear(hidden, num_classes)
+
+    def load_flax(self, params) -> None:
+        self.stack.load_flax(params)
+        _load_linear(self.lin1, params["lin1"])
+        _load_linear(self.lin2, params["lin2"])
+
+    @staticmethod
+    def _mean_pool(h, mask):
+        m = mask[..., None].to(h.dtype)
+        return (h * m).sum(1) / m.sum(1).clamp(min=1.0)
+
+    @staticmethod
+    def _max_pool_clusters(h, adj, mask, assign):
+        b, n, f = h.shape
+        xk = h.new_zeros(b, n, f)
+        new_mask = torch.zeros_like(mask)
+        adj_new = adj.new_zeros(b, n, n)
+        for s in range(b):                                  # per-sample loop
+            for k in assign[s][mask[s]].unique():
+                members = (assign[s] == k) & mask[s]
+                xk[s, k] = h[s, members].max(dim=0).values
+                new_mask[s, k] = True
+            ks = assign[s].long()
+            onehot = F.one_hot(ks, n).to(adj.dtype) * mask[s][:, None].to(adj.dtype)
+            coars = onehot.T @ adj[s] @ onehot
+            coars = (coars != 0).to(adj.dtype)
+            coars.fill_diagonal_(0)
+            adj_new[s] = coars
+        return xk, adj_new, new_mask
+
+    def forward(self, x, adj, mask, assign):
+        h = self.stack.layer(0, x, adj, mask)
+        readouts = [self._mean_pool(h, mask)]
+        pooled = False
+        for i in range(len(self.stack.w_self) - 1):
+            h = self.stack.layer(i + 1, h, adj, mask)
+            readouts.append(self._mean_pool(h, mask))
+            if i % 2 == 0 and not pooled:
+                h, adj, mask = self._max_pool_clusters(h, adj, mask, assign)
+                pooled = True
+        z = torch.cat(readouts, -1)
+        z = F.relu(self.lin1(z))
+        return F.log_softmax(self.lin2(z), dim=-1)
+
+
+class _TorchBlock(nn.Module):
+    """`Block` (`kernel/diff_pool.py:114-133`): two DenseSAGEConvs (lin_rel
+    bias-free, lin_root biased; aggregation = A x row-normalized by
+    clamp(rowsum(A), 1)) + JK linear over [x1 ‖ x2]."""
+
+    def __init__(self, in_dim, hidden, out):
+        super().__init__()
+        self.conv1_rel = nn.Linear(in_dim, hidden, bias=False)
+        self.conv1_root = nn.Linear(in_dim, hidden)
+        self.conv2_rel = nn.Linear(hidden, out, bias=False)
+        self.conv2_root = nn.Linear(hidden, out)
+        self.lin = nn.Linear(hidden + out, out)
+
+    def load_flax(self, tree) -> None:
+        for name in ("conv1_rel", "conv1_root", "conv2_rel", "conv2_root",
+                     "lin"):
+            _load_linear(getattr(self, name), tree[name])
+
+    @staticmethod
+    def _conv(rel, root, x, adj, mask):
+        agg = torch.matmul(adj, x) / adj.sum(dim=-1, keepdim=True).clamp(min=1)
+        out = rel(agg) + root(x)
+        if mask is not None:
+            out = out * mask[..., None].to(x.dtype)
+        return out
+
+    def forward(self, x, adj, mask=None):
+        x1 = F.relu(self._conv(self.conv1_rel, self.conv1_root, x, adj, mask))
+        x2 = F.relu(self._conv(self.conv2_rel, self.conv2_root, x1, adj, mask))
+        return self.lin(torch.cat([x1, x2], dim=-1))
+
+
+def _dense_diff_pool(z, adj, s_logits, mask=None):
+    """PyG `dense_diff_pool`: softmax assignments, masked, link loss =
+    ‖A − S Sᵀ‖_F / numel(A) (one Frobenius norm over the whole tensor),
+    entropy loss = mean row entropy over ALL B·N rows."""
+    s = torch.softmax(s_logits, dim=-1)
+    if mask is not None:
+        m = mask[..., None].to(z.dtype)
+        z, s = z * m, s * m
+    x_new = torch.matmul(s.transpose(1, 2), z)
+    adj_new = torch.matmul(torch.matmul(s.transpose(1, 2), adj), s)
+    link = torch.norm(adj - torch.matmul(s, s.transpose(1, 2)), p=2)
+    link = link / adj.numel()
+    ent = (-s * torch.log(s + 1e-15)).sum(dim=-1).mean()
+    return x_new, adj_new, link, ent
+
+
+class TorchZooDiffPool(nn.Module):
+    """`DiffPool` (`kernel/diff_pool.py:135-183`): pool/embed Block pairs at
+    0.25 coarsening, per-level readout x.mean(dim=1) (full dense node axis,
+    padding included — the reference quirk), JK-concat -> lin1 -> lin2."""
+
+    def __init__(self, max_nodes, num_layers=2, hidden=16, feat_dim=4,
+                 num_classes=2):
+        super().__init__()
+        n_k = max(1, math.ceil(0.25 * max_nodes))
+        self.blocks = nn.ModuleDict({
+            "pool_block1": _TorchBlock(feat_dim, hidden, n_k),
+            "embed_block1": _TorchBlock(feat_dim, hidden, hidden)})
+        self.extra = num_layers // 2 - 1
+        for i in range(self.extra):
+            n_k = max(1, math.ceil(0.25 * n_k))
+            self.blocks[f"pool_block{i + 2}"] = _TorchBlock(hidden, hidden,
+                                                            n_k)
+            self.blocks[f"embed_block{i + 2}"] = _TorchBlock(hidden, hidden,
+                                                             hidden)
+        self.lin1 = nn.Linear((self.extra + 1) * hidden, hidden)
+        self.lin2 = nn.Linear(hidden, num_classes)
+
+    def load_flax(self, params) -> None:
+        for name, block in self.blocks.items():
+            block.load_flax(params[name])
+        _load_linear(self.lin1, params["lin1"])
+        _load_linear(self.lin2, params["lin2"])
+
+    def forward(self, x, adj, mask):
+        s = self.blocks["pool_block1"](x, adj, mask)
+        z = F.relu(self.blocks["embed_block1"](x, adj, mask))
+        readouts = [z.mean(dim=1)]
+        x, adj, link, ent = _dense_diff_pool(z, adj, s, mask)
+        for i in range(self.extra):
+            s = self.blocks[f"pool_block{i + 2}"](x, adj)
+            z = F.relu(self.blocks[f"embed_block{i + 2}"](x, adj))
+            readouts.append(z.mean(dim=1))
+            x, adj, link_i, ent_i = _dense_diff_pool(z, adj, s)
+            link, ent = link + link_i, ent + ent_i
+        g = torch.cat(readouts, -1)
+        g = F.relu(self.lin1(g))
+        return F.log_softmax(self.lin2(g), dim=-1), link, ent

@@ -1,0 +1,301 @@
+"""Value-level golden parity for the baseline zoo vs independent torch
+re-derivations (`oracle/torch_zoo.py`) — VERDICT r3 "missing #2": the zoo
+previously had only shape/property tests, so the exact reference math
+(GIN's eps/MLP/BN stack, Set2Set's LSTM, TopK's tanh gate, DiffPool's
+Block structure, ...) could drift silently. Every family here runs the
+same parameters through the flax model and a torch mirror built on
+torch's OWN primitives (nn.LSTM, nn.BatchNorm1d, nn.Conv1d, torch.topk,
+torch.sort, per-sample loops) on a variable-size masked batch; log-probs
+must agree elementwise. GIN additionally pins train-mode masked
+batch-statistics against a REAL torch BatchNorm1d."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from iggcn_tpu.models import baselines as B
+from iggcn_tpu.ops import pool as P
+from iggcn_tpu.oracle import torch_zoo as Z
+
+BATCH, N, FEAT, NC = 3, 11, 4, 3
+VALID = (11, 7, 5)
+
+
+@pytest.fixture(scope="module")
+def graphs():
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(BATCH, N, FEAT)).astype(np.float32)
+    mask = np.zeros((BATCH, N), bool)
+    for b, nv in enumerate(VALID):
+        mask[b, :nv] = True
+    adj = (rng.random((BATCH, N, N)) < 0.35).astype(np.float32)
+    adj = np.maximum(adj, adj.transpose(0, 2, 1))          # symmetric
+    for b in range(BATCH):
+        np.fill_diagonal(adj[b], 0.0)
+    adj *= mask[:, :, None] & mask[:, None, :]
+    x *= mask[..., None]
+    assign = np.stack([P.greedy_matching(adj[b]) for b in range(BATCH)])
+    return (jnp.asarray(x), jnp.asarray(adj), jnp.asarray(mask),
+            jnp.asarray(assign))
+
+
+def _np(a):
+    return np.asarray(jax.device_get(a))
+
+
+def _torch_args(graphs, with_assign=False):
+    x, adj, mask, assign = graphs
+    out = [torch.from_numpy(_np(x)), torch.from_numpy(_np(adj)),
+           torch.from_numpy(_np(mask))]
+    if with_assign:
+        out.append(torch.from_numpy(_np(assign)))
+    return out
+
+
+CASES = [
+    ("gin",
+     lambda: B.GIN(num_layers=2, hidden=8, num_classes=NC),
+     lambda: Z.TorchZooGIN(num_layers=2, hidden=8, feat_dim=FEAT,
+                           num_classes=NC)),
+    ("gin0",
+     lambda: B.GIN(num_layers=2, hidden=8, num_classes=NC, train_eps=False),
+     lambda: Z.TorchZooGIN(num_layers=2, hidden=8, feat_dim=FEAT,
+                           num_classes=NC, train_eps=False)),
+    ("sage",
+     lambda: B.GraphSAGE(num_layers=3, hidden=8, num_classes=NC),
+     lambda: Z.TorchZooSAGE(num_layers=3, hidden=8, feat_dim=FEAT,
+                            num_classes=NC)),
+    ("sage_nojk",
+     lambda: B.GraphSAGE(num_layers=2, hidden=8, num_classes=NC, jk=False),
+     lambda: Z.TorchZooSAGE(num_layers=2, hidden=8, feat_dim=FEAT,
+                            num_classes=NC, jk=False)),
+    ("topk",
+     lambda: B.TopK(num_layers=4, hidden=8, num_classes=NC),
+     lambda: Z.TorchZooTopK(num_layers=4, hidden=8, feat_dim=FEAT,
+                            num_classes=NC)),
+    ("sortpool",
+     lambda: B.SortPool(num_layers=2, hidden=8, num_classes=NC, k=30),
+     lambda: Z.TorchZooSortPool(num_layers=2, hidden=8, feat_dim=FEAT,
+                                num_classes=NC, k=30)),
+    ("set2set",
+     lambda: B.Set2SetNet(num_layers=2, hidden=8, num_classes=NC),
+     lambda: Z.TorchZooSet2Set(num_layers=2, hidden=8, feat_dim=FEAT,
+                               num_classes=NC)),
+    ("glob_att",
+     lambda: B.GlobalAttentionNet(num_layers=2, hidden=8, num_classes=NC),
+     lambda: Z.TorchZooGlobalAttention(num_layers=2, hidden=8,
+                                       feat_dim=FEAT, num_classes=NC)),
+]
+
+
+@pytest.mark.parametrize("name,jx_factory,t_factory", CASES,
+                         ids=[c[0] for c in CASES])
+def test_zoo_forward_matches_torch(graphs, name, jx_factory, t_factory):
+    x, adj, mask, _ = graphs
+    model = jx_factory()
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(11), x, adj,
+                                         mask))
+    if name == "sortpool":
+        # the sort key is the last channel AFTER relu: zeros tie, and tie
+        # order is implementation-defined on BOTH sides (PyG argsort is
+        # unstable too) — shift the final conv bias positive so every valid
+        # node's key is distinct and the pin compares sort semantics, not
+        # tie-breaking
+        params = jax.device_get(variables["params"])
+        params["conv_b_1"] = np.full_like(np.asarray(params["conv_b_1"]),
+                                          5.0)
+        variables["params"] = params
+    out = jax.jit(model.apply)(variables, x, adj, mask)
+
+    tm = t_factory()
+    params = jax.device_get(variables["params"])
+    if name.startswith("gin"):
+        tm.load_flax(params, jax.device_get(variables["batch_stats"]))
+    else:
+        tm.load_flax(params)
+    tm.eval()
+    with torch.no_grad():
+        ref = tm(*_torch_args(graphs))
+    np.testing.assert_allclose(_np(out), ref.numpy(), rtol=1e-4, atol=2e-5,
+                               err_msg=f"{name} forward diverged from torch")
+
+
+def test_graclus_forward_matches_torch(graphs):
+    x, adj, mask, assign = graphs
+    model = B.Graclus(num_layers=3, hidden=8, num_classes=NC)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(11), x, adj, mask,
+                                    assign)
+    out = jax.jit(model.apply)(variables, x, adj, mask, assign)
+    tm = Z.TorchZooGraclus(num_layers=3, hidden=8, feat_dim=FEAT,
+                           num_classes=NC)
+    tm.load_flax(jax.device_get(variables["params"]))
+    tm.eval()
+    with torch.no_grad():
+        ref = tm(*_torch_args(graphs, with_assign=True))
+    np.testing.assert_allclose(_np(out), ref.numpy(), rtol=1e-4, atol=2e-5,
+                               err_msg="graclus forward diverged from torch")
+
+
+@pytest.mark.parametrize("num_layers", [2, 4], ids=["one_pool", "two_pools"])
+def test_diffpool_forward_matches_torch(graphs, num_layers):
+    """num_layers=4 exercises the second (unmasked, coarser) block pair and
+    the summed link/entropy losses."""
+    x, adj, mask, _ = graphs
+    model = B.DiffPool(max_nodes=N, num_layers=num_layers, hidden=8,
+                       num_classes=NC)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(11), x, adj, mask)
+    logp, link, ent = jax.jit(model.apply)(variables, x, adj, mask)
+    tm = Z.TorchZooDiffPool(max_nodes=N, num_layers=num_layers, hidden=8,
+                            feat_dim=FEAT, num_classes=NC)
+    tm.load_flax(jax.device_get(variables["params"]))
+    tm.eval()
+    with torch.no_grad():
+        ref_logp, ref_link, ref_ent = tm(*_torch_args(graphs))
+    np.testing.assert_allclose(_np(logp), ref_logp.numpy(), rtol=1e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(float(link), float(ref_link), rtol=1e-4)
+    np.testing.assert_allclose(float(ent), float(ref_ent), rtol=1e-4)
+
+
+@pytest.mark.parametrize("train_eps", [True, False], ids=["gin", "gin0"])
+def test_gin_six_step_trajectory_matches_torch(graphs, train_eps):
+    """Six real optimizer steps of the EXACT production zoo step
+    (`generic_cv.build_generic_steps`) on GIN vs the torch mirror: bare
+    Adam, two StepLR boundary crossings, live masked BatchNorm statistics,
+    and a zero-weight padding row the torch side never sees. Pins the
+    per-step loss trajectory, final parameters (incl. eps), and final BN
+    running stats. Dropout zeroed on both sides (PRNGs cannot align);
+    every BN sits upstream of it, so the rest runs in true train mode."""
+    import optax
+
+    from iggcn_tpu.train.generic_cv import build_generic_steps
+    from iggcn_tpu.train.steps import steplr_host
+    from tests.test_trajectory_parity import DECAY_EVERY, FACTOR, LR, STEPS
+
+    x, adj, mask, _ = graphs
+    rng_np = np.random.default_rng(5)
+    y = rng_np.integers(0, NC, size=BATCH)
+    # append a garbage zero-weight padding row (epoch padding)
+    pad_x = rng_np.normal(size=(1, N, FEAT)).astype(np.float32)
+    pad_adj = np.zeros((1, N, N), np.float32)
+    batch = {
+        "x": jnp.concatenate([x, jnp.asarray(pad_x)]),
+        "adj": jnp.concatenate([adj, jnp.asarray(pad_adj)]),
+        "mask": jnp.concatenate([mask, jnp.ones((1, N), bool)]),
+        "y": jnp.asarray(np.concatenate([y, [0]])),
+        "w": jnp.asarray(np.array([1.0] * BATCH + [0.0], np.float32)),
+    }
+
+    model = B.GIN(num_layers=2, hidden=8, num_classes=NC,
+                  train_eps=train_eps, dropout_lin=0.0)
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(3), batch["x"],
+                                         batch["adj"], batch["mask"]))
+    init_params = jax.device_get(variables["params"])
+    init_stats = jax.device_get(variables["batch_stats"])
+    optimizer = optax.scale_by_adam(b1=0.9, b2=0.999)
+    train_step, _ = build_generic_steps(
+        model, optimizer, needs_mask=True, needs_assign=False,
+        adj_only=False, aux_loss=False, takes_weight=True, has_stats=True)
+    opt_state = optimizer.init(variables["params"])
+    losses_jax = []
+    rng = jax.random.PRNGKey(99)
+    for epoch in range(STEPS):
+        lr_t = jnp.float32(steplr_host(LR, FACTOR, DECAY_EVERY, epoch))
+        rng, srng = jax.random.split(rng)
+        variables, opt_state, loss = train_step(variables, opt_state, batch,
+                                                srng, lr_t)
+        losses_jax.append(float(loss))
+    final_params = jax.device_get(variables["params"])
+    final_stats = jax.device_get(variables["batch_stats"])
+
+    tm = Z.TorchZooGIN(num_layers=2, hidden=8, feat_dim=FEAT,
+                       num_classes=NC, train_eps=train_eps)
+    tm.load_flax(init_params, init_stats)
+    tm.train()
+    xt, at, mt = _torch_args(graphs)          # the REAL rows only
+    yt = torch.from_numpy(y.copy()).long()
+    opt = torch.optim.Adam(tm.parameters(), lr=LR)
+    losses_torch = []
+    from iggcn_tpu.train.steps import steplr_host as _slr
+    for epoch in range(STEPS):
+        for g in opt.param_groups:
+            g["lr"] = _slr(LR, FACTOR, DECAY_EVERY, epoch)
+        opt.zero_grad()
+        loss = F.nll_loss(tm(xt, at, mt), yt)
+        loss.backward()
+        opt.step()
+        losses_torch.append(float(loss.detach()))
+
+    np.testing.assert_allclose(losses_jax, losses_torch, rtol=2e-4,
+                               err_msg="per-step GIN losses diverged")
+    assert abs(losses_jax[0] - losses_jax[-1]) > 1e-3
+    # Channels whose gradient is NUMERICALLY ZERO (~1e-8 fp noise) take
+    # Adam updates of O(lr) driven purely by that noise (m/(sqrt(v)+eps)
+    # is O(1) when m and sqrt(v) are both noise), so a handful of entries
+    # random-walk apart at the lr scale and drag their BN batch mean with
+    # them — measured: one l2 bias at 4e-3 after one step while every
+    # loss matches to 1e-6. Weights are asserted tightly; biases and
+    # running stats get a noise-walk allowance of STEPS*LR. A structural
+    # drift (wrong MLP/mask/readout) moves these by O(1) and still fails.
+    walk = STEPS * LR
+    for i in range(2):
+        mlp = final_params[f"mlp_{i}"]
+        np.testing.assert_allclose(tm.l1[i].weight.detach().numpy(),
+                                   np.asarray(mlp["l1"]["kernel"]).T,
+                                   rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(tm.l2[i].weight.detach().numpy(),
+                                   np.asarray(mlp["l2"]["kernel"]).T,
+                                   rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(tm.l2[i].bias.detach().numpy(),
+                                   np.asarray(mlp["l2"]["bias"]),
+                                   rtol=1e-3, atol=walk)
+        if train_eps:
+            np.testing.assert_allclose(tm.eps[i].detach().numpy(),
+                                       np.asarray(final_params[f"eps_{i}"]),
+                                       rtol=1e-3, atol=1e-6)
+        st = final_stats[f"mlp_{i}"]
+        np.testing.assert_allclose(tm.bn1[i].running_mean.numpy(),
+                                   st["bn1"]["mean"], rtol=1e-3, atol=walk)
+        np.testing.assert_allclose(tm.bn1[i].running_var.numpy(),
+                                   st["bn1"]["var"], rtol=1e-3, atol=walk)
+    for name in ("lin1", "lin2"):
+        np.testing.assert_allclose(
+            getattr(tm, name).weight.detach().numpy(),
+            np.asarray(final_params[name]["kernel"]).T, rtol=1e-3,
+            atol=1e-6)
+
+
+@pytest.mark.parametrize("train_eps", [True, False], ids=["gin", "gin0"])
+def test_gin_train_mode_bn_stats_match_torch(graphs, train_eps):
+    """Train-mode forward: the flax side's masked BN batch statistics
+    (weight-masked mean/var + UNBIASED running update over the valid-node
+    count) must evolve the running stats exactly as a real torch
+    BatchNorm1d fed only the valid flat rows. Dropout sits downstream of
+    every BN, so the stats are PRNG-independent."""
+    x, adj, mask, _ = graphs
+    model = B.GIN(num_layers=2, hidden=8, num_classes=NC,
+                  train_eps=train_eps)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(11), x, adj, mask)
+    _, mutated = model.apply(variables, x, adj, mask, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(0)})
+    new_stats = jax.device_get(mutated["batch_stats"])
+
+    tm = Z.TorchZooGIN(num_layers=2, hidden=8, feat_dim=FEAT,
+                       num_classes=NC, train_eps=train_eps)
+    tm.load_flax(jax.device_get(variables["params"]),
+                 jax.device_get(variables["batch_stats"]))
+    tm.train()
+    with torch.no_grad():
+        tm(*_torch_args(graphs))
+    for i in range(2):
+        pairs = [(tm.bn1[i], new_stats[f"mlp_{i}"]["bn1"])]
+        if not train_eps:
+            pairs.append((tm.bn2[i], new_stats[f"mlp_{i}"]["bn2"]))
+        for bn, st in pairs:
+            np.testing.assert_allclose(bn.running_mean.numpy(), st["mean"],
+                                       rtol=1e-4, atol=1e-6)
+            np.testing.assert_allclose(bn.running_var.numpy(), st["var"],
+                                       rtol=1e-4, atol=1e-6)
