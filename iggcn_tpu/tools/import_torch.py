@@ -547,6 +547,21 @@ def _main_reverse(args) -> int:
               f"(the one model the reference can load back); bundle holds "
               f"{type(model).__name__}", file=sys.stderr)
         return 1
+    # a fused bundle trained under non-reference knobs has a param tree the
+    # reference layout cannot hold — refuse with the tool's clean message
+    # instead of dying in the exporter on a raw KeyError
+    cfg = model.cfg
+    knobs = [("use_gat", cfg.use_gat, False),
+             ("graph_pool", cfg.graph_pool, False),
+             ("is_cross_atten", cfg.is_cross_atten, True),
+             ("model4eachregr", cfg.model4eachregr, False)]
+    off = [f"{k}={v!r}" for k, v, ref in knobs if v != ref]
+    if off:
+        print("[import] FAILED: bundle was trained with non-reference "
+              f"architecture knobs ({', '.join(off)}); the reference "
+              "state_dict layout cannot represent that parameter tree",
+              file=sys.stderr)
+        return 1
     sd = export_reference_state_dict(params, batch_stats, model.topo,
                                      model.cfg)
     torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},

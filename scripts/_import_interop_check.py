@@ -13,6 +13,7 @@ import glob
 import os
 import subprocess
 import sys
+import tempfile
 
 import numpy as np
 
@@ -29,9 +30,13 @@ def run(*argv):
     assert rc == 0, f"import_torch {argv[0]} failed"
 
 
-run("--reverse", "--ckpt", bundles[0], "--out", "/tmp/sweep_ref_sd.pt")
-run("--ckpt", "/tmp/sweep_ref_sd.pt", "--out", "/tmp/sweep_imported.npz",
-    "--synthetic_topo_seed", "1000")
+# a private scratch dir: fixed predictable /tmp names collide between
+# concurrent sweep runs and are symlink-attackable in shared /tmp
+scratch = tempfile.mkdtemp(prefix="iggcn_interop_")
+ref_sd = os.path.join(scratch, "sweep_ref_sd.pt")
+imported = os.path.join(scratch, "sweep_imported.npz")
+run("--reverse", "--ckpt", bundles[0], "--out", ref_sd)
+run("--ckpt", ref_sd, "--out", imported, "--synthetic_topo_seed", "1000")
 
 import jax  # noqa: E402
 
@@ -41,7 +46,7 @@ import jax.numpy as jnp  # noqa: E402
 from iggcn_tpu.tools.serve import load_bundle  # noqa: E402
 
 m_a, p_a, s_a = load_bundle(bundles[0])
-m_b, p_b, s_b = load_bundle("/tmp/sweep_imported.npz")
+m_b, p_b, s_b = load_bundle(imported)
 assert m_a.cfg == m_b.cfg, (m_a.cfg, m_b.cfg)
 rng = np.random.default_rng(5)
 x = jnp.asarray(rng.normal(size=(4, m_a.cfg.rois, m_a.cfg.feat_dim)),

@@ -192,6 +192,61 @@ def _topk_per_row():
     diffusion.get_top_k_matrix = mutated
 
 
+def _dp_batch_replicated():
+    """Replicate the batch across the DP mesh instead of sharding it — the
+    classic silent-parallelism bug: every device computes the FULL batch,
+    XLA's all-reduce averages identical gradients, every numeric
+    equivalence test stays green, and the mesh scales to nothing. Only a
+    partitioning-reality check (per-device compiled cost shrinking with
+    mesh size) can catch it."""
+    from iggcn_tpu.parallel import mesh as mesh_mod
+
+    def mutated(mesh, axis_name="data"):
+        del axis_name
+        return mesh_mod.replicated(mesh)
+
+    mesh_mod.batch_sharding = mutated
+
+
+def _dp_gather_w_dropped():
+    """Drop the w-mask from the device-side fold gather — fold-equalization
+    padding rows (row-0 content) silently become real subjects in every
+    loss/metric of the stacked fold-parallel path."""
+    import jax.numpy as jnp_
+
+    from iggcn_tpu.train import cv
+
+    orig = cv.gather_rows
+
+    def mutated(full_d, idx, clini, w):
+        out = orig(full_d, idx, clini, w)
+        out["w"] = jnp_.ones_like(out["w"])
+        return out
+
+    cv.gather_rows = mutated
+
+
+def _fold_perms_pad_from_zero():
+    """Pad the stacked epoch permutations with indices 0..pad instead of
+    the identity over the NEW padding rows — an off-by-base that makes the
+    padded slots re-sample REAL subjects (w=1), double-counting them in
+    the padded folds' training batches."""
+    import numpy as np_
+
+    from iggcn_tpu.train import fold_parallel
+
+    def mutated(perms, target):
+        e, s = perms.shape
+        if s == target:
+            return perms
+        extra = np_.broadcast_to(np_.arange(0, target - s,
+                                            dtype=perms.dtype),
+                                 (e, target - s))
+        return np_.concatenate([perms, extra], axis=1)
+
+    fold_parallel.extend_perms = mutated
+
+
 MUTATIONS = {
     "steplr_off_by_one": _steplr_off_by_one,
     "bn_biased_running_var": _bn_biased_running_var,
@@ -205,6 +260,9 @@ MUTATIONS = {
     "kfold_val_is_next": _kfold_val_is_next,
     "ppr_row_normalized": _ppr_row_normalized,
     "topk_per_row": _topk_per_row,
+    "dp_batch_replicated": _dp_batch_replicated,
+    "dp_gather_w_dropped": _dp_gather_w_dropped,
+    "fold_perms_pad_from_zero": _fold_perms_pad_from_zero,
 }
 
 # the test (file) pinned to catch each mutation — used by the audit script
@@ -221,6 +279,9 @@ TARGETS = {
     "kfold_val_is_next": "tests/test_splits.py",
     "ppr_row_normalized": "tests/test_diffusion_golden.py",
     "topk_per_row": "tests/test_diffusion_golden.py",
+    "dp_batch_replicated": "tests/test_parallel.py",
+    "dp_gather_w_dropped": "tests/test_parallel.py",
+    "fold_perms_pad_from_zero": "tests/test_parallel.py",
 }
 
 

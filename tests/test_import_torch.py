@@ -307,6 +307,32 @@ def test_reverse_cli_round_trip(fused_setup, topo, tmp_path):
                                       err_msg=path)
 
 
+def test_reverse_refuses_non_reference_knobs(topo, tmp_path):
+    """A fused bundle trained under non-reference architecture knobs
+    (here: is_cross_atten=False — no MHA params in the tree) has no
+    reference-layout representation; --reverse must refuse with the
+    tool's clean FAILED message, not die on a raw KeyError (r3 ADVICE)."""
+    from iggcn_tpu.tools.serve import save_bundle
+
+    cfg = ModelConfig(num_layers=2, hidden=4, is_cross_atten=False)
+    model = FusedSGCN(cfg=cfg, topo=topo)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0),
+                            jnp.zeros((2, cfg.rois, cfg.feat_dim)),
+                            jnp.zeros((2, cfg.rois, cfg.rois)),
+                            jnp.zeros((2, cfg.num_snps)))
+    bundle = tmp_path / "nonref.npz"
+    save_bundle(str(bundle), model, jax.device_get(v["params"]),
+                jax.device_get(v["batch_stats"]))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "iggcn_tpu.tools.import_torch", "--reverse",
+         "--ckpt", str(bundle), "--out", str(tmp_path / "sd.pt")],
+        capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 1
+    assert "FAILED" in r.stderr and "is_cross_atten" in r.stderr
+    assert "KeyError" not in r.stderr
+
+
 def test_cli_end_to_end(fused_setup, topo, tmp_path):
     """torch.save -> iggcn-import-torch CLI -> load_bundle -> same logits.
 

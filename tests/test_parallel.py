@@ -83,6 +83,36 @@ def test_fold_parallel_matches_sequential(cohort, topo):
                                rtol=1e-3, atol=2e-3)
 
 
+def test_fold_parallel_unequal_folds_matches_sequential(cohort, topo):
+    """Same equivalence with folds=5 and batch_size=4 on the 48-subject
+    cohort, so the folds' BATCH-ROUNDED sizes are unequal and the stacked
+    path's padding machinery actually runs (row-0-content padding rows
+    under w=0, identity-extended epoch permutations). The 4-fold variant
+    above divides 48 evenly, and even unequal RAW fold sizes can round up
+    to one common ceil(n/b)*b — the r4 mutation audit proved both
+    `gather_rows`'s w-mask and `extend_perms`'s identity base could
+    silently break while every equivalence test stayed green."""
+    import dataclasses as dc
+
+    from iggcn_tpu.config import LossWeights
+    from iggcn_tpu.train.cv import cross_validation
+
+    mcfg = ModelConfig(num_layers=2, hidden=4, rois=90, feat_dim=3,
+                       num_classes=2, num_regr=3, hidden_linear=8, l_dim=8)
+    tcfg = TrainConfig(epochs=2, batch_size=4, lr=1e-3, folds=5, seed=7,
+                       loss=LossWeights(disease=0.0, regr=1.0, prob=0.5,
+                                        reco=1.5e-6, simi=0.1, orth=0.0))
+    res_seq = cross_validation(cohort, topo, mcfg, tcfg, res_dir=None,
+                               verbose=False)
+    res_par = cross_validation(
+        cohort, topo, mcfg, dc.replace(tcfg, fold_parallel=True),
+        res_dir=None, verbose=False)
+    np.testing.assert_allclose(res_par.mean_test_loss, res_seq.mean_test_loss,
+                               rtol=1e-3)
+    np.testing.assert_allclose(res_par.score_result, res_seq.score_result,
+                               rtol=1e-3, atol=2e-3)
+
+
 def test_dp_sharding_actually_partitions_work(cohort, topo):
     """Scaling must be real partitioning, not silent replication (a program
     that replicates the batch would still run and still match numerically —
