@@ -82,7 +82,11 @@ class GeneOntologyNetwork(nn.Module):
     #             matmuls; avoids the (B, n, n) HBM traffic entirely and
     #             scales ~linearly in batch (~2x throughput at batch 128).
     #   'auto'  — picked per traced batch size (shapes are static under
-    #             jit, so exactly one path is compiled).
+    #             jit, so exactly one path is compiled). The batch-64
+    #             crossover is attested on-chip by the bench's
+    #             attention_ab leg (BENCH r4 / BASELINE.md "attention-impl
+    #             A/B": b32 dense 62.7k vs edge 54.4k g/s; b64 edge 87.7k
+    #             vs dense 63.8k; b128 edge 118.6k vs dense 58.4k).
     attention_impl: str = "auto"
 
     def setup(self):
