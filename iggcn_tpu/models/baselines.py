@@ -486,7 +486,10 @@ class CNNModel(nn.Module):
         h = nn.max_pool(h, (3, 3), strides=(3, 3))
         h = nn.relu(nn.Conv(4, (3, 3), padding="VALID", name="conv2")(h))
         h = nn.max_pool(h, (3, 3), strides=(3, 3))
-        h = h.reshape(h.shape[0], -1)
+        # the reference flattens the torch (B, C, H, W) layout
+        # channel-major (`mlp.py:60` x.view(-1, 324)) — match that element
+        # order so fc1 weights are interchangeable
+        h = jnp.transpose(h, (0, 3, 1, 2)).reshape(h.shape[0], -1)
         h = nn.relu(TorchLinear(64, name="fc1")(h))
         if train:
             h = dropout(self.make_rng("dropout"), h, 0.5)

@@ -439,6 +439,195 @@ class TorchZooGraclus(nn.Module):
         return F.log_softmax(self.lin2(z), dim=-1)
 
 
+class TorchZooNested(nn.Module):
+    """`Nested{GCN,GIN,GIN0}` (`kernel/gcn.py:8-84`, `kernel/gin.py:7-183`)
+    on the dense union-graph layout: optional hop-label embedding
+    (Embedding(1000, 8)) and resistance-distance projection (Linear(1, 8))
+    summed and concatenated to the features, conv stack over the
+    block-diagonal union adjacency, JK-concat mean-pooled per subgraph
+    (per-sample loops here vs the JAX one-hot matmul), then either the
+    dense-flattened per-graph readout (NestedGCN/NestedGIN) or the
+    subgraph add-pool (NestedGIN0's subconv branch). The nested GIN MLP is
+    the two-BN Linear-BN-ReLU-Linear-BN-ReLU (`kernel/gin.py:20-27`) for
+    BOTH eps variants — unlike the flat zoo's GIN."""
+
+    def __init__(self, conv="gcn", num_layers=2, hidden=16, feat_dim=4,
+                 num_classes=2, num_subgraphs=6, hidden_linear=64,
+                 use_z=False, use_rd=False, readout="flatten",
+                 train_eps=True):
+        super().__init__()
+        self.conv = conv
+        self.num_layers = num_layers
+        self.num_subgraphs = num_subgraphs
+        self.readout = readout
+        self.use_z, self.use_rd = use_z, use_rd
+        self.train_eps = train_eps
+        in_dim = feat_dim + (8 if use_z or use_rd else 0)
+        dims = [in_dim] + [hidden] * num_layers
+        if conv == "gcn":
+            self.conv_w = nn.ParameterList(
+                [nn.Parameter(torch.zeros(dims[i], dims[i + 1]))
+                 for i in range(num_layers)])
+            self.conv_b = nn.ParameterList(
+                [nn.Parameter(torch.zeros(dims[i + 1]))
+                 for i in range(num_layers)])
+        elif conv == "gin":
+            self.l1 = nn.ModuleList([nn.Linear(dims[i], hidden)
+                                     for i in range(num_layers)])
+            self.l2 = nn.ModuleList([nn.Linear(hidden, hidden)
+                                     for _ in range(num_layers)])
+            self.bn1 = nn.ModuleList([nn.BatchNorm1d(hidden)
+                                      for _ in range(num_layers)])
+            self.bn2 = nn.ModuleList([nn.BatchNorm1d(hidden)
+                                      for _ in range(num_layers)])
+            if train_eps:
+                self.eps = nn.ParameterList(
+                    [nn.Parameter(torch.zeros(()))
+                     for _ in range(num_layers)])
+        else:
+            raise ValueError(conv)
+        if use_z:
+            self.z_embedding = nn.Parameter(torch.zeros(1000, 8))
+        if use_rd:
+            self.rd_projection = nn.Linear(1, 8)
+        if readout == "flatten":
+            self.lin1 = nn.Linear(num_subgraphs * num_layers * hidden,
+                                  hidden_linear)
+            self.lin2 = nn.Linear(hidden_linear, num_classes)
+        else:
+            self.lin1 = nn.Linear(num_layers * hidden, hidden)
+            self.lin2 = nn.Linear(hidden, num_classes)
+
+    def load_flax(self, params, stats=None) -> None:
+        with torch.no_grad():
+            for i in range(self.num_layers):
+                if self.conv == "gcn":
+                    self.conv_w[i].copy_(_t(params[f"conv_w_{i}"]))
+                    self.conv_b[i].copy_(_t(params[f"conv_b_{i}"]))
+                else:
+                    mlp, st = params[f"mlp_{i}"], stats[f"mlp_{i}"]
+                    _load_linear(self.l1[i], mlp["l1"])
+                    _load_linear(self.l2[i], mlp["l2"])
+                    for bn_list, tag in ((self.bn1, "bn1"),
+                                         (self.bn2, "bn2")):
+                        bn = bn_list[i]
+                        bn.weight.copy_(_t(mlp[tag]["scale"]))
+                        bn.bias.copy_(_t(mlp[tag]["bias"]))
+                        bn.running_mean.copy_(_t(st[tag]["mean"]))
+                        bn.running_var.copy_(_t(st[tag]["var"]))
+                    if self.train_eps:
+                        self.eps[i].copy_(_t(params[f"eps_{i}"]))
+            if self.use_z:
+                self.z_embedding.copy_(_t(params["z_embedding"]))
+            if self.use_rd:
+                _load_linear(self.rd_projection, params["rd_projection"])
+            _load_linear(self.lin1, params["lin1"])
+            _load_linear(self.lin2, params["lin2"])
+
+    def _masked_bn(self, bn, h, mask):
+        b, n, f = h.shape
+        flat = h.reshape(b * n, f)
+        idx = mask.reshape(b * n)
+        out = torch.zeros_like(flat)
+        out[idx] = bn(flat[idx])
+        with torch.no_grad():
+            bn.eval()
+            out[~idx] = bn(flat[~idx])
+            bn.train(self.training)
+        return out.reshape(b, n, f)
+
+    def _subgraph_mean(self, h, assign, mask):
+        b, m, d = h.shape
+        out = h.new_zeros(b, self.num_subgraphs, d)
+        for s in range(b):
+            for k in range(self.num_subgraphs):
+                members = (assign[s] == k) & mask[s]
+                if members.any():
+                    out[s, k] = h[s, members].mean(dim=0)
+        return out
+
+    def forward(self, x, adj, mask, assign, z=None, rd=None):
+        from iggcn_tpu.oracle.torch_ref import TorchFused
+
+        mf = mask[..., None].to(x.dtype)
+        if self.use_z or self.use_rd:
+            emb = x.new_zeros(x.shape[:2] + (8,))
+            if self.use_z:
+                zi = (z if z is not None
+                      else torch.zeros(x.shape[:2], dtype=torch.long))
+                ze = self.z_embedding[zi.long().clamp(0, 999)]
+                if ze.ndim == 4:      # multi-dim labels: sum the label axis
+                    ze = ze.sum(dim=2)
+                emb = emb + ze
+            if self.use_rd:
+                ri = rd if rd is not None else x.new_zeros(x.shape[:2] + (1,))
+                emb = emb + self.rd_projection(ri)
+            x = torch.cat([emb, x], dim=-1)
+        feats = []
+        h = x
+        if self.conv == "gcn":
+            prop = TorchFused.gcn_prop(adj)
+            for i in range(self.num_layers):
+                h = F.relu(torch.matmul(prop, h) @ self.conv_w[i]
+                           + self.conv_b[i])
+                feats.append(h)
+        else:
+            a = (adj != 0).to(x.dtype)
+            for i in range(self.num_layers):
+                eps = self.eps[i] if self.train_eps else 0.0
+                hm = h * mf
+                agg = (1.0 + eps) * hm + torch.matmul(a.transpose(1, 2), hm)
+                v = F.relu(self._masked_bn(self.bn1[i], self.l1[i](agg),
+                                           mask))
+                h = F.relu(self._masked_bn(self.bn2[i], self.l2[i](v),
+                                           mask))
+                feats.append(h)
+        jk = torch.cat(feats, dim=-1)
+        sub = self._subgraph_mean(jk, assign, mask)
+        if self.readout == "add":
+            g = sub.sum(dim=1)
+        else:
+            g = sub.reshape(sub.shape[0], -1)
+        g = F.relu(self.lin1(g))
+        return F.log_softmax(self.lin2(g), dim=-1)
+
+
+class TorchZooCNN(nn.Module):
+    """`CNN_Model` (`kernel/mlp.py:13-72`) with REAL nn.Conv2d/MaxPool2d:
+    Conv2d(1, 4, 3) -> MaxPool(3, 3) -> Conv2d(4, 4, 3) -> MaxPool(3, 3)
+    -> channel-major flatten -> fc1(64) -> fc2(16) -> fc3."""
+
+    def __init__(self, num_classes=2):
+        super().__init__()
+        self.conv1 = nn.Conv2d(1, 4, 3)
+        self.conv2 = nn.Conv2d(4, 4, 3)
+        self.pool = nn.MaxPool2d(3, 3)
+        self.fc1 = nn.Linear(324, 64)
+        self.fc2 = nn.Linear(64, 16)
+        self.fc3 = nn.Linear(16, num_classes)
+
+    def load_flax(self, params) -> None:
+        with torch.no_grad():
+            # flax nn.Conv kernel (kh, kw, in, out) -> torch (out, in, kh, kw)
+            self.conv1.weight.copy_(
+                _t(params["conv1"]["kernel"]).permute(3, 2, 0, 1))
+            self.conv1.bias.copy_(_t(params["conv1"]["bias"]))
+            self.conv2.weight.copy_(
+                _t(params["conv2"]["kernel"]).permute(3, 2, 0, 1))
+            self.conv2.bias.copy_(_t(params["conv2"]["bias"]))
+            for name in ("fc1", "fc2", "fc3"):
+                _load_linear(getattr(self, name), params[name])
+
+    def forward(self, adj):
+        h = adj[:, None, :, :]
+        h = self.pool(F.relu(self.conv1(h)))
+        h = self.pool(F.relu(self.conv2(h)))
+        h = h.reshape(h.shape[0], -1)
+        h = F.relu(self.fc1(h))
+        h = F.relu(self.fc2(h))
+        return F.log_softmax(self.fc3(h), dim=-1)
+
+
 class _TorchBlock(nn.Module):
     """`Block` (`kernel/diff_pool.py:114-133`): two DenseSAGEConvs (lin_rel
     bias-free, lin_root biased; aggregation = A x row-normalized by
