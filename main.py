@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "imaging and GO branches in the fused models")
     p.add_argument("--use_pallas_gcn", action="store_true", default=False,
                    help="run the imaging GCN stack as a fused Pallas kernel")
+    p.add_argument("--go_attention_impl", type=str, default="auto",
+                   choices=("auto", "dense", "edge"),
+                   help="GO-branch edge-attention aggregation: 'dense' "
+                        "masked (n, n) matmuls, 'edge' gathered edge-list "
+                        "scores, or 'auto' per traced batch size (crossover "
+                        "at batch 64, attested by the bench attention_ab "
+                        "leg)")
     p.add_argument("--no_fold_scan", action="store_true", default=False,
                    help="debug: per-epoch dispatch instead of whole-fold scan")
     p.add_argument("--fold_parallel", action="store_true", default=False,
@@ -868,7 +875,8 @@ def _fused_cfgs(args, dcfg, num_layers, hidden):
         model4eachregr=args.model4eachregr,
         is_image_only=args.isImageOnly, is_snps_only=args.isSNPsOnly,
         is_multi_fusion=args.isMultiFusion,
-        use_pallas_gcn=args.use_pallas_gcn)
+        use_pallas_gcn=args.use_pallas_gcn,
+        go_attention_impl=args.go_attention_impl)
     if args.model == "SGCN_GAT":
         mcfg = dataclasses.replace(mcfg, use_gat=True)
     tcfg = TrainConfig(

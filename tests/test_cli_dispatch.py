@@ -355,3 +355,20 @@ def test_improves_is_nan_aware():
     assert not cli._improves(nan, 1.0)      # NaN never beats real
     assert not cli._improves(nan, nan)      # keep the first diverged combo
     assert cli._improves(0.5, 1.0) and not cli._improves(2.0, 1.0)
+
+
+def test_go_attention_impl_flag_threads_to_model_config():
+    """`--go_attention_impl` reaches ModelConfig (the GO branch reads it);
+    the default stays 'auto' and bogus values die at the parser."""
+    import pytest as _pytest
+
+    parser = cli.build_parser()
+    for val in ("auto", "dense", "edge"):
+        args = parser.parse_args(["--go_attention_impl", val])
+        mcfg, _ = cli._fused_cfgs(args, cli._build_dcfg(args), 2, 16)
+        assert mcfg.go_attention_impl == val
+    args = parser.parse_args([])
+    mcfg, _ = cli._fused_cfgs(args, cli._build_dcfg(args), 2, 16)
+    assert mcfg.go_attention_impl == "auto"
+    with _pytest.raises(SystemExit):
+        parser.parse_args(["--go_attention_impl", "sparse"])
