@@ -432,7 +432,16 @@ def _train_sweep(topo, cohort, budget, emitter, per_batch, per_batch_extras):
         if per_batch and not budget.allow(leg_est, f"train_b{b}"):
             break
         t0 = time.monotonic()
-        gps_b, _, extras_b = bench_jax(topo, cohort, batch=b)
+        try:
+            gps_b, _, extras_b = bench_jax(topo, cohort, batch=b)
+        except Exception as e:
+            # one failing leg (OOM at the largest batch, a transient
+            # tunnel error) must not forfeit the smaller-batch numbers
+            print(f"[bench] train leg batch {b} FAILED "
+                  f"({type(e).__name__}: {e}); continuing sweep",
+                  file=sys.stderr)
+            budget.skipped.append(f"train_b{b}_failed")
+            continue
         leg_est = max(20.0, (time.monotonic() - t0) * 1.2)
         if round(gps_b, 1) > per_batch.get(b, 0.0):
             per_batch[b] = round(gps_b, 1)
@@ -504,6 +513,10 @@ def main():
         time.sleep(sleep_s)
         canary_pre = _canary()
 
+    if not per_batch:
+        emitter.update(error="every training leg failed")
+        emitter.emit(final=True)
+        sys.exit(1)
     best_batch = max(per_batch, key=per_batch.get)
     gps = per_batch[best_batch]
 

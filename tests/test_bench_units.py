@@ -193,6 +193,39 @@ def test_budgeted_main_slow_window_still_parseable(monkeypatch, capsys):
     assert final["attempts"] == 1
 
 
+def test_budgeted_main_survives_failing_leg(monkeypatch, capsys):
+    """An OOM (or any exception) in one training leg must not forfeit the
+    sweep: the leg is recorded as failed and the smaller batches still
+    produce the artifact."""
+    import pytest
+
+    bench, calls = _fake_bench_env(monkeypatch)
+    real = bench.bench_jax
+
+    def flaky(topo, cohort, batch=32, **kw):
+        if batch == 256:
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+        return real(topo, cohort, batch=batch, **kw)
+
+    monkeypatch.setattr(bench, "bench_jax", flaky)
+    monkeypatch.setattr(bench, "BUDGET_S", 300.0)
+    bench.main()
+    final = _json_lines(capsys.readouterr().out)[-1]
+    assert final["value"] == 1128.0 and final["batch"] == 128
+    assert "train_b256_failed" in final["skipped_legs"]
+
+    def dead(*a, **k):
+        raise RuntimeError("tunnel gone")
+
+    monkeypatch.setattr(bench, "bench_jax", dead)
+    with pytest.raises(SystemExit) as ei:
+        bench.main()
+    assert ei.value.code == 1
+    final = _json_lines(capsys.readouterr().out)[-1]
+    assert final["value"] is None and "every training leg failed" in \
+        final["error"]
+
+
 def test_budgeted_main_term_handler_flushes(monkeypatch, capsys):
     """SIGTERM mid-run (the driver's timeout) flushes the best-so-far line
     instead of dying silently."""
