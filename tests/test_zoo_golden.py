@@ -159,6 +159,32 @@ def test_diffpool_forward_matches_torch(graphs, num_layers):
     np.testing.assert_allclose(float(ent), float(ref_ent), rtol=1e-4)
 
 
+def test_gat_flat_forward_matches_torch():
+    """GATFlat vs a SPARSE per-target torch re-derivation of PyG GATConv
+    (explicit incoming-edge grouping + softmax + fill_value='mean' self
+    loops) — the dense masked-softmax formulation must agree edge for
+    edge, including targets with no incoming edges."""
+    rng = np.random.default_rng(17)
+    x = rng.normal(size=(BATCH, N, FEAT)).astype(np.float32)
+    adj = (rng.random((BATCH, N, N)) < 0.3).astype(np.float32)
+    adj *= rng.uniform(0.5, 2.0, size=adj.shape).astype(np.float32)
+    for b in range(BATCH):
+        np.fill_diagonal(adj[b], 0.0)
+    adj[0, :, 3] = 0.0        # an isolated target: only its mean-0 self loop
+    model = B.GATFlat(num_layers=2, hidden=8, num_classes=NC)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(6), jnp.asarray(x),
+                                    jnp.asarray(adj))
+    out = jax.jit(model.apply)(variables, jnp.asarray(x), jnp.asarray(adj))
+    tm = Z.TorchZooGATFlat(num_layers=2, hidden=8, feat_dim=FEAT,
+                           num_classes=NC, rois=N)
+    tm.load_flax(jax.device_get(variables["params"]))
+    tm.eval()
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.copy()), torch.from_numpy(adj.copy()))
+    np.testing.assert_allclose(_np(out), ref.numpy(), rtol=1e-4, atol=2e-5,
+                               err_msg="GATFlat forward diverged from torch")
+
+
 def test_cnn_forward_matches_torch():
     """`CNN_Model` vs a real nn.Conv2d/MaxPool2d mirror — also pins the
     channel-major flatten order the reference's x.view(-1, 324) implies
