@@ -486,9 +486,19 @@ def main():
     enable_compilation_cache()
     topo, cohort = build_data()
 
+    def canary_safe():
+        # the canary itself dying (tunnel dropped mid-run) must not crash
+        # the artifact; a huge sentinel marks the window unusable and the
+        # budget gate stops any retry from burning what's left
+        try:
+            return _canary()
+        except Exception as e:  # pragma: no cover - live-tunnel path
+            print(f"[bench] canary failed ({e})", file=sys.stderr)
+            return (99999.0, 99999.0)
+
     # ---- training sweep (the headline number), canary-bracketed ---------
     per_batch, per_batch_extras = {}, {}
-    canary_pre = _canary()
+    canary_pre = canary_safe()
     attempt, sweep_wall = 0, None
     while True:
         attempt += 1
@@ -496,7 +506,7 @@ def main():
         leg_est = _train_sweep(topo, cohort, budget, emitter, per_batch,
                                per_batch_extras)
         sweep_wall = time.monotonic() - t0
-        canary_post = _canary()
+        canary_post = canary_safe()
         emitter.update(attempts=attempt, **dict(zip(
             ("canary_roundtrip_ms", "canary_compute_ms"),
             map(list, zip(canary_pre, canary_post)))))
@@ -511,7 +521,7 @@ def main():
               f"{CANARY_HEALTHY_MS:.0f}); retrying in {sleep_s:.0f} s "
               f"(attempt {attempt}/{MAX_ATTEMPTS})", file=sys.stderr)
         time.sleep(sleep_s)
-        canary_pre = _canary()
+        canary_pre = canary_safe()
 
     if not per_batch:
         emitter.update(error="every training leg failed")
