@@ -88,6 +88,13 @@ run export_serve     python scripts/_export_serve_check.py
 # reference-layout torch state_dict, import back, identical logits
 run import_interop   python scripts/_import_interop_check.py
 
+# warm-start loop over the sweep's own bundle: reference state_dict ->
+# main.py --init_from_torch trains with it (r4)
+run warm_start       python scripts/_warm_start_check.py
+
+# GO attention impl forced to the edge-list aggregation (r4 CLI knob)
+run attention_edge   python main.py $S --disease_id 0 --go_attention_impl edge --save_appendix _sw_attn
+
 # analysis over the sweep's own outputs
 run report           python -m iggcn_tpu.tools.report results/ADNI_sw_fused
 run report_permut    python -m iggcn_tpu.tools.report results/ADNI_sw_fused --permut_null results_permuttest/ADNI_sw_perm results_permuttest/ADNI_sw_pb_permut1 results_permuttest/ADNI_sw_pb_permut2
