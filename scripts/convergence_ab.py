@@ -106,6 +106,14 @@ def run_convergence_ab(*, family="fused", epochs=300, subjects=120, rois=30,
                             early_rtol=early_rtol,
                             final_loss_rtol=final_loss_rtol,
                             acc_tol=acc_tol)
+    if family == "zoo":
+        return _run_zoo_ab(cohort, train_idx, test_idx, epochs=epochs,
+                           subjects=subjects, lr=lr,
+                           decay_every=decay_every, factor=factor,
+                           early_window=early_window,
+                           early_rtol=early_rtol,
+                           final_loss_rtol=final_loss_rtol,
+                           acc_tol=acc_tol)
 
     arrays = cohort_batch_arrays(cohort)
     arrays.pop("sbj_id")
@@ -381,6 +389,98 @@ def _run_snps_ab(cohort, topo, train_idx, test_idx, *, epochs, subjects,
                     early_window, early_rtol, final_loss_rtol, acc_tol)
 
 
+def _run_zoo_ab(cohort, train_idx, test_idx, *, epochs, subjects, lr,
+                decay_every, factor, early_window, early_rtol,
+                final_loss_rtol, acc_tol):
+    """The generic zoo trainer family (`kernel/train_eval.py:278-314`,
+    plain NLL) on the GCNFlat baseline, via the exact production step
+    (`generic_cv.build_generic_steps` — the same pairing the 6-step
+    trajectory test pins) vs a torch replica, trained to convergence.
+    GCNFlat has no BatchNorm, so the trajectories never enter the chaotic
+    regime and track tightly end to end."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import torch
+    import torch.nn.functional as F
+
+    from iggcn_tpu.models.baselines import GCNFlat
+    from iggcn_tpu.oracle.torch_ref import (TorchGcnFlat,
+                                            load_gcn_flat_params)
+    from iggcn_tpu.train.generic_cv import build_generic_steps
+    from iggcn_tpu.train.metrics import roc_auc_binary
+    from iggcn_tpu.train.steps import steplr_host
+
+    x_all = np.asarray(cohort.x, np.float32)
+    adj_all = np.asarray(cohort.adj, np.float32)
+    y_all = np.asarray(cohort.y)
+    n_train = len(train_idx)
+    batch = {"x": jnp.asarray(x_all[train_idx]),
+             "adj": jnp.asarray(adj_all[train_idx]),
+             "y": jnp.asarray(y_all[train_idx]),
+             "w": jnp.ones((n_train,), jnp.float32)}
+
+    # ---- JAX (exact production step) -------------------------------------
+    model = GCNFlat(num_layers=2, hidden=16, dropout_lin=0.0)
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(11), batch["x"],
+                                         batch["adj"]))
+    init_params = jax.device_get(variables["params"])
+    optimizer = optax.scale_by_adam(b1=0.9, b2=0.999)
+    train_step, _ = build_generic_steps(
+        model, optimizer, needs_mask=False, needs_assign=False,
+        adj_only=False, aux_loss=False, takes_weight=False, has_stats=False)
+    opt_state = optimizer.init(variables["params"])
+    rng = jax.random.PRNGKey(2)
+    losses_jax = []
+    for epoch in range(epochs):
+        lr_t = jnp.float32(steplr_host(lr, factor, decay_every, epoch))
+        rng, srng = jax.random.split(rng)
+        variables, opt_state, loss = train_step(variables, opt_state, batch,
+                                                srng, lr_t)
+        losses_jax.append(float(loss))
+    losses_jax = np.asarray(losses_jax)
+
+    logp = jax.jit(model.apply)(variables, jnp.asarray(x_all[test_idx]),
+                                jnp.asarray(adj_all[test_idx]))
+    prob_jax = np.exp(np.asarray(logp))[:, 1]
+    pred_jax = np.asarray(logp).argmax(axis=1)
+    acc_jax = float(np.mean(pred_jax == y_all[test_idx]))
+    auc_jax = roc_auc_binary(y_all[test_idx], prob_jax)
+
+    # ---- torch (independent derivation) ----------------------------------
+    tm = TorchGcnFlat(num_layers=2, hidden=16, rois=x_all.shape[1])
+    load_gcn_flat_params(tm, init_params)
+    tm.drop = 0.0
+    tm.train()
+    opt = torch.optim.Adam(tm.parameters(), lr=lr)
+    x_t = torch.from_numpy(x_all[train_idx].copy())
+    adj_t = torch.from_numpy(adj_all[train_idx].copy())
+    y_t = torch.from_numpy(y_all[train_idx].copy()).long()
+    losses_torch = []
+    for epoch in range(epochs):
+        for g in opt.param_groups:    # host-side StepLR, trainer parity
+            g["lr"] = steplr_host(lr, factor, decay_every, epoch)
+        opt.zero_grad()
+        loss = F.nll_loss(tm(x_t, adj_t), y_t)
+        loss.backward()
+        opt.step()
+        losses_torch.append(float(loss.detach()))
+    losses_torch = np.asarray(losses_torch)
+
+    tm.eval()
+    with torch.no_grad():
+        logp_t = tm(torch.from_numpy(x_all[test_idx].copy()),
+                    torch.from_numpy(adj_all[test_idx].copy())).numpy()
+    pred_torch = logp_t.argmax(axis=1)
+    acc_torch = float(np.mean(pred_torch == y_all[test_idx]))
+    auc_torch = roc_auc_binary(y_all[test_idx], np.exp(logp_t)[:, 1])
+
+    return _verdict("zoo", epochs, subjects, n_train, len(test_idx),
+                    losses_jax, losses_torch, pred_jax, pred_torch,
+                    acc_jax, acc_torch, auc_jax, auc_torch,
+                    early_window, early_rtol, final_loss_rtol, acc_tol)
+
+
 def _verdict(family, epochs, subjects, n_train, n_test, losses_jax,
              losses_torch, pred_jax, pred_torch, acc_jax, acc_torch,
              auc_jax, auc_torch, early_window, early_rtol,
@@ -419,14 +519,16 @@ def build_parser() -> argparse.ArgumentParser:
                     "held-out metrics compared at convergence")
     p.add_argument("--family",
                    choices=("fused", "gcn", "guide", "cluster", "snps",
-                            "sgcn"),
+                            "sgcn", "zoo"),
                    default="fused",
                    help="trainer family under test: the 7-term fused "
                         "flagship, the single-forward GCN fusion, the "
                         "Gumbel-ST guide family (deterministic gumbel_zero "
                         "parity mode), the cluster-label multitask family, "
-                        "the SNP-only GO classifier, or the image-only "
-                        "SGCN (dual-pass CE + sparsity, no genetics branch)")
+                        "the SNP-only GO classifier, the image-only "
+                        "SGCN (dual-pass CE + sparsity, no genetics "
+                        "branch), or the generic zoo trainer (plain NLL "
+                        "on the GCNFlat baseline)")
     p.add_argument("--epochs", type=int, default=300,
                    help="full-batch optimizer steps (one per epoch)")
     p.add_argument("--subjects", type=int, default=120,

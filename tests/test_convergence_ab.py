@@ -71,3 +71,10 @@ def test_convergence_ab_snps_small():
     _assert_agrees(run_convergence_ab(family="snps", epochs=30, subjects=60,
                                       final_loss_rtol=0.15),
                    final_rtol=0.15)
+
+
+def test_convergence_ab_zoo_small():
+    """Same harness on the generic zoo trainer (plain NLL, GCNFlat, the
+    exact production step `generic_cv.build_generic_steps`) — the seventh
+    and last trainer family class (`kernel/train_eval.py:278-314`)."""
+    _assert_agrees(run_convergence_ab(family="zoo", epochs=30, subjects=60))
