@@ -17,7 +17,7 @@ Usage:
 
 Prints one line per case and a final JSON summary; exit 1 when any
 mutation SURVIVES (target stays green) or any control fails.
-Runtime: ~12-15 min for all fifteen on a warm compile cache (two of the
+Runtime: ~12-15 min for all sixteen on a warm compile cache (two of the
 targets are the 6-step trajectory suite; the data-layer targets run in
 seconds).
 """

@@ -247,6 +247,15 @@ def _fold_perms_pad_from_zero():
     fold_parallel.extend_perms = mutated
 
 
+def _gin_mlp_variant_swapped():
+    """Give GIN (train_eps=True) GIN0's two-BN MLP — the exact conflation
+    this build shipped until r4 (upstream GIN and GIN0 differ in eps AND
+    MLP shape AND readout, `kernel/gin.py:190-196` vs `:124-131`); only a
+    value-level oracle can see it."""
+    from iggcn_tpu.models import baselines
+    baselines._GINMLPLateBN = baselines._GINMLP
+
+
 MUTATIONS = {
     "steplr_off_by_one": _steplr_off_by_one,
     "bn_biased_running_var": _bn_biased_running_var,
@@ -263,6 +272,7 @@ MUTATIONS = {
     "dp_batch_replicated": _dp_batch_replicated,
     "dp_gather_w_dropped": _dp_gather_w_dropped,
     "fold_perms_pad_from_zero": _fold_perms_pad_from_zero,
+    "gin_mlp_variant_swapped": _gin_mlp_variant_swapped,
 }
 
 # the test (file) pinned to catch each mutation — used by the audit script
@@ -282,6 +292,7 @@ TARGETS = {
     "dp_batch_replicated": "tests/test_parallel.py",
     "dp_gather_w_dropped": "tests/test_parallel.py",
     "fold_perms_pad_from_zero": "tests/test_parallel.py",
+    "gin_mlp_variant_swapped": "tests/test_zoo_golden.py",
 }
 
 
