@@ -439,6 +439,99 @@ class TorchZooGraclus(nn.Module):
         return F.log_softmax(self.lin2(z), dim=-1)
 
 
+def _gat_layer_sparse(h_in, adj, w_lin, att_src_p, att_dst_p, lin_edge,
+                      att_edge, slope):
+    """One GATConv (heads=1, edge_dim=1) in the SPARSE per-target form PyG
+    actually computes: remove self loops, add them back with the
+    per-target MEAN incoming edge weight (fill_value='mean'; 0 for
+    isolated targets), leaky_relu logits, softmax per target's incoming
+    group, aggregate. Returns pre-bias, pre-activation output."""
+    b, n, _ = h_in.shape
+    h = h_in @ w_lin
+    out = torch.zeros_like(h)
+    e_coef = lin_edge[0] @ att_edge
+    for s in range(b):
+        a_src = h[s] @ att_src_p
+        a_dst = h[s] @ att_dst_p
+        w = adj[s].clone()
+        w.fill_diagonal_(0.0)
+        for c in range(n):
+            rows = torch.nonzero((w[:, c] != 0), as_tuple=True)[0]
+            mean_in = (w[rows, c].mean() if len(rows)
+                       else w.new_zeros(()))
+            srcs = torch.cat([rows, torch.tensor([c])])
+            weights = torch.cat([w[rows, c], mean_in[None]])
+            logits = F.leaky_relu(
+                a_src[srcs] + a_dst[c] + weights * e_coef, slope)
+            alpha = torch.softmax(logits, dim=0)
+            out[s, c] = alpha @ h[s][srcs]
+    return out
+
+
+class TorchZooSgcnGat(nn.Module):
+    """`SGCN_GAT` (`kernel/sgcn.py:154-269`): GAT conv stack over the
+    importance-maskable brain graph + JK-concat flatten head — the fused
+    image family's GAT variant, with the GAT layers in the sparse
+    per-target derivation and cal_probability borrowed from the pinned
+    TorchSgcnOri (same masking math, `kernel/sgcn.py:76-91`)."""
+
+    def __init__(self, num_layers=2, hidden=16, rois=20, feat_dim=3,
+                 num_classes=2, hidden_linear=64, negative_slope=0.2):
+        super().__init__()
+        self.num_layers = num_layers
+        self.rois = rois
+        self.slope = negative_slope
+        dims = [feat_dim] + [hidden] * num_layers
+        mk = lambda *s: nn.Parameter(torch.zeros(*s))  # noqa: E731
+        self.gat_w = nn.ParameterList([mk(dims[i], hidden)
+                                       for i in range(num_layers)])
+        self.att_src = nn.ParameterList([mk(hidden)
+                                         for _ in range(num_layers)])
+        self.att_dst = nn.ParameterList([mk(hidden)
+                                         for _ in range(num_layers)])
+        self.lin_edge = nn.ParameterList([mk(1, hidden)
+                                          for _ in range(num_layers)])
+        self.att_edge = nn.ParameterList([mk(hidden)
+                                          for _ in range(num_layers)])
+        self.gat_b = nn.ParameterList([mk(hidden)
+                                       for _ in range(num_layers)])
+        self.prob = mk(rois, feat_dim)
+        self.prob_bias = mk(2 * feat_dim, 1)
+        self.lin1 = nn.Linear(rois * num_layers * hidden, hidden_linear)
+        self.lin2 = nn.Linear(hidden_linear, num_classes)
+
+    def load_flax(self, params) -> None:
+        with torch.no_grad():
+            for i in range(self.num_layers):
+                self.gat_w[i].copy_(_t(params[f"gat_w_{i}"]))
+                self.att_src[i].copy_(_t(params[f"gat_att_src_{i}"]))
+                self.att_dst[i].copy_(_t(params[f"gat_att_dst_{i}"]))
+                self.lin_edge[i].copy_(_t(params[f"gat_lin_edge_{i}"]))
+                self.att_edge[i].copy_(_t(params[f"gat_att_edge_{i}"]))
+                self.gat_b[i].copy_(_t(params[f"gat_b_{i}"]))
+            self.prob.copy_(_t(params["prob"]))
+            self.prob_bias.copy_(_t(params["prob_bias"]))
+            _load_linear(self.lin1, params["lin1"])
+            _load_linear(self.lin2, params["lin2"])
+
+    def forward(self, x, adj, is_explain=False):
+        from iggcn_tpu.oracle.torch_ref import TorchSgcnOri
+
+        if is_explain:
+            x, adj = TorchSgcnOri.cal_probability(self, x, adj)
+        feats = []
+        h = x
+        for i in range(self.num_layers):
+            h = F.relu(_gat_layer_sparse(
+                h, adj, self.gat_w[i], self.att_src[i], self.att_dst[i],
+                self.lin_edge[i], self.att_edge[i], self.slope)
+                + self.gat_b[i])
+            feats.append(h)
+        z = torch.cat(feats, -1).reshape(x.shape[0], -1)
+        z = F.relu(self.lin1(z))
+        return F.log_softmax(self.lin2(z), dim=-1)
+
+
 class TorchZooGATFlat(nn.Module):
     """`GAT` (`kernel/gat.py:80-122`): JK-concat GAT + flatten readout,
     re-derived in the SPARSE per-target form PyG actually computes —
@@ -483,28 +576,10 @@ class TorchZooGATFlat(nn.Module):
             _load_linear(self.lin2, params["lin2"])
 
     def _layer(self, i, h_in, adj):
-        b, n, _ = h_in.shape
-        h = h_in @ self.gat_w[i]
-        out = torch.zeros_like(h)
-        e_coef = self.lin_edge[i][0] @ self.att_edge[i]
-        for s in range(b):
-            a_src = h[s] @ self.att_src[i]
-            a_dst = h[s] @ self.att_dst[i]
-            # remove self loops, then add them back with the per-target
-            # mean incoming weight (0 for isolated targets)
-            w = adj[s].clone()
-            w.fill_diagonal_(0.0)
-            for c in range(n):
-                rows = torch.nonzero((w[:, c] != 0), as_tuple=True)[0]
-                mean_in = (w[rows, c].mean() if len(rows)
-                           else w.new_zeros(()))
-                srcs = torch.cat([rows, torch.tensor([c])])
-                weights = torch.cat([w[rows, c], mean_in[None]])
-                logits = F.leaky_relu(
-                    a_src[srcs] + a_dst[c] + weights * e_coef, self.slope)
-                alpha = torch.softmax(logits, dim=0)
-                out[s, c] = alpha @ h[s][srcs]
-        return F.relu(out + self.gat_b[i])
+        return F.relu(_gat_layer_sparse(
+            h_in, adj, self.gat_w[i], self.att_src[i], self.att_dst[i],
+            self.lin_edge[i], self.att_edge[i], self.slope)
+            + self.gat_b[i])
 
     def forward(self, x, adj):
         feats = []

@@ -185,6 +185,49 @@ def test_gat_flat_forward_matches_torch():
                                err_msg="GATFlat forward diverged from torch")
 
 
+@pytest.mark.parametrize("is_explain", [False, True],
+                         ids=["plain", "masked"])
+def test_sgcn_gat_forward_matches_torch(is_explain):
+    """The fused image family's GAT variant (`SGCN_GAT`,
+    kernel/sgcn.py:154-269) — GAT convs over the importance-maskable brain
+    graph: the masked pass multiplies every edge weight by its learned
+    probability, which changes the GAT self-loop mean fill, so the
+    masking×attention interplay is pinned, not just each piece."""
+    from iggcn_tpu.models.sgcn_image import SGCNImage
+
+    rng = np.random.default_rng(23)
+    rois = 12
+    x = rng.normal(size=(BATCH, rois, 3)).astype(np.float32)
+    adj = (rng.random((BATCH, rois, rois)) < 0.3).astype(np.float32)
+    adj *= rng.uniform(0.5, 2.0, size=adj.shape).astype(np.float32)
+    adj = np.maximum(adj, adj.transpose(0, 2, 1))
+    for b in range(BATCH):
+        np.fill_diagonal(adj[b], 0.0)
+    model = SGCNImage(num_layers=2, hidden=8, rois=rois, num_classes=NC,
+                      use_gat=True, hidden_linear=16, dropout_lin=0.0)
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(8),
+                                         jnp.asarray(x), jnp.asarray(adj)))
+    if is_explain:
+        # prob is zero-initialized in this family (reference parity) —
+        # a zero prob makes the masked pass degenerate (x*0); give it
+        # real values so the masked path carries signal
+        params = jax.device_get(variables["params"])
+        params["prob"] = rng.normal(
+            size=np.asarray(params["prob"]).shape).astype(np.float32)
+        variables["params"] = params
+    out = model.apply(variables, jnp.asarray(x), jnp.asarray(adj),
+                      is_explain=is_explain)
+    tm = Z.TorchZooSgcnGat(num_layers=2, hidden=8, rois=rois, feat_dim=3,
+                           num_classes=NC, hidden_linear=16)
+    tm.load_flax(jax.device_get(variables["params"]))
+    tm.eval()
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.copy()), torch.from_numpy(adj.copy()),
+                 is_explain=is_explain)
+    np.testing.assert_allclose(_np(out), ref.numpy(), rtol=1e-4, atol=2e-5,
+                               err_msg="SGCN_GAT forward diverged from torch")
+
+
 def test_cnn_forward_matches_torch():
     """`CNN_Model` vs a real nn.Conv2d/MaxPool2d mirror — also pins the
     channel-major flatten order the reference's x.view(-1, 324) implies
