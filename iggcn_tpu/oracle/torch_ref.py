@@ -296,9 +296,10 @@ def iter_go_param_pairs(torch_go: TorchGoNetwork, go_params: Dict[str, Any]):
 def iter_fused_param_pairs(torch_model: TorchFused, params: Dict[str, Any]):
     """(name, torch_param, jax_array_in_torch_layout) for the fused model
     (linear kernels are transposed into torch's (out, in) layout)."""
-    for i in range(torch_model.num_layers):
-        yield f"conv_w_{i}", torch_model.conv_w[i], params[f"conv_w_{i}"]
-        yield f"conv_b_{i}", torch_model.conv_b[i], params[f"conv_b_{i}"]
+    if hasattr(torch_model, "conv_w"):   # the GAT variant replaces the stack
+        for i in range(torch_model.num_layers):
+            yield f"conv_w_{i}", torch_model.conv_w[i], params[f"conv_w_{i}"]
+            yield f"conv_b_{i}", torch_model.conv_b[i], params[f"conv_b_{i}"]
     yield "prob", torch_model.prob, params["prob"]
     yield "prob_bias", torch_model.prob_bias, params["prob_bias"]
     yield "snps_prob", torch_model.snps_prob, params["snps_prob"]

@@ -532,6 +532,88 @@ class TorchZooSgcnGat(nn.Module):
         return F.log_softmax(self.lin2(z), dim=-1)
 
 
+class TorchZooFusedGat(nn.Module):
+    """The fused family's `ifUseGAT` variant (`kernel/gcn_img_snp.py:32-47`
+    as carried by FusedSGCN(use_gat=True)): replace the imaging GCN stack
+    of the pinned TorchFused with GAT layers in the sparse per-target
+    derivation, keep everything else (GO branch, cross-MHA, fusion heads,
+    importance masking) from the existing mirror."""
+
+    def __init__(self, topo, num_layers=2, hidden=16, rois=90, feat_dim=3,
+                 num_classes=2, num_regr=3, hidden_linear=64, l_dim=32,
+                 negative_slope=0.2):
+        super().__init__()
+        from iggcn_tpu.oracle.torch_ref import TorchFused
+
+        self.base = TorchFused(topo, num_layers=num_layers, hidden=hidden,
+                               rois=rois, feat_dim=feat_dim,
+                               num_classes=num_classes, num_regr=num_regr,
+                               hidden_linear=hidden_linear, l_dim=l_dim)
+        del self.base.conv_w, self.base.conv_b
+        self.num_layers = num_layers
+        self.slope = negative_slope
+        dims = [feat_dim] + [hidden] * num_layers
+        mk = lambda *s: nn.Parameter(torch.zeros(*s))  # noqa: E731
+        self.gat_w = nn.ParameterList([mk(dims[i], hidden)
+                                       for i in range(num_layers)])
+        self.att_src = nn.ParameterList([mk(hidden)
+                                         for _ in range(num_layers)])
+        self.att_dst = nn.ParameterList([mk(hidden)
+                                         for _ in range(num_layers)])
+        self.lin_edge = nn.ParameterList([mk(1, hidden)
+                                          for _ in range(num_layers)])
+        self.att_edge = nn.ParameterList([mk(hidden)
+                                          for _ in range(num_layers)])
+        self.gat_b = nn.ParameterList([mk(hidden)
+                                       for _ in range(num_layers)])
+
+    def load_flax(self, params) -> None:
+        from iggcn_tpu.oracle.torch_ref import load_fused_params
+
+        load_fused_params(self.base, params)   # skips the absent conv stack
+        with torch.no_grad():
+            for i in range(self.num_layers):
+                self.gat_w[i].copy_(_t(params[f"gat_w_{i}"]))
+                self.att_src[i].copy_(_t(params[f"gat_att_src_{i}"]))
+                self.att_dst[i].copy_(_t(params[f"gat_att_dst_{i}"]))
+                self.lin_edge[i].copy_(_t(params[f"gat_lin_edge_{i}"]))
+                self.att_edge[i].copy_(_t(params[f"gat_att_edge_{i}"]))
+                self.gat_b[i].copy_(_t(params[f"gat_b_{i}"]))
+
+    def forward(self, x, adj, snps, is_explain=False):
+        m = self.base
+        b = x.shape[0]
+        if is_explain:
+            x_u, adj_u, snps_u = m.cal_probability(x, adj, snps)
+        else:
+            x_u, adj_u, snps_u = x, adj, snps
+        h = x_u
+        feats = []
+        for i in range(self.num_layers):
+            h = F.relu(_gat_layer_sparse(
+                h, adj_u, self.gat_w[i], self.att_src[i], self.att_dst[i],
+                self.lin_edge[i], self.att_edge[i], self.slope)
+                + self.gat_b[i])
+            feats.append(h)
+        batch_x = torch.cat(feats, dim=-1)
+        img_out = batch_x.reshape(b, -1)
+        latent, snps_hat, atten_out = m.go(snps_u)
+        attn_out, _ = m.mha(batch_x, atten_out, atten_out)
+        out_cross = F.relu(attn_out).reshape(b, -1)
+        out_z = (img_out + out_cross) / 2
+        out_lin = torch.cat([out_z, latent], dim=-1)
+        linear_outf = F.relu(m.lin1(out_lin))
+        logits = m.lin2(F.dropout(linear_outf, m.drop_lin, self.training))
+        if m.is_use_prob4regr:
+            feat4regr = torch.cat([out_lin, (x * m.prob).reshape(b, -1)], -1)
+        else:
+            feat4regr = out_lin
+        reg = F.relu(m.lin1_regr(feat4regr))
+        reg = m.lin2_regr(F.dropout(reg, m.drop_regr, self.training))
+        return (F.log_softmax(logits, dim=-1), snps_hat, out_z, out_lin,
+                linear_outf, reg)
+
+
 class TorchZooGATFlat(nn.Module):
     """`GAT` (`kernel/gat.py:80-122`): JK-concat GAT + flatten readout,
     re-derived in the SPARSE per-target form PyG actually computes —

@@ -228,6 +228,49 @@ def test_sgcn_gat_forward_matches_torch(is_explain):
                                err_msg="SGCN_GAT forward diverged from torch")
 
 
+@pytest.mark.parametrize("is_explain", [False, True],
+                         ids=["plain", "masked"])
+def test_fused_gat_forward_matches_torch(topo, is_explain):
+    """The fused family's ifUseGAT variant (kernel/gcn_img_snp.py:32-47):
+    GAT imaging stack + GO branch + cross-MHA + fusion heads. The GAT
+    layers come from the sparse per-target derivation; everything else is
+    the already-pinned TorchFused — so this pins the variant's WIRING
+    (masked adjacency into GAT, JK tokens into the MHA), both plain and
+    explained."""
+    from iggcn_tpu.config import ModelConfig
+    from iggcn_tpu.models.fused_sgcn import FusedSGCN
+
+    rng = np.random.default_rng(29)
+    rois = 12
+    cfg = ModelConfig(num_layers=2, hidden=8, rois=rois, use_gat=True,
+                      hidden_linear=16, l_dim=8, num_classes=NC)
+    x = rng.normal(size=(BATCH, rois, 3)).astype(np.float32)
+    adj = (rng.random((BATCH, rois, rois)) < 0.3).astype(np.float32)
+    adj *= rng.uniform(0.5, 2.0, size=adj.shape).astype(np.float32)
+    adj = np.maximum(adj, adj.transpose(0, 2, 1))
+    for b in range(BATCH):
+        np.fill_diagonal(adj[b], 0.0)
+    snps = rng.normal(size=(BATCH, cfg.num_snps)).astype(np.float32)
+    model = FusedSGCN(cfg=cfg, topo=topo)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(9), jnp.asarray(x),
+                                    jnp.asarray(adj), jnp.asarray(snps))
+    out = model.apply(variables, jnp.asarray(x), jnp.asarray(adj),
+                      jnp.asarray(snps), is_explain=is_explain)
+    tm = Z.TorchZooFusedGat(topo, num_layers=2, hidden=8, rois=rois,
+                            num_classes=NC, hidden_linear=16, l_dim=8)
+    tm.load_flax(jax.device_get(variables["params"]))
+    tm.eval()
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.copy()), torch.from_numpy(adj.copy()),
+                 torch.from_numpy(snps.copy()), is_explain=is_explain)
+    np.testing.assert_allclose(_np(out.log_probs), ref[0].numpy(),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(_np(out.snps_hat), ref[1].numpy(),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(_np(out.our_reg), ref[5].numpy(),
+                               rtol=1e-4, atol=2e-5)
+
+
 def test_cnn_forward_matches_torch():
     """`CNN_Model` vs a real nn.Conv2d/MaxPool2d mirror — also pins the
     channel-major flatten order the reference's x.view(-1, 324) implies
