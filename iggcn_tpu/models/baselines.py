@@ -435,6 +435,9 @@ class DiffPool(nn.Module):
     num_layers: int = 2
     hidden: int = 16
     num_classes: int = 2
+    # head dropout (reference hardcodes 0.5, kernel/diff_pool.py:105) as an
+    # attribute so the trajectory-parity test can zero it
+    dropout_lin: float = 0.5
 
     @nn.compact
     def __call__(self, x, adj, mask=None, *, train: bool = False,
@@ -464,7 +467,7 @@ class DiffPool(nn.Module):
         g = jnp.concatenate(readouts, -1)
         g = nn.relu(TorchLinear(self.hidden, name="lin1")(g))
         if train:
-            g = dropout(self.make_rng("dropout"), g, 0.5)
+            g = dropout(self.make_rng("dropout"), g, self.dropout_lin)
         logp = jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(g), -1)
         return logp, link, ent
 

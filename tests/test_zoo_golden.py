@@ -453,6 +453,86 @@ def test_gin_six_step_trajectory_matches_torch(graphs, train_eps):
             atol=1e-6)
 
 
+@pytest.mark.parametrize("aux_loss", [False, True],
+                         ids=["ref_nll", "canonical_aux"])
+def test_diffpool_six_step_trajectory_matches_torch(graphs, aux_loss):
+    """Six optimizer steps of the production zoo step on the r4-redesigned
+    DiffPool vs its torch mirror — both the reference objective (plain
+    NLL; the reference DISCARDS the dense_diff_pool losses) and the
+    canonical aux_loss objective (NLL + link + entropy). No BatchNorm, so
+    every parameter holds elementwise."""
+    import optax
+
+    from iggcn_tpu.train.generic_cv import build_generic_steps
+    from iggcn_tpu.train.steps import steplr_host
+    from tests.test_trajectory_parity import DECAY_EVERY, FACTOR, LR, STEPS
+
+    x, adj, mask, _ = graphs
+    rng_np = np.random.default_rng(6)
+    y = rng_np.integers(0, NC, size=BATCH)
+    batch = {"x": x, "adj": adj, "mask": mask,
+             "y": jnp.asarray(y),
+             "w": jnp.ones((BATCH,), jnp.float32)}
+
+    model = B.DiffPool(max_nodes=N, num_layers=2, hidden=8, num_classes=NC,
+                       dropout_lin=0.0)
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(5), batch["x"],
+                                         batch["adj"], batch["mask"]))
+    init_params = jax.device_get(variables["params"])
+    optimizer = optax.scale_by_adam(b1=0.9, b2=0.999)
+    train_step, _ = build_generic_steps(
+        model, optimizer, needs_mask=True, needs_assign=False,
+        adj_only=False, aux_loss=aux_loss, takes_weight=True,
+        has_stats=False)
+    opt_state = optimizer.init(variables["params"])
+    losses_jax = []
+    rng = jax.random.PRNGKey(77)
+    for epoch in range(STEPS):
+        lr_t = jnp.float32(steplr_host(LR, FACTOR, DECAY_EVERY, epoch))
+        rng, srng = jax.random.split(rng)
+        variables, opt_state, loss = train_step(variables, opt_state, batch,
+                                                srng, lr_t)
+        losses_jax.append(float(loss))
+    final_params = jax.device_get(variables["params"])
+
+    tm = Z.TorchZooDiffPool(max_nodes=N, num_layers=2, hidden=8,
+                            feat_dim=FEAT, num_classes=NC)
+    tm.load_flax(init_params)
+    tm.train()
+    xt, at, mt = _torch_args(graphs)
+    yt = torch.from_numpy(y.copy()).long()
+    opt = torch.optim.Adam(tm.parameters(), lr=LR)
+    losses_torch = []
+    from iggcn_tpu.train.steps import steplr_host as _slr
+    for epoch in range(STEPS):
+        for g in opt.param_groups:
+            g["lr"] = _slr(LR, FACTOR, DECAY_EVERY, epoch)
+        opt.zero_grad()
+        logp, link, ent = tm(xt, at, mt)
+        loss = F.nll_loss(logp, yt)
+        if aux_loss:
+            loss = loss + link + ent
+        loss.backward()
+        opt.step()
+        losses_torch.append(float(loss.detach()))
+
+    np.testing.assert_allclose(losses_jax, losses_torch, rtol=2e-4,
+                               err_msg="per-step DiffPool losses diverged")
+    assert abs(losses_jax[0] - losses_jax[-1]) > 1e-3
+    for blk in ("pool_block1", "embed_block1"):
+        for lin in ("conv1_rel", "conv1_root", "conv2_rel", "conv2_root",
+                    "lin"):
+            t = getattr(tm.blocks[blk], lin).weight.detach().numpy()
+            a = np.asarray(final_params[blk][lin]["kernel"]).T
+            np.testing.assert_allclose(t, a, rtol=1e-3, atol=2e-5,
+                                       err_msg=f"{blk}.{lin}")
+    for name in ("lin1", "lin2"):
+        np.testing.assert_allclose(
+            getattr(tm, name).weight.detach().numpy(),
+            np.asarray(final_params[name]["kernel"]).T, rtol=1e-3,
+            atol=2e-5)
+
+
 @pytest.mark.parametrize("train_eps", [True, False], ids=["gin", "gin0"])
 def test_gin_train_mode_bn_stats_match_torch(graphs, train_eps):
     """Train-mode forward: the flax side's masked BN batch statistics
