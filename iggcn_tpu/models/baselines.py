@@ -73,6 +73,8 @@ class GATFlat(nn.Module):
     hidden: int = 16
     num_classes: int = 2
     hidden_linear: int = 64
+    # head dropout (reference hardcodes 0.5) as a zeroable attribute
+    dropout_lin: float = 0.5
 
     @nn.compact
     def __call__(self, x, adj, *, train: bool = False):
@@ -97,7 +99,7 @@ class GATFlat(nn.Module):
         z = jnp.concatenate(feats, -1).reshape(b, -1)
         z = nn.relu(TorchLinear(self.hidden_linear, name="lin1")(z))
         if train:
-            z = dropout(self.make_rng("dropout"), z, 0.5)
+            z = dropout(self.make_rng("dropout"), z, self.dropout_lin)
         return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
 
 
@@ -195,6 +197,8 @@ class GraphSAGE(nn.Module):
     num_layers: int = 2
     hidden: int = 16
     num_classes: int = 2
+    # head dropout (reference hardcodes 0.5) as a zeroable attribute
+    dropout_lin: float = 0.5
     jk: bool = True
 
     @nn.compact
@@ -213,7 +217,7 @@ class GraphSAGE(nn.Module):
                         mask)
         z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
         if train:
-            z = dropout(self.make_rng("dropout"), z, 0.5)
+            z = dropout(self.make_rng("dropout"), z, self.dropout_lin)
         return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
 
 
@@ -224,6 +228,8 @@ class TopK(nn.Module):
     num_layers: int = 3
     hidden: int = 16
     num_classes: int = 2
+    # head dropout (reference hardcodes 0.5) as a zeroable attribute
+    dropout_lin: float = 0.5
     ratio: float = 0.8
 
     @nn.compact
@@ -253,7 +259,7 @@ class TopK(nn.Module):
         z = jnp.concatenate(readouts, -1)
         z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
         if train:
-            z = dropout(self.make_rng("dropout"), z, 0.5)
+            z = dropout(self.make_rng("dropout"), z, self.dropout_lin)
         return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
 
 
@@ -264,6 +270,8 @@ class SortPool(nn.Module):
     num_layers: int = 2
     hidden: int = 16
     num_classes: int = 2
+    # head dropout (reference hardcodes 0.5) as a zeroable attribute
+    dropout_lin: float = 0.5
     k: int = 30
     conv1d_channels: int = 32
     conv1d_kernel: int = 5
@@ -288,7 +296,7 @@ class SortPool(nn.Module):
         z = jnp.swapaxes(nn.relu(z), 1, 2).reshape(z.shape[0], -1)
         z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
         if train:
-            z = dropout(self.make_rng("dropout"), z, 0.5)
+            z = dropout(self.make_rng("dropout"), z, self.dropout_lin)
         return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
 
 
@@ -298,6 +306,8 @@ class Set2SetNet(nn.Module):
     num_layers: int = 2
     hidden: int = 16
     num_classes: int = 2
+    # head dropout (reference hardcodes 0.5) as a zeroable attribute
+    dropout_lin: float = 0.5
 
     @nn.compact
     def __call__(self, x, adj, mask=None, *, train: bool = False):
@@ -321,7 +331,7 @@ class Set2SetNet(nn.Module):
         z = P.set2set(h, mask, params, processing_steps=4)
         z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
         if train:
-            z = dropout(self.make_rng("dropout"), z, 0.5)
+            z = dropout(self.make_rng("dropout"), z, self.dropout_lin)
         return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
 
 
@@ -331,6 +341,8 @@ class GlobalAttentionNet(nn.Module):
     num_layers: int = 2
     hidden: int = 16
     num_classes: int = 2
+    # head dropout (reference hardcodes 0.5) as a zeroable attribute
+    dropout_lin: float = 0.5
 
     @nn.compact
     def __call__(self, x, adj, mask=None, *, train: bool = False):
@@ -346,7 +358,7 @@ class GlobalAttentionNet(nn.Module):
         z = P.global_attention_pool(h, mask, gate)
         z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
         if train:
-            z = dropout(self.make_rng("dropout"), z, 0.5)
+            z = dropout(self.make_rng("dropout"), z, self.dropout_lin)
         return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
 
 
@@ -359,6 +371,8 @@ class Graclus(nn.Module):
     num_layers: int = 3
     hidden: int = 16
     num_classes: int = 2
+    # head dropout (reference hardcodes 0.5) as a zeroable attribute
+    dropout_lin: float = 0.5
 
     @nn.compact
     def __call__(self, x, adj, mask=None, assign=None, *,
@@ -386,7 +400,7 @@ class Graclus(nn.Module):
         z = jnp.concatenate(readouts, -1)
         z = nn.relu(TorchLinear(self.hidden, name="lin1")(z))
         if train:
-            z = dropout(self.make_rng("dropout"), z, 0.5)
+            z = dropout(self.make_rng("dropout"), z, self.dropout_lin)
         return jax.nn.log_softmax(TorchLinear(self.num_classes, name="lin2")(z), -1)
 
 

@@ -453,6 +453,123 @@ def test_gin_six_step_trajectory_matches_torch(graphs, train_eps):
             atol=1e-6)
 
 
+NOBN_TRAJ = [
+    ("sage", lambda: B.GraphSAGE(num_layers=2, hidden=8, num_classes=NC,
+                                 dropout_lin=0.0),
+     lambda: Z.TorchZooSAGE(num_layers=2, hidden=8, feat_dim=FEAT,
+                            num_classes=NC)),
+    ("topk", lambda: B.TopK(num_layers=3, hidden=8, num_classes=NC,
+                            dropout_lin=0.0),
+     lambda: Z.TorchZooTopK(num_layers=3, hidden=8, feat_dim=FEAT,
+                            num_classes=NC)),
+    ("set2set", lambda: B.Set2SetNet(num_layers=2, hidden=8, num_classes=NC,
+                                     dropout_lin=0.0),
+     lambda: Z.TorchZooSet2Set(num_layers=2, hidden=8, feat_dim=FEAT,
+                               num_classes=NC)),
+    ("glob_att", lambda: B.GlobalAttentionNet(num_layers=2, hidden=8,
+                                              num_classes=NC,
+                                              dropout_lin=0.0),
+     lambda: Z.TorchZooGlobalAttention(num_layers=2, hidden=8,
+                                       feat_dim=FEAT, num_classes=NC)),
+]
+
+
+@pytest.mark.parametrize("name,jx_factory,t_factory", NOBN_TRAJ,
+                         ids=[c[0] for c in NOBN_TRAJ])
+def test_nobn_zoo_six_step_trajectory_matches_torch(graphs, name,
+                                                    jx_factory, t_factory):
+    """Six optimizer steps of the production zoo step for the no-BN
+    pooling families vs their torch mirrors — the interesting backward
+    paths are Set2Set's hand-rolled LSTM cell vs torch's nn.LSTM autograd,
+    and TopK's hard selection + tanh gate (same nodes selected on both
+    sides; gradients flow only through kept nodes). No BN and no dropout
+    (zeroed both sides), so per-step losses AND every parameter hold."""
+    import optax
+
+    from iggcn_tpu.train.generic_cv import build_generic_steps
+    from iggcn_tpu.train.steps import steplr_host
+    from tests.test_trajectory_parity import DECAY_EVERY, FACTOR, LR, STEPS
+
+    x, adj, mask, _ = graphs
+    rng_np = np.random.default_rng(14)
+    y = rng_np.integers(0, NC, size=BATCH)
+    batch = {"x": x, "adj": adj, "mask": mask, "y": jnp.asarray(y),
+             "w": jnp.ones((BATCH,), jnp.float32)}
+    model = jx_factory()
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(12), batch["x"],
+                                         batch["adj"], batch["mask"]))
+    init_params = jax.device_get(variables["params"])
+    optimizer = optax.scale_by_adam(b1=0.9, b2=0.999)
+    train_step, _ = build_generic_steps(
+        model, optimizer, needs_mask=True, needs_assign=False,
+        adj_only=False, aux_loss=False, takes_weight=False, has_stats=False)
+    opt_state = optimizer.init(variables["params"])
+    losses_jax = []
+    rng = jax.random.PRNGKey(55)
+    for epoch in range(STEPS):
+        lr_t = jnp.float32(steplr_host(LR, FACTOR, DECAY_EVERY, epoch))
+        rng, srng = jax.random.split(rng)
+        variables, opt_state, loss = train_step(variables, opt_state, batch,
+                                                srng, lr_t)
+        losses_jax.append(float(loss))
+    final_params = jax.device_get(variables["params"])
+
+    tm = t_factory()
+    tm.load_flax(init_params)
+    tm.train()
+    xt, at, mt = _torch_args(graphs)
+    yt = torch.from_numpy(y.copy()).long()
+    opt = torch.optim.Adam(tm.parameters(), lr=LR)
+    losses_torch = []
+    for epoch in range(STEPS):
+        for g in opt.param_groups:
+            g["lr"] = steplr_host(LR, FACTOR, DECAY_EVERY, epoch)
+        opt.zero_grad()
+        loss = F.nll_loss(tm(xt, at, mt), yt)
+        loss.backward()
+        opt.step()
+        losses_torch.append(float(loss.detach()))
+
+    np.testing.assert_allclose(losses_jax, losses_torch, rtol=2e-4,
+                               err_msg=f"per-step {name} losses diverged")
+    assert abs(losses_jax[0] - losses_jax[-1]) > 1e-3
+    # every weight elementwise: the mirrors register parameters under the
+    # flax names, so walk the torch side and look each one up
+    flat = {}
+
+    def _walk(tree, prefix=""):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                _walk(v, f"{prefix}{k}.")
+            else:
+                flat[f"{prefix}{k}"] = np.asarray(v)
+
+    _walk(final_params)
+    for tname, tparam in tm.named_parameters():
+        tname = (tname.replace("stack.w_self.", "w_self_")
+                 .replace("stack.w_nb.", "w_nb_")
+                 .replace("stack.b.", "b_")
+                 .replace("pool_w.", "pool_w_"))
+        if tname in ("lin1.weight", "lin2.weight", "gate.weight"):
+            a = flat[tname.replace(".weight", ".kernel")].T
+        elif tname in ("lin1.bias", "lin2.bias", "gate.bias"):
+            a = flat[tname]
+        elif tname.startswith("lstm."):
+            a = flat["lstm_w_ih" if "weight_ih" in tname else
+                     "lstm_w_hh" if "weight_hh" in tname else
+                     "lstm_b_ih" if "bias_ih" in tname else "lstm_b_hh"]
+        else:
+            a = flat[tname]
+        # GlobalAttention's gate bias shifts every logit uniformly and
+        # softmax is shift-invariant, so its TRUE gradient is zero — Adam
+        # then walks it on fp noise at O(lr)/step (same mechanism as the
+        # GIN near-zero-gradient channels); everything identifiable stays
+        # tight
+        atol = STEPS * LR if tname == "gate.bias" else 2e-5
+        np.testing.assert_allclose(tparam.detach().numpy(), a, rtol=1e-3,
+                                   atol=atol, err_msg=f"{name}:{tname}")
+
+
 @pytest.mark.parametrize("aux_loss", [False, True],
                          ids=["ref_nll", "canonical_aux"])
 def test_diffpool_six_step_trajectory_matches_torch(graphs, aux_loss):
