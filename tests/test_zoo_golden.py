@@ -570,6 +570,153 @@ def test_nobn_zoo_six_step_trajectory_matches_torch(graphs, name,
                                    atol=atol, err_msg=f"{name}:{tname}")
 
 
+def test_graclus_six_step_trajectory_matches_torch(graphs):
+    """Graclus completes the pooling-family trajectory matrix: six steps
+    through the production step with needs_assign=True — gradients flow
+    through the per-cluster feature max (a hard argmax selection on both
+    sides) and the binary coarsened connectivity."""
+    import optax
+
+    from iggcn_tpu.train.generic_cv import build_generic_steps
+    from iggcn_tpu.train.steps import steplr_host
+    from tests.test_trajectory_parity import DECAY_EVERY, FACTOR, LR, STEPS
+
+    x, adj, mask, assign = graphs
+    rng_np = np.random.default_rng(15)
+    y = rng_np.integers(0, NC, size=BATCH)
+    batch = {"x": x, "adj": adj, "mask": mask, "assign": assign,
+             "y": jnp.asarray(y), "w": jnp.ones((BATCH,), jnp.float32)}
+    model = B.Graclus(num_layers=3, hidden=8, num_classes=NC,
+                      dropout_lin=0.0)
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(13), batch["x"],
+                                         batch["adj"], batch["mask"],
+                                         batch["assign"]))
+    init_params = jax.device_get(variables["params"])
+    optimizer = optax.scale_by_adam(b1=0.9, b2=0.999)
+    train_step, _ = build_generic_steps(
+        model, optimizer, needs_mask=True, needs_assign=True,
+        adj_only=False, aux_loss=False, takes_weight=False, has_stats=False)
+    opt_state = optimizer.init(variables["params"])
+    losses_jax = []
+    rng = jax.random.PRNGKey(66)
+    for epoch in range(STEPS):
+        lr_t = jnp.float32(steplr_host(LR, FACTOR, DECAY_EVERY, epoch))
+        rng, srng = jax.random.split(rng)
+        variables, opt_state, loss = train_step(variables, opt_state, batch,
+                                                srng, lr_t)
+        losses_jax.append(float(loss))
+    final_params = jax.device_get(variables["params"])
+
+    tm = Z.TorchZooGraclus(num_layers=3, hidden=8, feat_dim=FEAT,
+                           num_classes=NC)
+    tm.load_flax(init_params)
+    tm.train()
+    xt, at, mt, st = _torch_args(graphs, with_assign=True)
+    yt = torch.from_numpy(y.copy()).long()
+    opt = torch.optim.Adam(tm.parameters(), lr=LR)
+    losses_torch = []
+    for epoch in range(STEPS):
+        for g in opt.param_groups:
+            g["lr"] = steplr_host(LR, FACTOR, DECAY_EVERY, epoch)
+        opt.zero_grad()
+        loss = F.nll_loss(tm(xt, at, mt, st), yt)
+        loss.backward()
+        opt.step()
+        losses_torch.append(float(loss.detach()))
+
+    np.testing.assert_allclose(losses_jax, losses_torch, rtol=2e-4,
+                               err_msg="per-step graclus losses diverged")
+    assert abs(losses_jax[0] - losses_jax[-1]) > 1e-3
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(tm.stack.w_self[i].detach()),
+            np.asarray(final_params[f"w_self_{i}"]), rtol=1e-3, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(tm.stack.w_nb[i].detach()),
+            np.asarray(final_params[f"w_nb_{i}"]), rtol=1e-3, atol=2e-5)
+    for name in ("lin1", "lin2"):
+        np.testing.assert_allclose(
+            getattr(tm, name).weight.detach().numpy(),
+            np.asarray(final_params[name]["kernel"]).T, rtol=1e-3,
+            atol=2e-5)
+
+
+def test_sortpool_six_step_trajectory_matches_torch(graphs):
+    """SortPool's trajectory is well-defined only when the sort keys are
+    tie-free (tie order is implementation-defined on both sides) — the
+    final conv bias is shifted positive at init, exactly as in the forward
+    golden, so every valid node's key stays distinct through six steps and
+    the hard selection picks identical nodes in both frameworks; gradients
+    then flow through the gather and the Conv1d."""
+    import optax
+
+    from iggcn_tpu.train.generic_cv import build_generic_steps
+    from iggcn_tpu.train.steps import steplr_host
+    from tests.test_trajectory_parity import DECAY_EVERY, FACTOR, LR, STEPS
+
+    x, adj, mask, _ = graphs
+    rng_np = np.random.default_rng(16)
+    y = rng_np.integers(0, NC, size=BATCH)
+    batch = {"x": x, "adj": adj, "mask": mask, "y": jnp.asarray(y),
+             "w": jnp.ones((BATCH,), jnp.float32)}
+    model = B.SortPool(num_layers=2, hidden=8, num_classes=NC, k=30,
+                       dropout_lin=0.0)
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(17), batch["x"],
+                                         batch["adj"], batch["mask"]))
+    params = jax.device_get(variables["params"])
+    params["conv_b_1"] = np.full_like(np.asarray(params["conv_b_1"]), 5.0)
+    variables["params"] = params
+    init_params = params
+    optimizer = optax.scale_by_adam(b1=0.9, b2=0.999)
+    train_step, _ = build_generic_steps(
+        model, optimizer, needs_mask=True, needs_assign=False,
+        adj_only=False, aux_loss=False, takes_weight=False, has_stats=False)
+    opt_state = optimizer.init(variables["params"])
+    losses_jax = []
+    rng = jax.random.PRNGKey(88)
+    for epoch in range(STEPS):
+        lr_t = jnp.float32(steplr_host(LR, FACTOR, DECAY_EVERY, epoch))
+        rng, srng = jax.random.split(rng)
+        variables, opt_state, loss = train_step(variables, opt_state, batch,
+                                                srng, lr_t)
+        losses_jax.append(float(loss))
+    final_params = jax.device_get(variables["params"])
+
+    tm = Z.TorchZooSortPool(num_layers=2, hidden=8, feat_dim=FEAT,
+                            num_classes=NC, k=30)
+    tm.load_flax(init_params)
+    tm.train()
+    xt, at, mt = _torch_args(graphs)
+    yt = torch.from_numpy(y.copy()).long()
+    opt = torch.optim.Adam(tm.parameters(), lr=LR)
+    losses_torch = []
+    for epoch in range(STEPS):
+        for g in opt.param_groups:
+            g["lr"] = steplr_host(LR, FACTOR, DECAY_EVERY, epoch)
+        opt.zero_grad()
+        loss = F.nll_loss(tm(xt, at, mt), yt)
+        loss.backward()
+        opt.step()
+        losses_torch.append(float(loss.detach()))
+
+    np.testing.assert_allclose(losses_jax, losses_torch, rtol=2e-4,
+                               err_msg="per-step sortpool losses diverged")
+    assert abs(losses_jax[0] - losses_jax[-1]) > 1e-3
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(tm.conv_w[i].detach()),
+            np.asarray(final_params[f"conv_w_{i}"]), rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(
+        tm.conv1d.weight.detach().numpy(),
+        np.asarray(final_params["conv1d"]["kernel"]).transpose(2, 1, 0),
+        rtol=1e-3, atol=2e-5)
+    for name in ("lin1", "lin2"):
+        np.testing.assert_allclose(
+            getattr(tm, name).weight.detach().numpy(),
+            np.asarray(final_params[name]["kernel"]).T, rtol=1e-3,
+            atol=2e-5)
+
+
 @pytest.mark.parametrize("aux_loss", [False, True],
                          ids=["ref_nll", "canonical_aux"])
 def test_diffpool_six_step_trajectory_matches_torch(graphs, aux_loss):
