@@ -2,12 +2,21 @@
 re-derivations (`oracle/torch_zoo.py`) — VERDICT r3 "missing #2": the zoo
 previously had only shape/property tests, so the exact reference math
 (GIN's eps/MLP/BN stack, Set2Set's LSTM, TopK's tanh gate, DiffPool's
-Block structure, ...) could drift silently. Every family here runs the
-same parameters through the flax model and a torch mirror built on
-torch's OWN primitives (nn.LSTM, nn.BatchNorm1d, nn.Conv1d, torch.topk,
-torch.sort, per-sample loops) on a variable-size masked batch; log-probs
-must agree elementwise. GIN additionally pins train-mode masked
-batch-statistics against a REAL torch BatchNorm1d."""
+Block structure, ...) could drift silently.
+
+Coverage (r4): eval-forward goldens for every family — GIN/GIN0,
+GraphSAGE(±JK), TopK, SortPool, Set2Set, GlobalAttention, Graclus,
+DiffPool (1 and 2 pools), GATFlat, SGCN_GAT (plain+masked), the fused
+ifUseGAT variant, CNN, and the Nested twins (z/rd embeddings, flatten and
+add readouts) — plus SIX-STEP TRAJECTORIES through the production zoo
+step for GIN/GIN0 (with BN running-stat evolution), DiffPool (both
+objectives), GraphSAGE, TopK, Set2Set, GlobalAttention, Graclus, and
+SortPool (tie-free init). Mirrors are built on torch's OWN primitives
+(nn.LSTM, nn.BatchNorm1d, nn.Conv1d/2d, torch.topk, torch.sort,
+per-sample loops) on variable-size masked batches; log-probs and
+parameters must agree elementwise, with a documented STEPS*LR noise-walk
+allowance for the two non-identifiable parameter classes (near-zero-
+gradient channels, softmax-shift-invariant gate bias)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
