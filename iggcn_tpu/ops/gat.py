@@ -25,6 +25,16 @@ class GATParams(NamedTuple):
     bias: jax.Array       # (F_out,)
 
 
+def _self_loop_fill(w_off: jax.Array, mask_off: jax.Array) -> jax.Array:
+    """Per-target self-loop edge weight, PyG GATConv semantics:
+    remove_self_loops, then add_self_loops with fill_value='mean' = the
+    PER-TARGET mean of that node's incoming edge attributes (scatter-mean
+    over edge_index[1]; 0 for nodes with no incoming edges). Factored out
+    so the mutation audit can swap in a plausibly-wrong fill."""
+    cnt_in = jnp.sum(mask_off, axis=1)                       # (B, N) per target
+    return jnp.sum(w_off, axis=1) / jnp.maximum(cnt_in, 1)
+
+
 def gat_conv(x: jax.Array, adj: jax.Array, p: GATParams,
              negative_slope: float = 0.2) -> jax.Array:
     """One dense GAT layer.
@@ -40,14 +50,9 @@ def gat_conv(x: jax.Array, adj: jax.Array, p: GATParams,
     a_dst = h @ p.att_dst                              # (B, N)
 
     eye = jnp.eye(n, dtype=bool)
-    # PyG GATConv: remove_self_loops, then add_self_loops with
-    # fill_value='mean' = the PER-TARGET mean of that node's incoming edge
-    # attributes (scatter-mean over edge_index[1]; 0 for nodes with no
-    # incoming edges)
     mask_off = (adj != 0) & ~eye
     w_off = jnp.where(mask_off, adj, 0.0)
-    cnt_in = jnp.sum(mask_off, axis=1)                       # (B, N) per target
-    mean_in = jnp.sum(w_off, axis=1) / jnp.maximum(cnt_in, 1)
+    mean_in = _self_loop_fill(w_off, mask_off)
     adj_sl = jnp.where(eye, mean_in[:, None, :] * eye, w_off)
     mask_sl = mask_off | eye
 

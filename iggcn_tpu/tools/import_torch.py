@@ -554,7 +554,15 @@ def _main_reverse(args) -> int:
     knobs = [("use_gat", cfg.use_gat, False),
              ("graph_pool", cfg.graph_pool, False),
              ("is_cross_atten", cfg.is_cross_atten, True),
-             ("model4eachregr", cfg.model4eachregr, False)]
+             ("model4eachregr", cfg.model4eachregr, False),
+             # these three keep every param-tree KEY (the branches are built
+             # unconditionally) but change out_lin/feat4regr DIMS, so export
+             # would "succeed" into lin1/lin1_regr weights the reference's
+             # strict load_state_dict rejects with a raw shape error
+             ("is_image_only", cfg.is_image_only, False),
+             ("is_snps_only", cfg.is_snps_only, False),
+             ("is_use_prob4regr", cfg.is_use_prob4regr, True),
+             ("is_multi_fusion", cfg.is_multi_fusion, False)]
     off = [f"{k}={v!r}" for k, v, ref in knobs if v != ref]
     if off:
         print("[import] FAILED: bundle was trained with non-reference "

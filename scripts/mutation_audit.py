@@ -17,8 +17,8 @@ Usage:
 
 Prints one line per case and a final JSON summary; exit 1 when any
 mutation SURVIVES (target stays green) or any control fails.
-Runtime: ~12-15 min for all sixteen on a warm compile cache (two of the
-targets are the 6-step trajectory suite; the data-layer targets run in
+Runtime: ~15-20 min for all eighteen on a warm compile cache (several
+targets are 6-step trajectory suites; the data-layer targets run in
 seconds).
 """
 import json

@@ -256,6 +256,41 @@ def _gin_mlp_variant_swapped():
     baselines._GINMLPLateBN = baselines._GINMLP
 
 
+def _gat_self_loop_fill_one():
+    """Add GAT self-loops with weight 1.0 instead of PyG's
+    fill_value='mean' (the per-target mean incoming edge weight) — the
+    exact drift a porter writes by taking add_self_loops' DEFAULT fill
+    (`fill_value=1.`) instead of the `'mean'` the reference's GATConv
+    passes implicitly via PyG defaults for weighted graphs
+    (`kernel/sgcn.py:160-166`, `kernel/gcn_img_snp.py:32-47`). Changes
+    every self-loop attention logit, so the GAT forward goldens and both
+    GAT trajectories must go red."""
+    import jax.numpy as jnp
+
+    from iggcn_tpu.ops import gat
+
+    gat._self_loop_fill = lambda w_off, mask_off: jnp.ones_like(
+        jnp.sum(w_off, axis=1))
+
+
+def _gat_leaky_slope_dropped():
+    """Score GAT attention logits with relu instead of
+    leaky_relu(slope=0.2) — the silently-dropped negative_slope a port
+    loses when swapping activation helpers. Negative logits (about half,
+    at glorot init) stop separating, so softmax weights and their
+    GRADIENTS change; the six-step GAT trajectories are the pinned
+    catch (a forward golden sees it too, but the gradient path through
+    the kink is the training-time risk)."""
+    from iggcn_tpu.ops import gat
+
+    orig = gat.gat_conv
+
+    def mutated(x, adj, p, negative_slope=0.2):
+        return orig(x, adj, p, negative_slope=0.0)
+
+    gat.gat_conv = mutated
+
+
 MUTATIONS = {
     "steplr_off_by_one": _steplr_off_by_one,
     "bn_biased_running_var": _bn_biased_running_var,
@@ -273,6 +308,8 @@ MUTATIONS = {
     "dp_gather_w_dropped": _dp_gather_w_dropped,
     "fold_perms_pad_from_zero": _fold_perms_pad_from_zero,
     "gin_mlp_variant_swapped": _gin_mlp_variant_swapped,
+    "gat_self_loop_fill_one": _gat_self_loop_fill_one,
+    "gat_leaky_slope_dropped": _gat_leaky_slope_dropped,
 }
 
 # the test (file) pinned to catch each mutation — used by the audit script
@@ -293,6 +330,8 @@ TARGETS = {
     "dp_gather_w_dropped": "tests/test_parallel.py",
     "fold_perms_pad_from_zero": "tests/test_parallel.py",
     "gin_mlp_variant_swapped": "tests/test_zoo_golden.py",
+    "gat_self_loop_fill_one": "tests/test_zoo_golden.py",
+    "gat_leaky_slope_dropped": "tests/test_zoo_golden.py",
 }
 
 
