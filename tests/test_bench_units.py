@@ -140,6 +140,22 @@ def _fake_bench_env(monkeypatch, leg_s=0.0, torch_gps=100.0,
     monkeypatch.setattr(bench, "bench_torch",
                         lambda *a, **k: calls["torch"].append(k) or torch_gps)
     monkeypatch.setattr(bench, "_canary", lambda: canary)
+    monkeypatch.setattr(bench, "measure_mfu",
+                        lambda topo, cohort, batch, gps: {
+                            "mfu_pct_vs_bf16_peak": 3.0,
+                            "flops_per_graph": 1000,
+                            "mfu_method": "flops_per_step*steps_per_sec/peak"})
+    monkeypatch.setattr(bench, "bench_experiment_wall",
+                        lambda timeout_s: {"wall_s": 53.7, "rc": 0,
+                                           "result": "Result - 0.5 +/- 0.1"})
+    monkeypatch.setattr(bench, "bench_donate_ab",
+                        lambda topo, cohort, batch, pairs=5: {
+                            "batch": batch, "pairs": pairs,
+                            "off_median": 1000.0 + batch,
+                            "on_median": 990.0 + batch,
+                            "on_vs_off_pct": -1.0,
+                            "off_gps": [], "on_gps": [],
+                            "off_spread_pct": 2.0, "on_spread_pct": 2.0})
     return bench, calls
 
 
@@ -164,11 +180,17 @@ def test_budgeted_main_emits_incremental_then_final(monkeypatch, capsys):
     assert all(r.get("partial") for r in records[:-1])
     final = records[-1]
     assert "partial" not in final
-    assert final["value"] == 1256.0 and final["batch"] == 256
+    assert final["value"] == 2024.0 and final["batch"] == 1024
     assert final["baseline_source"] == "torch_cpu_oracle_measured"
-    assert final["vs_baseline"] == round(1256.0 / 100.0, 3)
+    assert final["vs_baseline"] == round(2024.0 / 100.0, 3)
     assert "attention_ab" in final and "donate_ab" in final
-    assert final["donate_ab"]["on"] == 1256.0
+    # donate A/B is the interleaved-median structure now (VERDICT r4 #3)
+    assert final["donate_ab"]["batch"] == 1024
+    assert final["donate_ab"]["on_median"] == 990.0 + 1024
+    # MFU by the documented method + the whole-experiment wall leg
+    assert final["mfu_method"] == "flops_per_step*steps_per_sec/peak"
+    assert final["experiment_wall"]["rc"] == 0
+    assert final["experiment_wall"]["result"].startswith("Result -")
     # the A/B legs measured the OPPOSITE impl of what 'auto' picks
     assert ("dense_b64" in final["attention_ab"]
             and "edge_b32" in final["attention_ab"])
@@ -185,7 +207,7 @@ def test_budgeted_main_slow_window_still_parseable(monkeypatch, capsys):
     records = _json_lines(capsys.readouterr().out)
     final = records[-1]
     assert "partial" not in final
-    assert final["value"] == 1256.0    # batch-256 leg ran (always) and won
+    assert final["value"] == 2024.0    # batch-1024 leg ran (always) and won
     assert final["skipped_legs"]       # everything else was budget-skipped
     assert final["baseline_source"] == "fallback_constant"
     assert len(calls["jax"]) == 1 and calls["infer"] == []
@@ -203,7 +225,7 @@ def test_budgeted_main_survives_failing_leg(monkeypatch, capsys):
     real = bench.bench_jax
 
     def flaky(topo, cohort, batch=32, **kw):
-        if batch == 256:
+        if batch == 1024:
             raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
         return real(topo, cohort, batch=batch, **kw)
 
@@ -211,8 +233,8 @@ def test_budgeted_main_survives_failing_leg(monkeypatch, capsys):
     monkeypatch.setattr(bench, "BUDGET_S", 300.0)
     bench.main()
     final = _json_lines(capsys.readouterr().out)[-1]
-    assert final["value"] == 1128.0 and final["batch"] == 128
-    assert "train_b256_failed" in final["skipped_legs"]
+    assert final["value"] == 1512.0 and final["batch"] == 512
+    assert "train_b1024_failed" in final["skipped_legs"]
 
     def dead(*a, **k):
         raise RuntimeError("tunnel gone")
