@@ -333,6 +333,33 @@ def test_reverse_refuses_non_reference_knobs(topo, tmp_path):
     assert "KeyError" not in r.stderr
 
 
+def test_reverse_refuses_dim_changing_knobs(topo, tmp_path):
+    """is_use_prob4regr=False (and is_image_only/is_snps_only) keep every
+    param-tree KEY — the branches are built unconditionally — but change
+    the out_lin/feat4regr DIMS, so export used to 'succeed' into
+    lin1_regr weights the reference's strict load_state_dict rejects with
+    a raw shape error. The guard must refuse these too (r4 ADVICE)."""
+    from iggcn_tpu.tools.serve import save_bundle
+
+    cfg = ModelConfig(num_layers=2, hidden=4, is_use_prob4regr=False)
+    model = FusedSGCN(cfg=cfg, topo=topo)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0),
+                            jnp.zeros((2, cfg.rois, cfg.feat_dim)),
+                            jnp.zeros((2, cfg.rois, cfg.rois)),
+                            jnp.zeros((2, cfg.num_snps)))
+    bundle = tmp_path / "nonref2.npz"
+    save_bundle(str(bundle), model, jax.device_get(v["params"]),
+                jax.device_get(v["batch_stats"]))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "iggcn_tpu.tools.import_torch", "--reverse",
+         "--ckpt", str(bundle), "--out", str(tmp_path / "sd2.pt")],
+        capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 1
+    assert "FAILED" in r.stderr and "is_use_prob4regr" in r.stderr
+    assert "shape" not in r.stderr.lower()
+
+
 def test_cli_end_to_end(fused_setup, topo, tmp_path):
     """torch.save -> iggcn-import-torch CLI -> load_bundle -> same logits.
 
