@@ -207,7 +207,9 @@ def test_budgeted_main_slow_window_still_parseable(monkeypatch, capsys):
     records = _json_lines(capsys.readouterr().out)
     final = records[-1]
     assert "partial" not in final
-    assert final["value"] == 2024.0    # batch-1024 leg ran (always) and won
+    # the PRIORITY leg (first in IGGCN_BENCH_SWEEP = the headline batch
+    # 256) is the one leg that always lands before the budget dies
+    assert final["value"] == 1256.0 and final["batch"] == 256
     assert final["skipped_legs"]       # everything else was budget-skipped
     assert final["baseline_source"] == "fallback_constant"
     assert len(calls["jax"]) == 1 and calls["infer"] == []
