@@ -270,3 +270,51 @@ def test_budgeted_main_term_handler_flushes(monkeypatch, capsys):
     records = _json_lines(capsys.readouterr().out)
     assert records[-1]["value"] == 123.0
     assert records[-1]["terminated_by_signal"] == signal.SIGTERM
+
+
+def test_measure_mfu_tiny(monkeypatch):
+    """The documented-method MFU leg on a tiny CPU config: one compiled
+    optimizer step's flops, per-graph normalization, and the method
+    string that makes the artifact self-describing."""
+    import numpy as np
+
+    import bench
+    from iggcn_tpu.data.adni import synthetic_cohort
+    from iggcn_tpu.data.go_graph import synthetic_topology
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    rng = np.random.default_rng(0)
+    topo = synthetic_topology(rng)
+    cohort = synthetic_cohort(rng, num_subjects=8)
+    out = bench.measure_mfu(topo, cohort, batch=4, gps=1000.0)
+    assert out["flops_per_step_xla"] > 0
+    assert out["flops_per_graph"] == round(out["flops_per_step_xla"] / 4)
+    assert out["mfu_method"] == "flops_per_step*steps_per_sec/peak"
+    # formula pinned: mfu = 100 * F * (gps/batch) / (peak TFLOP/s)
+    want = round(100.0 * out["flops_per_step_xla"] * 250.0
+                 / (out["peak_tflops_assumed"] * 1e12), 2)
+    assert out["mfu_pct_vs_bf16_peak"] == want
+
+
+def test_bench_donate_ab_tiny(monkeypatch):
+    """Interleaved donation A/B on a tiny CPU config: off/on sample lists
+    of the requested length, medians derived from them, and the donated
+    program chain actually executing (donated input buffers rebound to
+    outputs between pairs)."""
+    import numpy as np
+
+    import bench
+    from iggcn_tpu.data.adni import synthetic_cohort
+    from iggcn_tpu.data.go_graph import synthetic_topology
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setattr(bench, "EPOCHS_TIMED", 2)
+    rng = np.random.default_rng(1)
+    topo = synthetic_topology(rng)
+    cohort = synthetic_cohort(rng, num_subjects=8)
+    ab = bench.bench_donate_ab(topo, cohort, batch=4, pairs=2)
+    assert len(ab["off_gps"]) == 2 and len(ab["on_gps"]) == 2
+    assert ab["off_median"] == float(np.median(ab["off_gps"]))
+    assert ab["on_median"] == float(np.median(ab["on_gps"]))
+    assert all(v > 0 for v in ab["off_gps"] + ab["on_gps"])
+    assert ab["batch"] == 4 and ab["pairs"] == 2
