@@ -148,6 +148,18 @@ class TrainConfig:
     # trades compile time for less loop overhead / cross-step fusion on the
     # dispatch-latency-bound tiny-op program. 1 = no unrolling.
     scan_unroll: int = 1
+    # Rematerialize the whole forward in the backward pass
+    # (jax.checkpoint around the step's loss_fn): stores only the inputs
+    # and recomputes activations instead of streaming them back from HBM.
+    # A memory/bandwidth-vs-recompute trade probed for the past-the-knee
+    # batches (BASELINE.md r5 profile). Measured on TPU: SLOWER at every
+    # batch (256: -24%, 512: -27%, 1024: -26%) — the step is
+    # VPU-throughput-bound, so the recomputed forward costs more than the
+    # activation readback it saves. Default off; identical math either
+    # way (pinned by test_remat_step_equivalence). Kept as the scaffold
+    # for activation-heavy variants (larger ROIs/hidden) where the trade
+    # can flip.
+    remat: bool = False
     loss: LossWeights = dataclasses.field(default_factory=LossWeights)
     sparsity: SparsityWeights = dataclasses.field(default_factory=SparsityWeights)
 

@@ -459,6 +459,8 @@ def make_train_step(model, mcfg: ModelConfig, tcfg: TrainConfig, optimizer,
             return objective(model, params, state.batch_stats, batch,
                              mcfg, tcfg, train=True, rng=rng)
 
+        if tcfg.remat:
+            loss_fn = jax.checkpoint(loss_fn)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,

@@ -57,3 +57,41 @@ def test_dual_pass_eval_matches_sequential(cohort, topo):
     np.testing.assert_allclose(np.asarray(aux_v["out"].our_reg),
                                np.asarray(aux_s["out"].our_reg),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_remat_step_equivalence(cohort, topo):
+    """`TrainConfig.remat` (jax.checkpoint around the step's loss_fn) is a
+    memory/bandwidth-vs-recompute trade only — one full optimizer step
+    must produce the same loss, parameters, and BN stats as the stored-
+    activation path (gradients of a checkpointed function are exact)."""
+    import dataclasses as dc
+
+    from iggcn_tpu.train.steps import (TrainState, make_optimizer,
+                                       make_train_step)
+    from tests.conftest import device_batch
+
+    mcfg = ModelConfig(num_layers=2, hidden=8, dropout_lin=0.0,
+                       dropout_regr=0.0, dropout_go=0.0, dropout_readout=0.0)
+    tcfg = TrainConfig(epochs=2, batch_size=8)
+    batch = device_batch(cohort, 8)
+    model = FusedSGCN(cfg=mcfg, topo=topo)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(5), batch["x"],
+                                    batch["adj"], batch["snps"])
+
+    def one_step(cfg):
+        optimizer = make_optimizer(cfg)
+        step = jax.jit(make_train_step(model, mcfg, cfg, optimizer))
+        state = TrainState.create(variables, optimizer, steps_per_epoch=1)
+        state, loss = step(state, batch, jax.random.PRNGKey(9))
+        return float(loss), jax.device_get(state.params), \
+            jax.device_get(state.batch_stats)
+
+    loss_a, params_a, stats_a = one_step(tcfg)
+    loss_b, params_b, stats_b = one_step(dc.replace(tcfg, remat=True))
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        params_a, params_b)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        stats_a, stats_b)
